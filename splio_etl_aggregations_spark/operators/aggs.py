@@ -1,0 +1,446 @@
+"""Aggregations (SURVEY.md §2-D) — the heart of an ETL-aggregation engine.
+
+Everything here compiles to partial+final HashAggregate pairs with
+map-side combine (so shuffle volume is #groups, not #rows) — the
+property that makes these shapes hold at 100 TB. The flagship
+``rfm_customer_360`` pre-aggregates each fact table to the customer key
+BEFORE joining, which removes the orders×events fan-out entirely and
+joins three already-small keyed tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.helpers import net_price, r4, sorted_list
+from ..registry import register
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           round(SUM(l_quantity), 4) AS sum_qty,
+           round(MIN(l_extendedprice), 4) AS min_price,
+           round(MAX(l_extendedprice), 4) AS max_price,
+           round(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    """,
+    tier="P0",
+)
+def agg_global(spark, t):
+    """Whole-table scalar aggregates (no grouping)."""
+    return t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.min("l_extendedprice")).alias("min_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 4) AS sum_qty,
+           round(SUM(l_extendedprice), 4) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(AVG(l_quantity), 4) AS avg_qty,
+           round(AVG(l_extendedprice), 4) AS avg_price,
+           round(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="P0",
+)
+def agg_pricing_summary(spark, t):
+    """TPC-H Q1 shape: grouped multi-aggregate over filtered lineitem."""
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(net_price())).alias("sum_disc_price"),
+            r4(F.sum(net_price() * (F.lit(1.0) + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tier="P0",
+)
+def agg_count_distinct(spark, t):
+    """Exact distinct users per day (expand + two-phase aggregate)."""
+    return (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, tier="P2")  # rows-only
+def agg_approx_count_distinct(spark, t):
+    """HyperLogLog++ distinct estimate per event type. Sketches are not
+    cross-engine comparable by construction → rows-only; the ±5 % accuracy
+    bound is asserted in tests/test_units_aggs.py."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, round(SUM(o_totalprice), 4) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING SUM(o_totalprice) > 2000000
+    """,
+    tier="P1",
+)
+def agg_having(spark, t):
+    """Post-aggregation filter (HAVING)."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            r4(F.sum("o_totalprice")).alias("spend"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 2000000)
+        .drop("_raw")
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           round(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 4)
+             AS f_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           round(AVG(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4)
+             AS p_avg
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tier="P1",
+)
+def agg_conditional(spark, t):
+    """Conditional aggregates: CASE-gated sum/avg, filtered count."""
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            r4(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                    .otherwise(F.lit(0.0))
+                )
+            ).alias("f_total"),
+            F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
+            r4(
+                F.avg(F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice")))
+            ).alias("p_avg"),
+        )
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest,
+           round(MAX(c_acctbal), 4) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tier="P1",
+)
+def agg_min_max_by(spark, t):
+    """Value of one column at another's extremum (max_by / min_by)."""
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+            F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+            r4(F.max("c_acctbal")).alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey, list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    tier="P2",
+)
+def agg_collect(spark, t):
+    """Per-group ordered list (collect is always sorted — §5.4)."""
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 4) AS var_disc,
+           round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tier="P1",
+)
+def agg_stats(spark, t):
+    """Statistical aggregates. Variance is taken over small-magnitude
+    columns only: var of a ~3e4-magnitude column has absolute float error
+    near the 4-dp rounding boundary (SURVEY.md §5.4)."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            r4(F.var_samp("l_discount")).alias("var_disc"),
+            r4(F.corr("l_extendedprice", "l_quantity")).alias("corr_price_qty"),
+            r4(F.covar_samp("l_quantity", "l_discount")).alias("cov_qty_disc"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tier="P2",
+)
+def agg_percentile(spark, t):
+    """Exact linear-interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont)."""
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            r4(F.percentile("o_totalprice", 0.25)).alias("p25"),
+            r4(F.percentile("o_totalprice", 0.5)).alias("p50"),
+            r4(F.percentile("o_totalprice", 0.9)).alias("p90"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS gr_region,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS gr_nation,
+           COUNT(*) AS n_customers,
+           round(SUM(c.c_acctbal), 4) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tier="P1",
+)
+def agg_rollup(spark, t):
+    """Subtotal hierarchy region → nation with grouping indicators."""
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("gr_region"),
+        F.grouping("n_name").cast("int").alias("gr_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+        r4(F.sum("c_acctbal")).alias("sum_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           round(SUM(o.o_totalprice), 4) AS total
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
+    """,
+    tier="P2",
+)
+def agg_cube(spark, t):
+    """All grouping combinations (CUBE) over segment × status."""
+    joined = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey")
+    )
+    return joined.cube("c_mktsegment", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs, round(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+    tier="P2",
+)
+def agg_grouping_sets(spark, t):
+    """Explicit grouping sets, phrased through the SQL entry point (the
+    loader registers temp views for exactly this)."""
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs, round(AVG(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           round(SUM(CASE WHEN event_type = 'click'    THEN value END), 4) AS click,
+           round(SUM(CASE WHEN event_type = 'view'     THEN value END), 4) AS view,
+           round(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           round(SUM(CASE WHEN event_type = 'signup'   THEN value END), 4) AS signup,
+           round(SUM(CASE WHEN event_type = 'error'    THEN value END), 4) AS error
+    FROM events GROUP BY user_id
+    """,
+    tier="P2",
+)
+def agg_pivot(spark, t):
+    """Wide table: event value per user × event_type. The value list is
+    explicit → deterministic columns, single-pass plan."""
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(r4(F.sum("value")))
+    )
+
+
+@register(
+    "rfm_customer_360",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey,
+             COUNT(*) AS frequency,
+             round(SUM(o_totalprice), 4) AS monetary,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '2002-01-01') AS BIGINT) AS recency_days
+      FROM orders GROUP BY o_custkey
+    ),
+    ev AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+             round(SUM(value), 4) AS event_value
+      FROM events GROUP BY user_id
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           ord.recency_days, ord.frequency, ord.monetary,
+           COALESCE(ev.n_events, 0) AS n_events,
+           COALESCE(ev.n_purchases, 0) AS n_purchases,
+           COALESCE(ev.n_clicks, 0) AS n_clicks,
+           COALESCE(ev.event_value, 0.0) AS event_value,
+           CASE WHEN c.c_acctbal < 0 THEN 'negative'
+                WHEN c.c_acctbal < 3000 THEN 'low'
+                WHEN c.c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS acctbal_band
+    FROM customer c
+    LEFT JOIN ord ON ord.o_custkey = c.c_custkey
+    LEFT JOIN ev  ON ev.user_id = c.c_custkey
+    """,
+    tier="P0",
+)
+def rfm_customer_360(spark, t):
+    """Domain flagship (SURVEY.md §0): per-customer recency / frequency /
+    monetary + engagement rollup — the customer-360 export a marketing
+    ETL exists to produce.
+
+    Scale shape: each fact is aggregated to the customer key FIRST
+    (map-side combine → shuffle carries one row per customer per fact),
+    then three small keyed tables join. Joining raw orders×events to
+    customer would fan out |orders|×|events| per customer — never do that.
+    """
+    ord_ = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            r4(F.sum("o_totalprice")).alias("monetary"),
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.to_date(F.max("o_orderdate"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+        )
+    )
+    ev = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+            r4(F.sum("value")).alias("event_value"),
+        )
+    )
+    c = t["customer"]
+    return (
+        c.join(ord_, c["c_custkey"] == ord_["o_custkey"], "left")
+        .join(ev, c["c_custkey"] == ev["user_id"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 3000, "low")
+            .when(F.col("c_acctbal") < 7000, "mid")
+            .otherwise("high")
+            .alias("acctbal_band"),
+        )
+    )

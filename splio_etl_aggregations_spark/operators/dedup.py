@@ -1,0 +1,279 @@
+"""Deduplication operators (SURVEY.md §2-J, dedup half).
+
+The LLM-pipeline dedup ladder, each rung one order of magnitude more
+scalable than the last:
+
+1. ``dedup_exact``        — hash-groupBy on normalized text. O(n), one shuffle.
+2. ``dedup_near_jaccard`` — EXACT all-pairs token-set Jaccard via an
+   inverted-index join (candidates only share-a-token pairs; never the
+   O(n²) cross join). SQL-oracle-checkable.
+3. ``dedup_near_minhash`` — MinHash+LSH banding: candidate pairs from
+   band-bucket joins, then exact verification of candidates only. The
+   100 TB path (probabilistic recall ⇒ rows-only; recall asserted vs the
+   exact operator in tests).
+4. ``dedup_simhash``      — 64-bit SimHash fingerprints bucketed by
+   Hamming-ball bands (deterministic, SQL-checkable construction).
+
+Scale notes: the inverted-index join's worst case is a stop-token whose
+posting list is huge; production form would drop ultra-common tokens
+(df-based) before the self-join — the fixtures' 31-token vocabulary makes
+every token "common", which is the adversarial case, and the pair count
+still stays ≤ C(n,2) after the groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4
+from ..registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY sha256(lower(trim(text)))
+    """,
+    tier="P1",
+)
+def dedup_exact(spark, t):
+    """Exact duplicate groups keyed on sha2(normalized text); the keeper is
+    the minimum doc_id (deterministic survivor policy)."""
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        t["documents"]
+        .groupBy(h.alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_JACCARD_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id_lo, p.id_hi,
+       round(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 4) AS jaccard
+FROM pair p
+JOIN sz sa ON sa.doc_id = p.id_lo
+JOIN sz sb ON sb.doc_id = p.id_hi
+WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.9
+"""
+
+
+@register("dedup_near_jaccard", oracle=_JACCARD_ORACLE, tier="P1")
+def dedup_near_jaccard(spark, t):
+    """Near-duplicate pairs with token-set Jaccard ≥ 0.9 — EXACT, via an
+    inverted-index self-join (token → docs), never a cross join.
+
+    |A∩B| comes from counting shared tokens per pair; |A∪B| from the two
+    set sizes. The 0.9 threshold compares exact double divisions, which
+    are IEEE-identical across engines.
+    """
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_lo"), F.col("b.doc_id").alias("id_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_lo"), F.col("n").alias("n_lo"))
+    sb = sz.select(F.col("doc_id").alias("id_hi"), F.col("n").alias("n_hi"))
+    jac = F.col("n_common") / (F.col("n_lo") + F.col("n_hi") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(sa), "id_lo")
+        .join(F.broadcast(sb), "id_hi")
+        .filter(jac >= 0.9)
+        .select("id_lo", "id_hi", r4(jac).alias("jaccard"))
+    )
+
+
+@register("dedup_near_minhash", oracle=None, tier="P2")  # rows-only (LSH recall)
+def dedup_near_minhash(spark, t):
+    """MinHash + LSH banding near-dedup — the 100 TB path.
+
+    Pipeline: token set → k=32 minhash signatures (universal hashing of
+    xxhash64 token hashes, all JVM-side) → 8 bands × 4 rows → band-bucket
+    self-join (candidates = pairs agreeing on ≥1 band) → EXACT Jaccard
+    verification of candidates only.
+
+    Output = verified pairs (jaccard ≥ 0.9). Probabilistic *recall* makes
+    this rows-only for the driver; tests assert candidates ⊇ the exact
+    operator's pairs at this threshold (P[band match | j=0.9] ≈ 1-1e-7).
+    Unlike pyspark.ml's MinHashLSH (random coefficients per fit), the
+    hash family here is fixed, so results are reproducible run-to-run.
+    """
+    n_hashes, n_bands = 32, 8
+    rows_per_band = n_hashes // n_bands
+    # Mersenne-prime (2^31-1) universal hashes of the token hash. The
+    # 31-bit domain keeps a*x+b under 2^63 — no bigint overflow under
+    # ANSI mode (Spark 4 default raises on silent wraparound).
+    prime = (1 << 31) - 1
+    rng_a = [((2 * i + 1) * 0x9E3779B9) % prime or 1 for i in range(n_hashes)]
+    rng_b = [((i * i + 7) * 0x27D4EB4F) % prime for i in range(n_hashes)]
+
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).select("doc_id", F.pmod(F.xxhash64("token"), F.lit(prime)).alias("th"))
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i])) % F.lit(prime))
+            .alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # Bands: hash each contiguous signature slice to one bucket id.
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    # Candidate pairs: agree on at least one band.
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.bucket")
+    l = bands_long.alias("l")
+    r = bands_long.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_lo"), F.col("r.doc_id").alias("id_hi")
+        )
+        .distinct()
+    )
+    # Exact verification of candidates only (inverted-index intersection).
+    tokset = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    lo = tokset.select(
+        F.col("doc_id").alias("id_lo"), F.col("toks").alias("toks_lo")
+    )
+    hi = tokset.select(
+        F.col("doc_id").alias("id_hi"), F.col("toks").alias("toks_hi")
+    )
+    inter = F.size(F.array_intersect("toks_lo", "toks_hi"))
+    union = F.size(F.array_union("toks_lo", "toks_hi"))
+    jac = inter / union
+    return (
+        candidates.join(lo, "id_lo")
+        .join(hi, "id_hi")
+        .filter(jac >= 0.9)
+        .select("id_lo", "id_hi", r4(jac).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # rows-only: bit-level engine-specific fingerprints
+    tier="P2",
+)
+def dedup_simhash(spark, t):
+    """64-bit SimHash near-dup candidates.
+
+    Fingerprint: sign-sum over token hashes per bit position; candidate
+    pairs share a 16-bit band of the fingerprint (Hamming-ball banding).
+    Deterministic (xxhash64-seeded) but engine-specific bit patterns ⇒
+    rows-only; pair plausibility is asserted in unit tests.
+    """
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("th"))
+    # bit b of fingerprint = sign of sum over tokens of (+1/-1 at bit b)
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(63)  # bit 63 excluded: keeps fp non-negative
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_id", "bb.bucket")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_lo"),
+            F.col("r.doc_id").alias("id_hi"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,328 @@
+"""Joins (SURVEY.md §2-C).
+
+API surface is the single ``df.join(other, on, how)``; the physical
+strategy is the planner's job (SURVEY.md §4): dims under the 10 MB
+threshold broadcast (asserted in tests/test_plans.py), large-large equi
+joins shuffle into sort-merge under AQE, non-equi predicates go through
+BroadcastNestedLoopJoin with the small side broadcast.
+
+Scale notes (100 TB posture):
+- fact⋈dim always broadcasts the dim explicitly (`F.broadcast`) so the
+  plan survives missing/stale stats on a real cluster;
+- fan-out-prone multi-joins (flagship RFM) pre-aggregate each fact to
+  the join key first — this both kills the row explosion and turns the
+  final join into key-aligned small tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.helpers import net_price, r4
+from ..registry import register
+
+
+@register(
+    "join_broadcast_equi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tier="P0",
+)
+def join_broadcast_equi(spark, t):
+    """Fact ⋈ small dim; explicitly broadcast → BroadcastHashJoin, no shuffle
+    of the fact side."""
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            r4(net_price()).alias("net"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_equi",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_partkey, o.o_totalprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    tier="P1",
+)
+def join_shuffle_equi(spark, t):
+    """Large ⋈ large equi join: both sides shuffle on the key → sort-merge
+    join; AQE may downgrade to broadcast at small SF, which is correct."""
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "l_linenumber", "l_partkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_multi_star",
+    oracle="""
+    SELECT n.n_name,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tier="P0",
+)
+def join_multi_star(spark, t):
+    """4-table star join + aggregate (TPC-H Q5 shape): revenue per nation.
+
+    nation broadcasts; customer⋈orders⋈lineitem chain shuffles on the
+    foreign keys; the final groupBy is a 25-group partial+final hash agg.
+    """
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            r4(F.sum(net_price())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           round(COALESCE(SUM(o.o_totalprice), 0), 4) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tier="P1",
+)
+def join_left_outer(spark, t):
+    """Left outer with null-producing right side, null-aware post-agg."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            r4(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT p.p_partkey, COUNT(l.l_orderkey) AS n_li
+    FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey
+    """,
+    tier="P1",
+)
+def join_right_outer(spark, t):
+    """Right outer: every part survives, unmatched ones count 0."""
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"), "right")
+        .groupBy("p_partkey")
+        .agg(F.count("l_orderkey").alias("n_li"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id AS k, COUNT(*) AS n_events FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(o.k, e.k) AS custkey, o.n_orders, e.n_events
+    FROM o FULL JOIN e ON o.k = e.k
+    """,
+    tier="P1",
+)
+def join_full_outer(spark, t):
+    """Full outer over partially-overlapping key sets; both sides can be null."""
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, o["k"] == e["k"], "full").select(
+        F.coalesce(o["k"], e["k"]).alias("custkey"),
+        "n_orders",
+        "n_events",
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tier="P1",
+)
+def join_left_semi(spark, t):
+    """EXISTS-style semi join: customers with ≥1 urgent order."""
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    tier="P1",
+)
+def join_left_anti(spark, t):
+    """NOT EXISTS anti join: customers with no pending-status orders."""
+    pending = t["orders"].filter(F.col("o_orderstatus") == "P")
+    return (
+        t["customer"]
+        .join(pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r",
+    tier="P2",
+)
+def join_cross(spark, t):
+    """Cartesian product of two tiny dims (25 × 5)."""
+    return t["nation"].crossJoin(t["region"]).select("n_name", "r_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, b.band
+    FROM part p
+    JOIN (VALUES ('b0', 0.0, 1000.0),
+                 ('b1', 1000.0, 1400.0),
+                 ('b2', 1400.0, 1800.0),
+                 ('b3', 1800.0, 1000000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+    tier="P2",
+)
+def join_theta_range(spark, t):
+    """Non-equi banded join → BroadcastNestedLoopJoin with the tiny band
+    table broadcast (the only sane physical plan for theta joins)."""
+    bands = spark.createDataFrame(
+        [
+            ("b0", 0.0, 1000.0),
+            ("b1", 1000.0, 1400.0),
+            ("b2", 1400.0, 1800.0),
+            ("b3", 1800.0, 1000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    p = t["part"]
+    return p.join(
+        F.broadcast(bands),
+        (p["p_retailprice"] >= bands["lo"]) & (p["p_retailprice"] < bands["hi"]),
+    ).select("p_partkey", "band")
+
+
+@register(
+    "join_self_sequence",
+    oracle="""
+    SELECT e1.event_id, MIN(e2.ts) AS next_ts
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.event_id
+    """,
+    tier="P2",
+)
+def join_self_sequence(spark, t):
+    """Self theta join on time: each event's next same-user event within 1 h.
+
+    Equi part (user_id) carries the shuffle; the time band is a residual
+    predicate on the sort-merge join — no cartesian blow-up.
+    """
+    e1 = t["events"].alias("e1")
+    e2 = t["events"].alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(F.min(F.col("e2.ts")).alias("next_ts"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tier="P2",
+)
+def join_asof(spark, t):
+    """As-of join (no native Spark operator): for each purchase event, the
+    same user's latest click at-or-before it.
+
+    Composed as equi-join on user + time filter + max() — equivalent to
+    DuckDB's native ASOF LEFT JOIN (ties on ts collapse to the same max).
+    A window row_number()=1 formulation is equivalent; join+agg keeps the
+    whole pipeline in whole-stage codegen.
+    """
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id")) & (F.col("ts") >= F.col("c_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.max("c_ts").alias("last_click_ts"))

@@ -1,0 +1,123 @@
+"""Scans / sources / sinks (SURVEY.md §2-A).
+
+Parquet is the at-rest format for everything; CSV/JSON roundtrips prove
+the source/sink surface (rows-only checks — FIXTURES.md is parquet-only).
+Pushdown is delegated to Catalyst and *asserted* in tests/test_plans.py
+(PushedFilters / ReadSchema on the FileSourceScan), not re-implemented.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+    tier="P0",
+)
+def scan_parquet(spark, t):
+    """Full-table parquet scan, all columns (vectorized ColumnarBatch read)."""
+    return t["lineitem"]
+
+
+@register(
+    "scan_parquet_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 10
+    """,
+    tier="P1",
+)
+def scan_parquet_pushdown(spark, t):
+    """Projection+filter scan; Catalyst pushes both into the parquet reader
+    (asserted via PushedFilters/ReadSchema in tests/test_plans.py)."""
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("l_quantity") < 10)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register("scan_csv_roundtrip", oracle=None, tier="P2")  # rows-only
+def scan_csv_roundtrip(spark, t):
+    """Write `nation` to CSV with header, read back with an explicit schema
+    (never inferred — SURVEY.md §1.4), return the re-read rows."""
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "nation_csv")
+    t["nation"].write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+@register("scan_json_roundtrip", oracle=None, tier="P2")  # rows-only
+def scan_json_roundtrip(spark, t):
+    """Write `supplier` to JSON lines, read back with explicit schema."""
+    path = os.path.join(tempfile.mkdtemp(prefix="json_rt_"), "supplier_json")
+    t["supplier"].write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@register(
+    "source_range",
+    oracle="""
+    SELECT id, id * 2 AS doubled, id % 7 AS mod7
+    FROM range(1, 101) AS t(id)
+    """,
+    tier="P2",
+)
+def source_range(spark, t):
+    """Generated integer source with computed columns."""
+    return spark.range(1, 101).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("doubled"),
+        (F.col("id") % 7).alias("mod7"),
+    )
+
+
+@register("sink_parquet_partitioned", oracle=None, tier="P2")  # rows-only
+def sink_parquet_partitioned(spark, t):
+    """Write orders partitioned by order year, re-read, count per partition.
+
+    The re-read exercises partition discovery + partition pruning; the
+    per-partition counts prove no rows were lost or duplicated.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="pq_part_"), "orders_by_year")
+    (
+        t["orders"]
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_year")
+    )

@@ -1,0 +1,273 @@
+"""Text analysis over the documents corpus (SURVEY.md §2-J, text half).
+
+These are the LLM-training-pipeline text operators mandated beyond the
+reference surface (BASELINE.json "north_star"): token statistics,
+n-grams, tf-idf, language/quality profiling. All stay JVM-side
+(split/explode/groupBy — whole-stage codegen), no Python in the hot path.
+
+Scale shape: explode(split(text)) distributes perfectly — the shuffle
+key is the token, and token frequency skew is handled by partial
+aggregation (map-side combine collapses each partition to ≤|vocab| rows
+before the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4
+from ..registry import register
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tier="P0",
+)
+def text_token_counts(spark, t):
+    """Global token frequencies: explode + count."""
+    return (
+        t["documents"]
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           round(AVG(n_chars), 4) AS avg_chars,
+           round(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+    tier="P1",
+)
+def text_lang_stats(spark, t):
+    """Corpus profile per (lang, source): doc count, avg chars, avg tokens."""
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            r4(F.avg(F.size(_tokens()))).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM tok
+    )
+    SELECT doc_id, bigram, COUNT(*) AS cnt
+    FROM big WHERE bigram IS NOT NULL
+    GROUP BY doc_id, bigram
+    """,
+    tier="P2",
+)
+def text_ngrams(spark, t):
+    """Per-document bigram counts.
+
+    Built array-side (transform over an index sequence) instead of
+    explode+window: one pass, no per-token shuffle for the window sort.
+    """
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return (
+        t["documents"]
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 5
+    """,
+    tier="P2",
+)
+def text_tfidf(spark, t):
+    """tf-idf per (doc, term); top-5 terms per doc.
+
+    Ranking happens on the ROUNDED score (then term as tie-break): ln()
+    differs in the last ulp between libm and the JVM, so ranking raw
+    doubles would flip near-ties across engines.
+
+    Scale: doc count N is joined in via a broadcast 1-row aggregate, not
+    a driver-side collect.
+    """
+    docs = t["documents"]
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            r4(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            "tfidf",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN contains(text, ' le ') OR contains(text, ' la ') THEN 'fr-ish'
+             WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de-ish'
+             WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es-ish'
+             WHEN contains(text, ' the ') OR contains(text, ' and ') THEN 'en-ish'
+             ELSE 'other'
+           END AS guessed
+    FROM documents
+    """,
+    tier="P2",
+)
+def text_lang_id(spark, t):
+    """Heuristic language ID via stopword n-gram cues (deterministic rule
+    chain — a real pipeline would plug a model UDF into this same shape)."""
+    txt = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        F.when(txt.contains(" le ") | txt.contains(" la "), "fr-ish")
+        .when(txt.contains(" der ") | txt.contains(" und "), "de-ish")
+        .when(txt.contains(" el ") | txt.contains(" los "), "es-ish")
+        .when(txt.contains(" the ") | txt.contains(" and "), "en-ish")
+        .otherwise("other")
+        .alias("guessed"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS ttr,
+           round(n_chars * 1.0 / len(string_split(text, ' ')), 4)
+             AS avg_token_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 200
+                 AND len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')) > 0.2
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+    """,
+    tier="P2",
+)
+def text_quality_score(spark, t):
+    """Document quality heuristics: token count, type-token ratio, average
+    token length, and a composite keep/drop flag — the standard pre-training
+    corpus filter shape."""
+    toks = _tokens()
+    n_tok = F.size(toks).cast("long")
+    n_dis = F.size(F.array_distinct(toks)).cast("long")
+    ttr = n_dis / n_tok
+    return t["documents"].select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        r4(ttr).alias("ttr"),
+        r4(F.col("n_chars") / n_tok).alias("avg_token_len"),
+        F.when((n_tok.between(10, 200)) & (ttr > 0.2), 1)
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fp_tokenset
+    FROM documents
+    """,
+    tier="P2",
+)
+def text_fingerprint(spark, t):
+    """Document fingerprints: content hash + order-insensitive token-set
+    hash (the key building block for exact/near dedup pipelines)."""
+    toks = _tokens()
+    return t["documents"].select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_md5"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        ).alias("fp_tokenset"),
+    )

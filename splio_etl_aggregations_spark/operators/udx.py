@@ -1,0 +1,157 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2-K).
+
+Each query's logic is also expressible in pure SQL, so the oracle checks
+the *plumbing* (Py4J row UDFs, Arrow pandas UDFs, grouped-map, lateral
+UDTF) produces SQL-identical results. The row UDF exists to prove the
+surface — the pandas variants are the only ones allowed in hot paths
+(SURVEY.md §3.2: Arrow batches vs per-row pickling).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4
+from ..registry import register
+
+_BAND_SQL_CASE = """
+CASE WHEN o_totalprice < 50000 THEN 'small'
+     WHEN o_totalprice < 200000 THEN 'medium'
+     WHEN o_totalprice < 350000 THEN 'large'
+     ELSE 'jumbo' END
+"""
+
+
+def _band(price: float) -> str:
+    if price < 50000:
+        return "small"
+    if price < 200000:
+        return "medium"
+    if price < 350000:
+        return "large"
+    return "jumbo"
+
+
+@register(
+    "udf_python_scalar",
+    oracle=f"""
+    SELECT o_orderkey, {_BAND_SQL_CASE} AS price_band FROM orders
+    """,
+    tier="P1",
+)
+def udf_python_scalar(spark, t):
+    """Row-at-a-time Python UDF (the slow path, here only to prove the
+    surface; tests pin the pandas variant as the hot-path choice)."""
+    band_udf = F.udf(_band, "string")
+    return t["orders"].select(
+        "o_orderkey", band_udf("o_totalprice").alias("price_band")
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=f"""
+    SELECT o_orderkey, {_BAND_SQL_CASE} AS price_band FROM orders
+    """,
+    tier="P1",
+)
+def udf_pandas_scalar(spark, t):
+    """Same logic as udf_python_scalar through an Arrow-vectorized pandas
+    UDF — identical results, ~10-100× less Python overhead."""
+
+    @F.pandas_udf("string")
+    def band(prices: pd.Series) -> pd.Series:
+        return pd.cut(
+            prices,
+            bins=[-float("inf"), 50000, 200000, 350000, float("inf")],
+            labels=["small", "medium", "large", "jumbo"],
+            right=False,
+        ).astype(str)
+
+    return t["orders"].select("o_orderkey", band("o_totalprice").alias("price_band"))
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT p_brand,
+           round(SUM(p_retailprice * p_size) / SUM(p_size), 4) AS weighted_avg_price
+    FROM part GROUP BY p_brand
+    """,
+    tier="P2",
+)
+def udaf_pandas_grouped_agg(spark, t):
+    """Grouped-aggregate pandas UDF: size-weighted mean retail price per
+    brand (Arrow batches per group, partial aggregation handled by Spark)."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, size: pd.Series) -> float:
+        return float((price * size).sum() / size.sum())
+
+    return (
+        t["part"]
+        .groupBy("p_brand")
+        .agg(r4(weighted_avg("p_retailprice", "p_size")).alias("weighted_avg_price"))
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+             AS zscore
+    FROM customer
+    """,
+    tier="P2",
+)
+def udf_grouped_map(spark, t):
+    """Grouped-map applyInPandas: per-segment z-score normalization.
+    pandas std(ddof=1) ≡ SQL stddev_samp, so the oracle is a window query."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "zscore": z})
+
+    normalized = (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_custkey long, zscore double")
+    )
+    # round JVM-side: numpy rounds half-to-even, Spark/DuckDB half-up (§5.4)
+    return normalized.select("c_custkey", r4("zscore").alias("zscore"))
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(generate_subscripts(string_split(o.o_orderpriority, '-'), 1)
+                AS INTEGER) AS pos,
+           unnest(string_split(o.o_orderpriority, '-')) AS word
+    FROM orders o
+    """,
+    tier="P3",
+)
+def udtf_python(spark, t):
+    """Python UDTF (Spark 4): one row in → n rows out, splitting
+    o_orderpriority into (pos, word) rows via a LATERAL call."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split("-"), start=1):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, s.pos, s.word
+        FROM orders o, LATERAL split_words(o.o_orderpriority) s
+        """
+    )

@@ -1,0 +1,249 @@
+"""Window functions (SURVEY.md §2-E).
+
+Every window spec's ORDER BY ends with a unique key (tie-break policy
+§5.4) except pure ranking funcs whose output depends only on the sort
+value. Time-range frames order on ``unix_micros`` so the frame boundary
+arithmetic is exact integer µs on both engines.
+
+Scale note: a window over ``partitionBy(user_id)`` shuffles once on
+user_id; all the frames below then evaluate in a single sort within the
+partition — no extra shuffles per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4
+from ..registry import register
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+    tier="P1",
+)
+def win_row_number(spark, t):
+    """Per-customer order sequence number."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT)
+             AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT)
+             AS drnk
+    FROM part
+    """,
+    tier="P1",
+)
+def win_rank_dense(spark, t):
+    """rank/dense_rank with real ties (p_size has 50 distinct values)."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return t["part"].select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+    tier="P2",
+)
+def win_ntile(spark, t):
+    """Quartile bucketing of customers by account balance."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@register(
+    "win_percent_cume",
+    oracle="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 4) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 4) AS cume
+    FROM supplier
+    """,
+    tier="P2",
+)
+def win_percent_cume(spark, t):
+    """Relative-position functions over suppliers by balance."""
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return t["supplier"].select(
+        "s_suppkey",
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           round(lag(value) OVER w, 4) AS prev_value,
+           lead(event_type) OVER w AS next_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tier="P1",
+)
+def win_lag_lead(spark, t):
+    """Previous/next event attributes + exact µs gap per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "event_id",
+        r4(F.lag("value").over(w)).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+    tier="P0",
+)
+def win_running_total(spark, t):
+    """Cumulative per-user sum ordered by time."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["events"].select(
+        "event_id", "user_id", r4(F.sum("value").over(w)).alias("running_value")
+    )
+
+
+@register(
+    "win_sliding_rows",
+    oracle="""
+    SELECT event_id,
+           round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS ma3
+    FROM events
+    """,
+    tier="P1",
+)
+def win_sliding_rows(spark, t):
+    """3-row moving average per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return t["events"].select(
+        "event_id", r4(F.avg("value").over(w)).alias("ma3")
+    )
+
+
+@register(
+    "win_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 4) AS sum_1h
+    FROM events
+    """,
+    tier="P2",
+)
+def win_range_time(spark, t):
+    """Trailing 1-hour value sum per user (time-range frame).
+
+    Spark range frames need a numeric order key: unix_micros gives exact
+    integer microseconds, so the [-3600e6, 0] frame is bit-identical to
+    DuckDB's INTERVAL arithmetic. RANGE peers (equal ts) group together
+    in both engines, so no unique tie-break is needed or allowed here.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t["events"].select(
+        "event_id", "user_id", r4(F.sum("value").over(w)).alias("sum_1h")
+    )
+
+
+@register(
+    "win_first_last_value",
+    oracle="""
+    SELECT event_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tier="P2",
+)
+def win_first_last_value(spark, t):
+    """First/last event value per user over the full-partition frame (the
+    default growing frame makes last_value ≡ current row — always pin the
+    frame)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["events"].select(
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tier="P1",
+)
+def win_topk_per_group(spark, t):
+    """Top-3 orders per customer by price (QUALIFY pattern)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

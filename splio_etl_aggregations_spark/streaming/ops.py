@@ -1,0 +1,268 @@
+"""Streaming operators over `events` (SURVEY.md §2-I).
+
+Design (SURVEY.md §1.4): every transformation is a pure
+``DataFrame → DataFrame`` function usable under both ``spark.read`` and
+``spark.readStream`` — the batch path is what the DuckDB oracle hashes,
+and tests/test_streaming.py replays the same parquet through Structured
+Streaming (file source + availableNow) and asserts the final state equals
+the batch result.
+
+Watermark notes: watermarks only *bound state*; on a bounded replay they
+don't change the final aggregate (late drops are exercised separately by
+``stream_late_data`` with a crafted out-of-order feed).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.helpers import r4
+from ..registry import register
+
+
+# ---------------------------------------------------------------- transforms
+# Pure transformations shared by batch (below) and streaming (tests).
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_1h_15m(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_30m(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_by_event_id(events: DataFrame) -> DataFrame:
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ------------------------------------------------------------------- queries
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tier="P0",
+)
+def stream_tumbling_hourly(spark, t):
+    """1-h tumbling window count + value sum per event type (batch form of
+    the streaming transform; replay equivalence in tests)."""
+    return tumbling_hourly(t["events"])
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH ks AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(k)),
+    win AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - ks.k * INTERVAL '15 minutes' AS window_start,
+             value
+      FROM events CROSS JOIN ks
+    )
+    SELECT window_start, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM win GROUP BY window_start
+    """,
+    tier="P3",
+)
+def stream_sliding(spark, t):
+    """1-h window sliding every 15 min: each event lands in exactly 4
+    epoch-aligned windows (oracle materializes the 4 covering buckets)."""
+    return sliding_1h_15m(t["events"])
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tier="P3",
+)
+def stream_session(spark, t):
+    """Session windows (30-min inactivity gap) per user.
+
+    Spark closes a session when the next event is ≥ gap after the last
+    (window span is [first, last+gap)); the oracle's gaps-and-islands SQL
+    flags a new session on exactly that predicate.
+    """
+    return session_30m(t["events"])
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
+    tier="P3",
+)
+def stream_dedup_watermark(spark, t):
+    """Drop duplicate event_ids within the watermark (event_id is unique in
+    the fixture, so batch-equivalent = DISTINCT; the streaming test feeds
+    real duplicates to prove the state-store path)."""
+    return dedup_by_event_id(t["events"])
+
+
+@register("stream_late_data", oracle=None, tier="P3")  # rows-only: stream-only behavior
+def stream_late_data(spark, t):
+    """Tumbling aggregate where events later than the watermark are DROPPED.
+
+    Runs a real Structured Streaming job inside the query: the events
+    table is split into 3 micro-batch files with the first hour's rows
+    withheld until the very last file — by then the 10-minute watermark
+    has advanced past them, so finalized windows reject those rows. The
+    deterministic file order (availableNow + maxFilesPerTrigger=1 +
+    lexicographic names) makes the drop set reproducible.
+    """
+    events = t["events"]
+    tmp = tempfile.mkdtemp(prefix="late_feed_")
+    feed_dir = os.path.join(tmp, "feed")
+    os.makedirs(feed_dir)
+
+    pdf = events.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    first_hour = pdf["ts"] < (pdf["ts"].min() + pd.Timedelta(hours=1))
+    late, on_time = pdf[first_hour], pdf[~first_hour]
+    half = len(on_time) // 2
+    # batch0/1: on-time rows in order; batch2: the now-too-late first hour.
+    # (coerce to µs — Spark's explicit timestamp schema can't read pandas' ns)
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    on_time.iloc[:half].to_parquet(os.path.join(feed_dir, "batch_0.parquet"), **kw)
+    on_time.iloc[half:].to_parquet(os.path.join(feed_dir, "batch_1.parquet"), **kw)
+    late.to_parquet(os.path.join(feed_dir, "batch_2.parquet"), **kw)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+    sink_name = f"late_data_sink_{abs(hash(tmp)) % 10**8}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.table(sink_name)
+
+
+@register(
+    "stream_stateful_counter",
+    oracle="""
+    WITH seg AS (
+      SELECT event_id, user_id, ts, event_type,
+             COUNT(*) FILTER (WHERE event_type = 'error')
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS err_seg
+      FROM events
+    )
+    SELECT event_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, err_seg ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS purchases_since_error
+    FROM seg
+    """,
+    tier="P3",
+)
+def stream_stateful_counter(spark, t):
+    """Arbitrary per-user running state: purchases since the most recent
+    error (resets at each error).
+
+    Engine side: grouped ``applyInPandas`` carrying explicit per-user
+    state through an ordered scan — the exact state-machine shape that
+    ``transformWithStateInPandas`` runs incrementally in streaming
+    (tests/test_streaming.py covers the streaming form). The oracle is
+    the gaps-and-islands window SQL.
+    """
+
+    def run_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        count = 0
+        out = []
+        for et in pdf["event_type"]:
+            if et == "error":
+                count = 0
+            elif et == "purchase":
+                count += 1
+            out.append(count)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "purchases_since_error": out}
+        )
+
+    return (
+        t["events"]
+        .select("event_id", "user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(run_state, "event_id long, purchases_since_error long")
+    )

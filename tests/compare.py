@@ -1,0 +1,82 @@
+"""Differential comparison utilities — mirrors the driver's t2 check:
+row count + column names + order-insensitive value multiset, with columns
+sorted by name (so column order never matters, names always do)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+
+
+def _norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        f = float(v)
+        return int(v) if f.is_integer() and abs(f) < 2**53 else f
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def spark_rows(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_value(r[c]) for c in cols) for r in df.collect()
+    ]
+    return cols, rows
+
+
+def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
+    res = con.execute(sql)
+    names = [d[0] for d in res.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    rows = [tuple(_norm_value(r[i]) for i in order) for r in res.fetchall()]
+    return cols, rows
+
+
+def diff_report(
+    name: str,
+    s_cols: list[str],
+    s_rows: list[tuple],
+    d_cols: list[str],
+    d_rows: list[tuple],
+    max_examples: int = 5,
+) -> str | None:
+    """None if equal; otherwise a human-readable mismatch report."""
+    problems: list[str] = []
+    if s_cols != d_cols:
+        problems.append(f"columns differ: spark={s_cols} duckdb={d_cols}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if not problems:
+        from collections import Counter
+
+        cs, cd = Counter(s_rows), Counter(d_rows)
+        if cs != cd:
+            only_s = list((cs - cd).elements())[:max_examples]
+            only_d = list((cd - cs).elements())[:max_examples]
+            problems.append(
+                f"value mismatch: {sum((cs - cd).values())} rows only in spark, "
+                f"{sum((cd - cs).values())} only in duckdb\n"
+                f"  spark-only (sample): {only_s}\n  duckdb-only (sample): {only_d}"
+            )
+    if not problems:
+        return None
+    return f"[{name}] " + "; ".join(problems)

@@ -1,0 +1,46 @@
+"""Differential pre-flight (SURVEY.md §5.3-2): every registered
+(query, oracle) pair runs through the SAME comparison the driver applies
+at t2, at sf0.001 by default (sf0.01 with --run-t2-scale / SPARK_GRAFT_T2=1).
+
+This is the single highest-value suite: a query is only "done" when its
+row appears here and passes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from splio_etl_aggregations_spark import register_all
+from splio_etl_aggregations_spark.registry import all_queries
+
+from .compare import diff_report, duck_rows, spark_rows
+from .conftest import SF_SMALL, SF_T2, register_duck_views
+
+register_all()
+_QUERIES = all_queries()
+_SF = SF_T2 if os.environ.get("SPARK_GRAFT_T2") else SF_SMALL
+
+_ORACLE_IDS = sorted(n for n, q in _QUERIES.items() if q.oracle)
+_ROWS_ONLY_IDS = sorted(n for n, q in _QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", _ORACLE_IDS)
+def test_oracle_match(spark, duck, name):
+    q = _QUERIES[name]
+    register_duck_views(duck, _SF)
+    s_cols, s_rows = spark_rows(q.run(spark, _SF))
+    d_cols, d_rows = duck_rows(duck, q.oracle)
+    report = diff_report(name, s_cols, s_rows, d_cols, d_rows)
+    assert report is None, report
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_IDS)
+def test_rows_only_smoke(spark, name):
+    """Rows-only operators must at least run and return a stable schema."""
+    q = _QUERIES[name]
+    df = q.run(spark, _SF)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
