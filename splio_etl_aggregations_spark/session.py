@@ -33,6 +33,10 @@ RUNTIME_CONF: dict[str, str] = {
     # Runtime re-planning: partition coalescing + skew-join handling.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce by partition SIZE, not default parallelism: without this AQE
+    # refuses to merge the tiny post-shuffle partitions a small stage
+    # produces (and on a busy large cluster the docs recommend false too).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python boundary (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
