@@ -191,48 +191,59 @@ def sim_centroid_by_label(spark, t):
 
 @register("sim_ann_lsh_knn", oracle=None, tier="P2")  # rows-only (approximate)
 def sim_ann_lsh_knn(spark, t):
-    """Approximate top-10 neighbors of vec_id=0 via random-hyperplane LSH.
+    """Approximate top-10 neighbors of vec_id=0: random-hyperplane sketch +
+    budgeted probing + exact re-rank.
 
-    The scale path for `sim_knn_query`: 16 fixed hyperplanes (seeded —
-    reproducible run-to-run) give a 16-bit cosine sketch; candidates =
-    vectors whose sketch is within Hamming distance 2 of the query's
-    (multiprobe); exact cosine re-rank on candidates only. Recall vs the
-    exact operator is asserted in tests/test_units_vectors.py.
+    Stage 1 (distributed, one narrow pass): each vector's 256-bit
+    signed-random-projection sketch is computed from the embedding column
+    itself inside an Arrow-batched pandas UDF (only the 256×64 plane
+    matrix and the query sketch are broadcast — the corpus never touches
+    the driver); candidate score = Hamming distance to the query sketch,
+    a monotone estimate of the angle with σ ≈ π·√(p(1-p)/256) ≈ 5°.
+    Stage 2: keep the PROBE_BUDGET lowest-Hamming candidates (~10 % of
+    the corpus) via TakeOrderedAndProject, then exact cosine re-rank on
+    that slice only.
 
-    At 100 TB: sketches are computed in one narrow pass, bucket ids are
-    the shuffle key, and each query touches O(buckets_probed) partitions
-    instead of the full corpus.
+    Budgeted probing (rather than hard bucket equality) keeps recall
+    stable on corpora with weak cluster structure: these near-uniform
+    fixtures separate true neighbors from the bulk by only ~15–20° of
+    angle, so hard 16-bit buckets measured 0 recall and a 32-bit ranking
+    (σ ≈ 16°) only 0.1; 256 bits puts sketch noise well under the signal.
+    At 100 TB the sketch pass reads only the embedding column and stage 2
+    touches budget·d bytes. Recall asserted in tests/test_units.py.
     """
-    n_planes = 16
+    n_planes = 256
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((n_planes, 64))
 
-    ids, mat = _matrix(t["embeddings"])
-    sketches = (mat @ planes.T > 0).astype(np.uint32)
-    codes = np.zeros(len(ids), dtype=np.int64)
-    for b in range(n_planes):
-        codes |= sketches[:, b].astype(np.int64) << b
-    q_idx = int(np.where(ids == 0)[0][0])
-    q_code, q_vec = int(codes[q_idx]), mat[q_idx]
-    bc = spark.sparkContext.broadcast((codes, ids))
+    q_row = (
+        t["embeddings"]
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast(_EMB_D))
+        .toPandas()
+        .iloc[0, 0]
+    )
+    q_vec = np.asarray(q_row, dtype=np.float64)
+    q_norm = float(np.linalg.norm(q_vec))
+    q_sketch = planes @ q_vec > 0
+    bc = spark.sparkContext.broadcast((planes, q_sketch))
 
-    @F.pandas_udf("long")
-    def sketch_of(vec_ids: pd.Series) -> pd.Series:
-        g_codes, g_ids = bc.value
-        lookup = pd.Series(g_codes, index=g_ids)
-        return vec_ids.map(lookup).astype("int64")
+    @F.pandas_udf("integer")
+    def hamming_to_query(embs: pd.Series) -> pd.Series:
+        g_planes, g_qs = bc.value
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        sk = (m @ g_planes.T) > 0
+        return pd.Series((sk != g_qs[None, :]).sum(axis=1).astype("int32"))
 
     emb = t["embeddings"].filter(F.col("vec_id") != 0)
-    with_code = emb.select(
+    n = emb.count()
+    probe_budget = max(50, n // 10)
+    ranked = emb.select(
         "vec_id",
         F.col("embedding").cast(_EMB_D).alias("emb"),
-        sketch_of("vec_id").alias("code"),
+        hamming_to_query(F.col("embedding").cast(_EMB_D)).alias("hamming"),
     )
-    cand = with_code.filter(
-        F.bit_count(F.col("code").bitwiseXOR(F.lit(q_code))) <= 2
-    )
-
-    q_norm = float(np.linalg.norm(q_vec))
+    cand = ranked.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(probe_budget)
 
     @F.pandas_udf("double")
     def cos_to_query(embs: pd.Series) -> pd.Series:

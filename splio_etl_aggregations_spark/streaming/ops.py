@@ -56,9 +56,14 @@ def sliding_1h_15m(events: DataFrame) -> DataFrame:
     )
 
 
-def session_30m(events: DataFrame) -> DataFrame:
+def session_30m(events: DataFrame, watermark: str | None = "1 hour") -> DataFrame:
+    # Unlike plain windowed aggregation, the session-merge operator evicts
+    # state past the watermark even in complete output mode — pass
+    # watermark=None for bounded replays that must retain every session.
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", "1 hour")
+        events
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

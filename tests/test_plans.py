@@ -1,0 +1,90 @@
+"""Explain-plan assertions (SURVEY.md §5.3-5) — cheap optimizer regression
+checks that the physical plans we rely on at scale actually got picked.
+
+These are the '100 TB posture' guarantees: a filter that doesn't reach
+the parquet reader or a dim join that doesn't broadcast is a correctness-
+preserving but scale-breaking regression; catch it at plan level."""
+
+from __future__ import annotations
+
+from splio_etl_aggregations_spark import register_all
+from splio_etl_aggregations_spark.plans.checks import (
+    explain_str,
+    has_operator,
+    pushed_filters,
+)
+from splio_etl_aggregations_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+register_all()
+Q = all_queries()
+
+
+def test_pushdown_reaches_scan(spark):
+    df = Q["scan_parquet_pushdown"].run(spark, SF_SMALL)
+    filters = pushed_filters(df)
+    assert filters, "expected non-empty PushedFilters on the parquet scan"
+    assert any("l_quantity" in f for f in filters)
+
+
+def test_pushdown_prunes_columns(spark):
+    df = Q["scan_parquet_pushdown"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    # ReadSchema must be narrowed to the projected+filtered columns only.
+    read_schema = [ln for ln in text.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_returnflag" not in read_schema[0]
+
+
+def test_dim_join_broadcasts(spark):
+    df = Q["join_broadcast_equi"].run(spark, SF_SMALL)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_star_join_broadcasts_nation(spark):
+    df = Q["join_multi_star"].run(spark, SF_SMALL)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_topk_uses_take_ordered(spark):
+    df = Q["limit_topk_global"].run(spark, SF_SMALL)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_agg_is_partial_final_hash(spark):
+    df = Q["agg_pricing_summary"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    assert text.count("HashAggregate") >= 2, "expected partial+final hash agg"
+
+
+def test_whole_stage_codegen_covers_scan_pipeline(spark):
+    # formatted explain of an unexecuted AdaptiveSparkPlan doesn't mark
+    # codegen; the codegen explain mode does.
+    df = Q["agg_pricing_summary"].run(spark, SF_SMALL)
+    assert "WholeStageCodegen subtrees" in explain_str(df, "codegen")
+
+
+def test_semi_anti_compile_to_joins(spark):
+    semi = explain_str(Q["join_left_semi"].run(spark, SF_SMALL))
+    anti = explain_str(Q["join_left_anti"].run(spark, SF_SMALL))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_theta_join_broadcasts_small_side(spark):
+    df = Q["join_theta_range"].run(spark, SF_SMALL)
+    assert has_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_flagship_preaggregates_before_join(spark):
+    """The RFM plan must aggregate orders/events BEFORE the customer join
+    (fan-out guard): every join input is an aggregate, so no join output
+    feeds an aggregate keyed on the fact tables."""
+    import re
+
+    text = explain_str(Q["rfm_customer_360"].run(spark, SF_SMALL))
+    # count join operators via their detail headers "(N) <Op>Join…"
+    # (the tree section repeats each operator name)
+    joins = re.findall(r"\(\d+\) \w*Join", text)
+    assert len(joins) == 2, joins
+    assert "HashAggregate" in text

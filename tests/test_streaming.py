@@ -1,0 +1,138 @@
+"""Streaming equivalence (SURVEY.md §5.3-4): replay the events table
+through Structured Streaming (file source, bounded micro-batches,
+availableNow) and assert the final state equals the batch transform —
+the dual-mode design contract of streaming/ops.py."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from splio_etl_aggregations_spark.sources.loader import load
+from splio_etl_aggregations_spark.streaming.ops import (
+    dedup_by_event_id,
+    session_30m,
+    sliding_1h_15m,
+    tumbling_hourly,
+)
+
+from .conftest import SF_SMALL
+
+
+def _replay(spark, transform, n_files: int = 4, mode: str = "append"):
+    """Write events as n ordered files, stream them through `transform`
+    one file per micro-batch, return the memory-sink result."""
+    events = load(spark, SF_SMALL)["events"]
+    tmp = tempfile.mkdtemp(prefix="replay_")
+    feed = os.path.join(tmp, "feed")
+    # deterministic file split, ordered by time → watermark advances sanely
+    (
+        events.orderBy("ts", "event_id")
+        .repartitionByRange(n_files, "ts")
+        .write.parquet(feed)
+    )
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    sink = f"replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_replay_equals_batch(spark):
+    # complete mode: append only emits watermark-finalized windows, and the
+    # tail windows never finalize on a bounded replay
+    batch = tumbling_hourly(load(spark, SF_SMALL)["events"])
+    stream = _replay(spark, tumbling_hourly, mode="complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_sliding_replay_equals_batch(spark):
+    batch = sliding_1h_15m(load(spark, SF_SMALL)["events"])
+    stream = _replay(spark, sliding_1h_15m, mode="complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_session_replay_equals_batch(spark):
+    # no watermark on the replay: the session-merge operator evicts
+    # watermark-expired sessions even in complete mode
+    batch = session_30m(load(spark, SF_SMALL)["events"])
+    stream = _replay(spark, lambda df: session_30m(df, watermark=None), mode="complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_dedup_replay_drops_injected_duplicates(spark):
+    """Feed each event twice (two identical files) — streaming dedup must
+    collapse them to the batch-distinct result."""
+    events = load(spark, SF_SMALL)["events"]
+    tmp = tempfile.mkdtemp(prefix="dupfeed_")
+    feed = os.path.join(tmp, "feed")
+    events.coalesce(1).write.parquet(feed)
+    # duplicate the single data file under a later-sorting name
+    data = [f for f in os.listdir(feed) if f.endswith(".parquet")][0]
+    import shutil
+
+    shutil.copy(os.path.join(feed, data), os.path.join(feed, "z_dup.parquet"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_by_event_id(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table(sink))
+    want = _rows(dedup_by_event_id(events))
+    assert got == want  # 2× input, 1× output
+
+
+def test_late_data_rows_are_dropped(spark):
+    """The stream_late_data query must drop the withheld first-hour rows:
+    its total event count is strictly below the batch total, and the
+    on-time windows match the batch aggregation exactly."""
+    from splio_etl_aggregations_spark.registry import get
+
+    df = get("stream_late_data").run(spark, SF_SMALL)
+    streamed = {r["window_start"]: r["n_events"] for r in df.collect()}
+    events = load(spark, SF_SMALL)["events"]
+    batch = {
+        r["window_start"]: r["n"]
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(streamed.values()) < sum(batch.values())
+    # every window the stream did emit agrees with batch
+    for w, n in streamed.items():
+        assert batch.get(w) == n, (w, n, batch.get(w))

@@ -1,0 +1,222 @@
+"""Unit tests (SURVEY.md §5.3-1/6): tiny hand-computed frames — including
+the null-bearing cases the at-rest fixtures never produce — plus accuracy
+bounds for the approximate operators (HLL, MinHash recall, LSH ANN
+recall, SimHash plausibility)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from splio_etl_aggregations_spark import register_all
+from splio_etl_aggregations_spark.registry import all_queries
+from splio_etl_aggregations_spark.sources.loader import load
+
+from .conftest import SF_SMALL
+
+register_all()
+Q = all_queries()
+
+
+# ------------------------------------------------------------ null handling
+
+def test_outer_join_manufactures_nulls(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(2, 20.0), (4, 40.0)], "k int, w double")
+    out = {
+        r["k"]: (r["v"], r["w"])
+        for r in left.join(right, "k", "full").collect()
+    }
+    assert out == {1: ("a", None), 2: ("b", 20.0), 3: ("c", None), 4: (None, 40.0)}
+
+
+def test_aggregates_skip_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v=1.0), Row(g="x", v=None), Row(g="y", v=None)],
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: (r["n"], r["nv"], r["s"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("nv"),
+            F.sum("v").alias("s"),
+        )
+        .collect()
+    }
+    assert rows == {"x": (2, 1, 1.0), "y": (1, 0, None)}
+
+
+def test_when_otherwise_null_propagation(spark):
+    df = spark.createDataFrame([(None,), (5.0,)], "v double")
+    out = [
+        r["band"]
+        for r in df.select(
+            F.when(F.col("v") > 3, "hi").otherwise("lo").alias("band")
+        ).collect()
+    ]
+    # NULL > 3 is NULL → falls to otherwise
+    assert out == ["lo", "hi"]
+
+
+def test_null_ordering_first_last(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "v int")
+    asc_last = [r["v"] for r in df.orderBy(F.asc_nulls_last("v")).collect()]
+    desc_first = [r["v"] for r in df.orderBy(F.desc_nulls_first("v")).collect()]
+    assert asc_last == [1, 2, None]
+    assert desc_first == [None, 2, 1]
+
+
+# ------------------------------------------------------- session semantics
+
+def test_session_window_gap_boundary(spark):
+    """An event exactly gap after the previous one starts a NEW session
+    (window span is [first, last+gap))."""
+    from splio_etl_aggregations_spark.streaming.ops import session_30m
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 100, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:29:59", 100, "click", 1.0, "{}"),  # same session
+        (3, "2024-01-01 01:00:00", 100, "click", 1.0, "{}"),  # 30:01 gap → new
+        (4, "2024-01-01 01:29:59", 100, "click", 1.0, "{}"),  # 29:59 → same
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r["session_start"].isoformat(), r["n_events"])
+        for r in session_30m(df, watermark=None).collect()
+    )
+    assert got == [("2024-01-01T00:00:00", 2), ("2024-01-01T01:00:00", 2)]
+
+
+def test_stateful_counter_resets_on_error(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 7, "purchase", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 7, "error", 1.0, "{}"),
+        (4, "2024-01-01 00:03:00", 7, "purchase", 1.0, "{}"),
+        (5, "2024-01-01 00:04:00", 7, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def run(d):
+        import pandas as pd
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(["ts", "event_id"])
+            count, out = 0, []
+            for et in pdf["event_type"]:
+                if et == "error":
+                    count = 0
+                elif et == "purchase":
+                    count += 1
+                out.append(count)
+            return pd.DataFrame({"event_id": pdf["event_id"], "c": out})
+
+        return d.groupBy("user_id").applyInPandas(fn, "event_id long, c long")
+
+    got = {r["event_id"]: r["c"] for r in run(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 0, 4: 1, 5: 1}
+
+
+# ------------------------------------------------------- approx-op bounds
+
+def test_approx_count_distinct_tolerance(spark):
+    t = load(spark, SF_SMALL)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in Q["agg_approx_count_distinct"].run(spark, SF_SMALL).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, n, approx[k])
+
+
+def test_minhash_output_equals_exact_jaccard(spark):
+    """The LSH pipeline's verified output must equal the exact operator's
+    pair set at the same threshold (candidates ⊇ true pairs at j≥0.9 with
+    overwhelming probability: 8 bands × 4 rows → miss-prob ≤ (1-.9^4)^8 ≈ 4e-5
+    per pair)."""
+    exact = {
+        (r["id_lo"], r["id_hi"]) for r in Q["dedup_near_jaccard"].run(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r["id_lo"], r["id_hi"]) for r in Q["dedup_near_minhash"].run(spark, SF_SMALL).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)} of {len(exact)} true pairs"
+    assert lsh <= exact, "verified LSH output contains non-duplicate pairs"
+
+
+def test_simhash_pairs_are_actually_similar(spark):
+    """Hamming-close SimHash pairs should be high-Jaccard documents on this
+    corpus — sanity floor, not a tight bound."""
+    pairs = Q["dedup_simhash"].run(spark, SF_SMALL).limit(50).collect()
+    if not pairs:
+        pytest.skip("no simhash candidates at this SF")
+    t = load(spark, SF_SMALL)
+    toks = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in t["documents"].collect()
+    }
+    jac = [
+        len(toks[p["id_lo"]] & toks[p["id_hi"]]) / len(toks[p["id_lo"]] | toks[p["id_hi"]])
+        for p in pairs
+    ]
+    assert sum(j >= 0.5 for j in jac) / len(jac) >= 0.8
+
+
+def test_ann_lsh_recall_vs_exact_knn(spark):
+    exact = [r["vec_id"] for r in Q["sim_knn_query"].run(spark, SF_SMALL).collect()]
+    approx = [r["vec_id"] for r in Q["sim_ann_lsh_knn"].run(spark, SF_SMALL).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall} too low: exact={exact} approx={approx}"
+
+
+# ------------------------------------------------------ csv/json roundtrips
+
+def test_csv_roundtrip_preserves_rows(spark):
+    t = load(spark, SF_SMALL)
+    got = Q["scan_csv_roundtrip"].run(spark, SF_SMALL)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t["nation"].collect())
+    )
+
+
+def test_json_roundtrip_preserves_rows(spark):
+    t = load(spark, SF_SMALL)
+    got = Q["scan_json_roundtrip"].run(spark, SF_SMALL)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t["supplier"].collect())
+    )
+
+
+def test_partitioned_sink_preserves_counts(spark):
+    t = load(spark, SF_SMALL)
+    got = {r["o_year"]: r["n_orders"] for r in Q["sink_parquet_partitioned"].run(spark, SF_SMALL).collect()}
+    want = {
+        r["y"]: r["n"]
+        for r in t["orders"]
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multimodal_ingest_deterministic(spark):
+    a = sorted(map(tuple, Q["multimodal_binary_ingest"].run(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, Q["multimodal_binary_ingest"].run(spark, SF_SMALL).collect()))
+    assert a == b and len(a) == 24
+    # sha256 of seeded content is stable across runs
+    assert all(len(r[2]) == 64 for r in a)
