@@ -179,6 +179,38 @@ def text_tfidf(spark, t):
     )
 
 
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "text_token_bpe",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')))
+                AS BIGINT) AS n_tokens,
+           round(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))), 4)
+             AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    tier="P2",
+)
+def text_token_bpe(spark, t):
+    """BPE-style pre-tokenizer counts per language: letter runs, digit
+    runs, and punctuation runs each count as one token (the GPT-2
+    pre-tokenizer shape, restricted to a regex subset with identical
+    semantics in Java regex and RE2 so the oracle is portable). The
+    regexp_extract_all runs inside whole-stage codegen — no Python."""
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            r4(F.avg(n_tok)).alias("avg_tokens"),
+        )
+    )
+
+
 @register(
     "text_lang_id",
     oracle="""

@@ -183,6 +183,51 @@ def test_ann_lsh_recall_vs_exact_knn(spark):
     assert recall >= 0.5, f"ANN recall {recall} too low: exact={exact} approx={approx}"
 
 
+def test_ivf_probe_all_cells_matches_exact(spark):
+    """Probing every IVF cell must reduce to the exact brute-force kNN —
+    verifies assignment/probe/re-rank machinery independent of recall."""
+    from splio_etl_aggregations_spark.operators.vectors import ivf_knn
+
+    t = load(spark, SF_SMALL)
+    exact = [r["vec_id"] for r in Q["sim_knn_query"].run(spark, SF_SMALL).collect()]
+    full = [r["vec_id"] for r in ivf_knn(spark, t, n_cells=10, n_probe=10).collect()]
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall_floor(spark):
+    """These fixtures have no cluster structure (SURVEY.md §1.2-adjacent
+    measurement in ivf_knn docstring), so IVF recall ≈ probed-mass
+    fraction; with 4/10 cells probed assert a floor safely below 0.4."""
+    exact = [r["vec_id"] for r in Q["sim_knn_query"].run(spark, SF_SMALL).collect()]
+    approx = [r["vec_id"] for r in Q["sim_ivf_knn"].run(spark, SF_SMALL).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall}: exact={exact} approx={approx}"
+
+
+def test_shingle_jaccard_is_order_sensitive(spark):
+    """Same token *set*, different order: token-set Jaccard = 1.0 but
+    bigram-shingle Jaccard must fall below the 0.6 near-dup threshold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+            (2, "zeta epsilon delta gamma beta alpha", "en", "s", 35),
+            (3, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    t = {"documents": docs}
+    setp = {
+        (r["id_lo"], r["id_hi"])
+        for r in Q["dedup_near_jaccard"].builder(spark, t).collect()
+    }
+    shingle = {
+        (r["id_lo"], r["id_hi"])
+        for r in Q["dedup_ngram_jaccard"].builder(spark, t).collect()
+    }
+    assert (1, 2) in setp and (1, 3) in setp
+    assert shingle == {(1, 3)}
+
+
 # ------------------------------------------------------ csv/json roundtrips
 
 def test_csv_roundtrip_preserves_rows(spark):
