@@ -444,3 +444,83 @@ def rfm_customer_360(spark, t):
             .alias("acctbal_band"),
         )
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           round(SUM(value), 4) AS sum_value,
+           round(AVG(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tier="P2",
+)
+def agg_salted_skew(spark, t):
+    """Two-stage salted aggregation over an extremely skewed key.
+
+    `event_type` has 5 values over the whole table — the worst-case
+    hot-key shape where a plain groupBy lands each key's entire data on
+    one reducer. Stage 1 salts the key with hash(event_id) % 16 so each
+    hot key spreads across 16 reducers and combines to ≤ 16 rows; stage
+    2 re-aggregates the tiny salted partials. AVG is decomposed into
+    (sum, count) partials so the two-stage result is exact, and the
+    final SUM rounds like the oracle. Same answer as a plain GROUP BY —
+    the hash-check proves salting is semantics-preserving.
+    """
+    salted = t["events"].withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        r4(F.sum("s")).alias("sum_value"),
+        r4(F.sum("s") / F.sum("n")).alias("avg_value"),
+    )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           round(SUM(o_totalprice), 4) AS revenue,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+    tier="P2",
+)
+def agg_incremental_merge(spark, t):
+    """Incremental-ETL partial-aggregate merge: the nightly-pipeline shape
+    where yesterday's materialized per-customer aggregate is merged with
+    today's delta instead of rescanning history.
+
+    Here the 'historical' slice (orders before 1999-01-01) and the
+    'delta' are partially aggregated independently, then merged by
+    re-aggregating decomposable partials (count→sum, sum→sum, max→max).
+    The hash-check against a single full GROUP BY proves the merge is
+    exact — the algebraic property incremental pipelines rely on. At
+    100 TB only the delta is scanned per run; the partial table is
+    |customers|-sized.
+    """
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+            F.max("o_orderdate").alias("last"),
+        )
+
+    hist = partial(t["orders"].filter(F.col("o_orderdate") < cutoff))
+    delta = partial(t["orders"].filter(F.col("o_orderdate") >= cutoff))
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            r4(F.sum("rev")).alias("revenue"),
+            F.max("last").alias("last_order"),
+        )
+    )

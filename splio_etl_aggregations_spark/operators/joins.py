@@ -326,3 +326,61 @@ def join_asof(spark, t):
         "left",
     )
     return joined.groupBy("event_id").agg(F.max("c_ts").alias("last_click_ts"))
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tier="P2",
+)
+def join_bucketed_colocated(spark, t):
+    """Shuffle-free large⋈large join via bucketing — the 100 TB answer to
+    repeated fact⋈fact joins on the same key.
+
+    Both sides are written bucketed (8 buckets) and sorted on the join
+    key; reading them back, Spark aligns bucket i with bucket i and
+    sort-merge-joins with NO Exchange on either side (asserted in
+    tests/test_plans.py — the only Exchange left in the plan belongs to
+    the final small aggregation). At warehouse scale the bucketed write
+    happens once at ingest and every subsequent join on that key is
+    co-located.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # A fresh session's in-memory catalog doesn't know tables left in the
+    # warehouse dir by a previous session — drop both layers explicitly.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    t["orders"].select("o_orderkey", "o_orderpriority").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("bkt_orders")
+    t["lineitem"].select(
+        "l_orderkey", net_price().alias("net")
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_lineitem")
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem")
+    # hint("merge"): at fixture scale the planner would broadcast instead
+    # (both sides under the 10 MB threshold), which hides the bucketed
+    # path this operator exists to exercise; at 100 TB SMJ is what the
+    # planner picks anyway, and bucketing removes its exchanges.
+    return (
+        o.hint("merge")
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r4(F.sum("net")).alias("revenue"),
+        )
+    )

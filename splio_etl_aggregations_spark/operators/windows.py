@@ -247,3 +247,62 @@ def win_topk_per_group(spark, t):
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_global_rank_scalable",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                AS BIGINT) AS rn
+    FROM customer
+    """,
+    tier="P2",
+)
+def win_global_rank_scalable(spark, t):
+    """Global ranking WITHOUT the single-partition window.
+
+    ``row_number() OVER (ORDER BY …)`` with no PARTITION BY collapses to
+    one task in Spark (WindowExec warns and moves all rows to one
+    partition) — correct at fixture scale, dead at 100 TB. This is the
+    scalable two-phase form:
+
+    1. range-repartition on the sort key (distributed sort — each
+       partition owns a contiguous key range, partition index follows
+       the global order),
+    2. local row_number within each partition (window PARTITIONed BY the
+       range-partition id — no global collapse),
+    3. per-partition counts (a #partitions-row aggregate) → cumulative
+       offsets, broadcast back; global rank = offset + local rank.
+
+    The hash-check against the oracle's plain OVER (ORDER BY) proves the
+    two forms agree. Ties are impossible: c_custkey terminates the sort.
+    """
+    df = t["customer"].select("c_custkey", "c_acctbal")
+    parts = df.repartitionByRange(16, F.desc("c_acctbal"), F.asc("c_custkey"))
+    with_pid = parts.withColumn("pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "local_rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(
+                F.desc("c_acctbal"), F.asc("c_custkey")
+            )
+        ),
+    )
+    sizes = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = sizes.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "offset")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("offset") + F.col("local_rn")).cast("long").alias("rn"),
+    )

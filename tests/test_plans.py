@@ -76,6 +76,33 @@ def test_theta_join_broadcasts_small_side(spark):
     assert has_operator(df, "BroadcastNestedLoopJoin")
 
 
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Bucketed+sorted writes on the join key must give a SortMergeJoin
+    whose inputs read bucket-aligned with NO shuffle — the only Exchange
+    allowed in the plan is the final aggregation's."""
+    import re
+
+    df = Q["join_bucketed_colocated"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "SortMergeJoin" in text
+    exchanges = {
+        m for m in re.findall(r"\(\d+\) (\w*Exchange)", text)
+    }
+    assert exchanges == {"Exchange"}, exchanges
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1, text
+
+
+def test_global_rank_avoids_single_partition_window(spark):
+    """The scalable global rank must range-partition (distributed sort)
+    and window only within partitions — never the empty-partition-spec
+    WindowExec that collapses to one task."""
+    df = Q["win_global_rank_scalable"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "rangepartitioning" in text.lower()
+    # the big-side window partitions by the range-partition id
+    assert "partitionBy=[pid]" in text.replace(" ", "") or "pid" in text
+
+
 def test_flagship_preaggregates_before_join(spark):
     """The RFM plan must aggregate orders/events BEFORE the customer join
     (fan-out guard): every join input is an aggregate, so no join output
