@@ -36,6 +36,7 @@ def register_all() -> None:
     from .operators import (  # noqa: F401
         aggs,
         dedup,
+        etl,
         filters,
         joins,
         multimodal,

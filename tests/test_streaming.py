@@ -115,6 +115,93 @@ def test_dedup_replay_drops_injected_duplicates(spark):
     assert got == want  # 2× input, 1× output
 
 
+def test_stateful_counter_streaming_equals_batch(spark):
+    """Run the purchases-since-error state machine INCREMENTALLY with
+    applyInPandasWithState (per-key state carried across micro-batches)
+    and assert the final per-event outputs equal the batch applyInPandas
+    form of stream_stateful_counter.
+
+    (Spark 4's transformWithStateInPandas would be the newer surface for
+    this, but its worker requires google.protobuf, absent from this
+    container — applyInPandasWithState is pure Arrow and expresses the
+    same per-key state contract.)"""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from splio_etl_aggregations_spark.registry import get
+
+    def count_purchases(key, pdfs, state: GroupState):
+        c = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        vals = []
+        for et in pdf["event_type"]:
+            if et == "error":
+                c = 0
+            elif et == "purchase":
+                c += 1
+            vals.append(c)
+        state.update((c,))
+        yield pd.DataFrame(
+            {"event_id": pdf["event_id"], "purchases_since_error": vals}
+        )
+
+    def transform(stream):
+        return (
+            stream.select("event_id", "user_id", "ts", "event_type")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                count_purchases,
+                outputStructType="event_id long, purchases_since_error long",
+                stateStructType="c long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    # Order-sensitive state machine ⇒ micro-batch order must follow event
+    # time. FileStreamSource orders by modification time, so write the
+    # ts-sorted chunks with strictly increasing mtimes.
+    events = load(spark, SF_SMALL)["events"]
+    tmp = tempfile.mkdtemp(prefix="stateful_feed_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    pdf = (
+        events.select("event_id", "user_id", "ts", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n_files = 4
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    chunk = -(-len(pdf) // n_files)
+    base_t = 1_700_000_000
+    for i in range(n_files):
+        path = os.path.join(feed, f"batch_{i}.parquet")
+        pdf.iloc[i * chunk : (i + 1) * chunk].to_parquet(path, **kw)
+        os.utime(path, (base_t + i * 10, base_t + i * 10))
+
+    stream_df = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    sink = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream_df)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = get("stream_stateful_counter").run(spark, SF_SMALL)
+    assert _rows(spark.table(sink)) == _rows(batch)
+
+
 def test_late_data_rows_are_dropped(spark):
     """The stream_late_data query must drop the withheld first-hour rows:
     its total event count is strictly below the batch total, and the
