@@ -524,3 +524,51 @@ def agg_incremental_merge(spark, t):
             F.max("last").alias("last_order"),
         )
     )
+
+
+@register("agg_hll_partial_merge", oracle=None, tier="P2")  # rows-only: sketches
+def agg_hll_partial_merge(spark, t):
+    """Mergeable-sketch rollup: daily HyperLogLog sketches of distinct
+    users, unioned into a whole-range estimate WITHOUT rescanning events.
+
+    This is the 100 TB distinct-count pattern: persist one tiny sketch
+    per (day, …) partition at ingest, answer any date-range distinct
+    query by merging sketches (hll_union_agg) — O(#days·sketch_size)
+    instead of O(#rows). Output: one row per day plus a NULL-day total
+    row, estimates via hll_sketch_estimate. Sketch bytes are
+    engine-specific ⇒ rows-only; tests assert ±5 % of exact.
+    """
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
+    return per_day.unionByName(total)
+
+
+@register("agg_approx_percentile", oracle=None, tier="P2")  # rows-only: approx
+def agg_approx_percentile(spark, t):
+    """Approximate quartiles of o_totalprice per order status via the
+    KLL/GK-style percentile_approx sketch (accuracy parameter 10,000).
+
+    The scale story mirrors the HLL op: percentile sketches are
+    mergeable, so partial per-partition sketches combine without a
+    global sort — vs exact percentiles which need one. Approximation is
+    engine-specific ⇒ rows-only; tests assert each quartile within 1 %
+    relative error of the exact interpolated percentile.
+    """
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("quartiles")
+        )
+    )

@@ -265,3 +265,42 @@ def test_multimodal_ingest_deterministic(spark):
     assert a == b and len(a) == 24
     # sha256 of seeded content is stable across runs
     assert all(len(r[2]) == 64 for r in a)
+
+
+# ------------------------------------------------ mergeable-sketch accuracy
+
+def test_hll_partial_merge_within_5pct_of_exact(spark):
+    t = load(spark, SF_SMALL)
+    got = {
+        r["day"]: r["est_users"]
+        for r in Q["agg_hll_partial_merge"].run(spark, SF_SMALL).collect()
+    }
+    exact_days = {
+        r["day"]: r["n"]
+        for r in t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = t["events"].select("user_id").distinct().count()
+    assert abs(got[None] - exact_total) <= 0.05 * exact_total
+    for day, exact in exact_days.items():
+        assert abs(got[day] - exact) <= max(2, 0.05 * exact), (day, got[day], exact)
+
+
+def test_approx_percentile_within_1pct_of_exact(spark):
+    t = load(spark, SF_SMALL)
+    got = {
+        r["o_orderstatus"]: r["quartiles"]
+        for r in Q["agg_approx_percentile"].run(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["q"]
+        for r in t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)])).alias("q"))
+        .collect()
+    }
+    for status, qs in exact.items():
+        for a, e in zip(got[status], qs):
+            assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (status, a, e)
