@@ -384,3 +384,54 @@ def join_bucketed_colocated(spark, t):
             r4(F.sum("net")).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_id, d.weight,
+           round(e.value * d.weight, 4) AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', 0.0)) AS d(event_type, weight)
+      ON e.event_type = d.event_type
+    """,
+    tier="P2",
+)
+def join_salted_skew(spark, t):
+    """Hot-key join neutralized by salting: every fact row joins a 5-row
+    dim on event_type — each dim key's fan-in is ~20 % of the table, the
+    worst-case shuffle-join skew shape.
+
+    The fact side gets salt = hash(event_id) % 16; the dim side is
+    replicated ×16 (a 5×16 = 80-row explode, still broadcastable); the
+    join key becomes (event_type, salt), so each hot key spreads over 16
+    reducers. Identical output to the unsalted join — the hash-check
+    proves it. (With a broadcastable dim, salting is moot — Spark never
+    shuffles the fact — so this operator force-disables broadcast via a
+    shuffle-hash hint to exercise the real shuffle-join path salting
+    exists for.)
+    """
+    n_salt = 16
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    salted_dim = dim.select(
+        "event_type",
+        "weight",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    fact = t["events"].withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    return (
+        fact.hint("shuffle_hash")
+        .join(salted_dim, ["event_type", "salt"])
+        .select(
+            "event_id",
+            "weight",
+            F.round(F.col("value") * F.col("weight"), 4).alias("weighted_value"),
+        )
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMALL
+
 SLOW = settings(
     max_examples=12,
     deadline=None,
@@ -97,3 +99,65 @@ def test_exceptall_roundtrip(spark, rows):
     doubled = a.unionByName(a)
     back = doubled.exceptAll(a)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, a.collect()))
+
+
+# --------------------------------------------------- etl/scale-op invariants
+
+def test_upsert_output_has_unique_keys_and_covers_base(spark):
+    from splio_etl_aggregations_spark.registry import get
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    out = get("etl_upsert_merge").run(spark, SF_SMALL)
+    n_keys = out.select("o_orderkey").distinct().count()
+    assert out.count() == n_keys  # one winner per key
+    base_keys = load(spark, SF_SMALL)["orders"].select("o_orderkey").distinct().count()
+    assert n_keys == base_keys  # merge never loses a key
+
+
+def test_snapshot_diff_classes_partition_the_key_space(spark):
+    from pyspark.sql import functions as F
+
+    from splio_etl_aggregations_spark.registry import get
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    out = get("etl_snapshot_diff").run(spark, SF_SMALL)
+    assert out.count() == out.select("o_orderkey").distinct().count()
+    classes = {
+        r["change_type"] for r in out.select("change_type").distinct().collect()
+    }
+    assert classes <= {"insert", "delete", "update", "unchanged"}
+    # every key of either snapshot appears exactly once
+    orders = load(spark, SF_SMALL)["orders"]
+    n_all = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_all
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from pyspark.sql import functions as F
+
+    from splio_etl_aggregations_spark.registry import get
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in get("agg_salted_skew").run(spark, SF_SMALL).collect()
+    }
+    plain = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in load(spark, SF_SMALL)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+        .collect()
+    }
+    assert got == plain
