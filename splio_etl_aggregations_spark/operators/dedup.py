@@ -74,12 +74,11 @@ WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.9
 """
 
 
-@register("dedup_near_jaccard", oracle=_JACCARD_ORACLE, tier="P1")
-def dedup_near_jaccard(spark, t):
-    """Near-duplicate pairs with token-set Jaccard ≥ 0.9 — EXACT, via a
-    PREFIX-FILTERED inverted-index self-join (the PPJoin family's core
-    pruning; see PAPERS.md string-similarity-join entries), never a cross
-    join.
+def _near_dup_pairs(t, tau: float = 0.9):
+    """Shared exact near-dup pair builder (prefix-filtered inverted-index
+    join) returning (id_lo, id_hi, jaccard[raw double]) at Jaccard ≥ tau.
+    Used by ``dedup_near_jaccard`` (pair listing) and
+    ``dedup_connected_components`` (clustering).
 
     Pruning, both lossless for a fixed threshold τ:
     - *Prefix filter*: with every doc's token set sorted by one global
@@ -101,7 +100,6 @@ def dedup_near_jaccard(spark, t):
     engines. At 100 TB the shuffle key is the (rare) prefix token and the
     df table joined in for ordering is vocabulary-sized — broadcastable.
     """
-    tau = 0.9
     docs = t["documents"]
     tokset = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -145,8 +143,17 @@ def dedup_near_jaccard(spark, t):
         cand.join(lo, "id_lo")
         .join(hi, "id_hi")
         .filter(jac >= tau)
-        .select("id_lo", "id_hi", r4(jac).alias("jaccard"))
+        .select("id_lo", "id_hi", jac.alias("jaccard"))
     )
+
+
+@register("dedup_near_jaccard", oracle=_JACCARD_ORACLE, tier="P1")
+def dedup_near_jaccard(spark, t):
+    """Near-duplicate pairs with token-set Jaccard ≥ 0.9 — EXACT, via the
+    prefix-filtered inverted-index join in ``_near_dup_pairs`` (PPJoin
+    family pruning: prefix filter + length filter, both lossless)."""
+    p = _near_dup_pairs(t, 0.9)
+    return p.select("id_lo", "id_hi", r4(F.col("jaccard")).alias("jaccard"))
 
 
 _NGRAM_ORACLE = """
@@ -385,3 +392,91 @@ def dedup_simhash(spark, t):
         .distinct()
         .filter(F.col("hamming") <= 8)
     )
+
+
+_CC_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+good AS (
+  SELECT p.id_lo, p.id_hi FROM pair p
+  JOIN sz sa ON sa.doc_id = p.id_lo
+  JOIN sz sb ON sb.doc_id = p.id_hi
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.9
+),
+edges AS (SELECT id_lo AS s, id_hi AS d FROM good
+          UNION ALL SELECT id_hi, id_lo FROM good),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, r.l FROM edges e JOIN reach r ON r.v = e.d
+)
+SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE, tier="P2")
+def dedup_connected_components(spark, t):
+    """Duplicate-cluster assignment: connected components of the
+    Jaccard-≥0.9 near-dup graph via hash-min label propagation — the
+    iterative-algorithm representative, checked against DuckDB's
+    recursive-CTE transitive closure.
+
+    Every doc starts labeled with its own id; each round every vertex
+    takes min(own label, neighbors' labels); at fixpoint the label is
+    the cluster's minimum doc_id (so the label doubles as the keeper
+    id, and singletons keep themselves). Rounds needed = graph diameter
+    (these near-clique duplicate clusters converge in 2-3).
+
+    100 TB shape: the per-round work is one edge⋈label shuffle join +
+    a min-aggregate — the standard large-graph CC recipe;
+    ``localCheckpoint`` truncates lineage each round so plans stay
+    flat, and the driver sees only a scalar convergence count per
+    round (no data collect).
+    """
+    pairs = _near_dup_pairs(t, 0.9).select("id_lo", "id_hi")
+    edges = (
+        pairs.select(F.col("id_lo").alias("s"), F.col("id_hi").alias("d"))
+        .unionByName(
+            pairs.select(F.col("id_hi").alias("s"), F.col("id_lo").alias("d"))
+        )
+        .persist()
+    )
+    labels = t["documents"].select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(20):  # diameter bound; fixtures converge in 2-3
+        prop = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .groupBy("s")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels["doc_id"] == prop["s"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

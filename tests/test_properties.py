@@ -161,3 +161,27 @@ def test_salted_agg_equals_plain_agg(spark):
         .collect()
     }
     assert got == plain
+
+
+def test_connected_components_endpoints_share_cluster(spark):
+    """Every near-dup pair's two docs must land in the same cluster, and
+    each cluster's id must equal its minimum member doc_id."""
+    from splio_etl_aggregations_spark.registry import get
+
+    labels = get("dedup_connected_components").run(spark, SF_SMALL)
+    pairs = get("dedup_near_jaccard").run(spark, SF_SMALL)
+    lo = labels.select(
+        F.col("doc_id").alias("id_lo"), F.col("cluster_id").alias("c_lo")
+    )
+    hi = labels.select(
+        F.col("doc_id").alias("id_hi"), F.col("cluster_id").alias("c_hi")
+    )
+    joined = pairs.join(lo, "id_lo").join(hi, "id_hi")
+    assert joined.filter(F.col("c_lo") != F.col("c_hi")).count() == 0
+    bad = (
+        labels.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("m"))
+        .filter(F.col("cluster_id") != F.col("m"))
+        .count()
+    )
+    assert bad == 0
