@@ -37,11 +37,23 @@ BASELINE_SHAPES = [
     "text_token_counts",
 ]
 # Added-operator paths tracked alongside (reported, not in "value"):
-# linear-scaling representatives of the LLM-pipeline surface. The
-# quadratic-output dedup pair ops are deliberately absent — at sf0.1 this
-# corpus has ~1M true >=0.9-Jaccard pairs, so "emit all pairs" is output-
-# bound by construction; they are correctness-checked at t2 scale instead.
-EXTRA_SHAPES = ["rfm_customer_360", "text_tfidf", "dedup_exact", "sim_knn_query"]
+# linear-scaling representatives of the LLM-pipeline + scale-technique
+# surface. The quadratic-output dedup pair ops (and the clean-corpus
+# composite built on them) are deliberately absent — at sf0.1 this corpus
+# has ~1M true >=0.9-Jaccard pairs, so "emit all pairs" is output-bound
+# by construction; they are correctness-checked at t2 scale instead.
+EXTRA_SHAPES = [
+    "rfm_customer_360",
+    "text_tfidf",
+    "dedup_exact",
+    "sim_knn_query",
+    "dedup_embedding_cosine",
+    "sim_ivf_knn",
+    "agg_salted_skew",
+    "win_global_rank_scalable",
+    "etl_upsert_merge",
+    "agg_hll_partial_merge",
+]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 
 

@@ -441,7 +441,14 @@ def dedup_connected_components(spark, t):
     flat, and the driver sees only a scalar convergence count per
     round (no data collect).
     """
-    pairs = _near_dup_pairs(t, 0.9).select("id_lo", "id_hi")
+    return _cc_labels(t)
+
+
+def _cc_labels(t, tau: float = 0.9):
+    """Hash-min label-propagation core shared by the CC operator and the
+    composite corpus pipeline; returns (doc_id, cluster_id) for every doc
+    in ``t["documents"]``."""
+    pairs = _near_dup_pairs(t, tau).select("id_lo", "id_hi")
     edges = (
         pairs.select(F.col("id_lo").alias("s"), F.col("id_hi").alias("d"))
         .unionByName(
@@ -480,3 +487,77 @@ def dedup_connected_components(spark, t):
             break
     edges.unpersist()
     return labels
+
+
+_PIPELINE_ORACLE = """
+WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 200
+    AND len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' ')) > 0.2
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+good AS (
+  SELECT p.id_lo, p.id_hi FROM pair p
+  JOIN sz sa ON sa.doc_id = p.id_lo
+  JOIN sz sb ON sb.doc_id = p.id_hi
+  WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.9
+),
+edges AS (SELECT id_lo AS s, id_hi AS d FROM good
+          UNION ALL SELECT id_hi, id_lo FROM good),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.s, r.l FROM edges e JOIN reach r ON r.v = e.d
+),
+cc AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       round(AVG(d.n_chars), 4) AS avg_chars
+FROM cc JOIN docs d ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id
+GROUP BY d.lang
+"""
+
+
+@register("pipeline_clean_corpus", oracle=_PIPELINE_ORACLE, tier="P2")
+def pipeline_clean_corpus(spark, t):
+    """End-to-end corpus-cleaning composite — the engine's operators
+    chained the way a pre-training data pipeline actually runs them:
+
+    1. quality gate (token count 10–200 ∧ type-token ratio > 0.2, the
+       ``text_quality_score`` predicate),
+    2. exact near-dedup clustering of the survivors
+       (prefix-filtered Jaccard ≥ 0.9 → hash-min connected components),
+    3. keep one keeper per cluster (the minimum doc_id — which IS the
+       converged CC label),
+    4. per-language stats of the cleaned corpus.
+
+    Hash-checked end-to-end against the equivalent DuckDB SQL (quality
+    CTE → recursive-closure clustering → keeper filter → aggregate),
+    proving the composition — not just each stage — is semantics-exact.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    quality = t["documents"].filter(n_tok.between(10, 200) & (ttr > 0.2))
+    labels = _cc_labels({"documents": quality})
+    keepers = labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        quality.join(keepers, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
