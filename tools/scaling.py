@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Scaling probe: replicate the sf0.1 fixtures K× into /tmp (deterministic
+key-offset copies, written as parquet so scans are included), time the
+headline query shapes at each K, and print a sec-per-K table.
+
+Purpose: local evidence for the 100 TB posture — a shape whose runtime
+grows ~linearly in K here is shuffle/agg-bound with bounded group state,
+exactly the profile that scales out by adding executors; superlinear
+growth would flag a plan that re-couples partitions (global sorts,
+driver collects, quadratic joins).
+
+Usage: python tools/scaling.py [K ...]   (default: 1 3 10)
+Writes scaled tables under /tmp/spark_scaling_probe/ and prints one
+markdown table to stdout.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from splio_etl_aggregations_spark.functions.helpers import net_price, r4  # noqa: E402
+from splio_etl_aggregations_spark.session import get_spark  # noqa: E402
+from splio_etl_aggregations_spark.sources.loader import load  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+ROOT = "/tmp/spark_scaling_probe"
+
+
+def scaled_tables(spark, k: int):
+    """K deterministic copies of the variable-size sf0.1 tables, keys
+    offset per copy so cardinalities scale with K; dims stay fixed."""
+    t = load(spark, BASE)
+    if k == 1:
+        return t
+    out = dict(t)
+    path = os.path.join(ROOT, f"k{k}")
+    specs = {
+        # table -> (key columns to offset, optional ts column to shift)
+        "lineitem": (["l_orderkey"], None),
+        "orders": (["o_orderkey"], None),
+        "events": (["event_id"], "ts"),
+        "documents": (["doc_id"], None),
+        "embeddings": (["vec_id"], None),
+    }
+    for name, (keys, ts_col) in specs.items():
+        dest = os.path.join(path, name)
+        if not os.path.exists(dest):
+            df = t[name]
+            offsets = [int(1e12) * i for i in range(k)]
+            copies = []
+            for i, off in enumerate(offsets):
+                c = df
+                for key in keys:
+                    c = c.withColumn(key, F.col(key) + F.lit(off))
+                if ts_col and i:
+                    # shift each copy by i×30 days → window/group counts
+                    # scale with K instead of piling into the same hours
+                    c = c.withColumn(
+                        ts_col, F.col(ts_col) + F.expr(f"INTERVAL {30 * i} DAYS")
+                    )
+                copies.append(c)
+            full = copies[0]
+            for c in copies[1:]:
+                full = full.unionByName(c)
+            full.write.mode("overwrite").parquet(dest)
+        out[name] = spark.read.parquet(dest)
+    return out
+
+
+def shapes(t):
+    return {
+        "agg_pricing_summary": lambda: t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum(net_price())).alias("sum_net"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "join_orders_lineitem_agg": lambda: t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(r4(F.sum(net_price())).alias("rev"), F.count(F.lit(1)).alias("n")),
+        "win_running_total": lambda: t["events"].select(
+            "event_id",
+            F.sum("value")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("rt"),
+        ),
+        "hourly_buckets": lambda: t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("s")),
+        "token_counts": lambda: t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "topk_spenders": lambda: t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .orderBy(F.desc("s"), F.asc("o_custkey"))
+        .limit(10),
+    }
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {}
+    rows: dict[str, dict[int, int]] = {}
+    for k in ks:
+        t = scaled_tables(spark, k)
+        for name, build in shapes(t).items():
+            best = None
+            for _ in range(2):  # warm: second run (plan + JIT amortized)
+                df = build()
+                t0 = time.perf_counter()
+                # hash-sum over every output column: unlike count(), this
+                # action prevents Catalyst from pruning the computed
+                # columns (a count() of a windowed projection silently
+                # drops the window — measured)
+                row = df.select(
+                    F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                n = row["n"]
+                best = time.perf_counter() - t0
+            results.setdefault(name, {})[k] = best
+            rows.setdefault(name, {})[k] = n
+            print(f"[probe] K={k} {name}: {best:.2f}s rows={n}", file=sys.stderr)
+    hdr = " | ".join(f"K={k}" for k in ks)
+    print(f"| shape | {hdr} | growth {ks[0]}→{ks[-1]} |")
+    print("|---" * (len(ks) + 2) + "|")
+    for name, per_k in results.items():
+        cells = " | ".join(f"{per_k[k]:.2f}s" for k in ks)
+        growth = per_k[ks[-1]] / per_k[ks[0]]
+        print(f"| {name} | {cells} | {growth:.1f}× |")
+
+
+if __name__ == "__main__":
+    main()
