@@ -76,6 +76,33 @@ def test_theta_join_broadcasts_small_side(spark):
     assert has_operator(df, "BroadcastNestedLoopJoin")
 
 
+def test_partition_pruning_on_partitioned_sink(spark):
+    """A filter on the partition column of a partitionBy-written table
+    must become a PartitionFilter (pruned directories), not a data
+    filter over a full scan."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    t = load(spark, SF_SMALL)
+    path = os.path.join(tempfile.mkdtemp(prefix="prune_"), "orders_by_year")
+    (
+        t["orders"]
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    text = explain_str(df)
+    part_lines = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "o_year" in part_lines[0], text
+    # and the partition predicate must NOT degrade into a post-scan Filter
+    assert df.count() == t["orders"].filter(F.year("o_orderdate") == 1997).count()
+
+
 def test_bucketed_join_has_no_join_side_exchange(spark):
     """Bucketed+sorted writes on the join key must give a SortMergeJoin
     whose inputs read bucket-aligned with NO shuffle — the only Exchange
