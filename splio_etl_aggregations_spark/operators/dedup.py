@@ -440,6 +440,15 @@ def dedup_connected_components(spark, t):
     ``localCheckpoint`` truncates lineage each round so plans stay
     flat, and the driver sees only a scalar convergence count per
     round (no data collect).
+
+    Evaluated and REJECTED (measured): min-contraction CC (rewriting
+    edges through each round's mapping so merged clusters collapse).
+    On this graph it was 3× slower (45 s vs 16 s at sf0.1) — the
+    edge-rewrite is two extra shuffles + distinct over the full edge
+    set in round 1, and near-clique duplicate clusters already
+    converge in 2–3 propagation rounds, so there are no later heavy
+    rounds for contraction to save. Contraction pays off on
+    high-diameter graphs (long chains), not duplicate clusters.
     """
     return _cc_labels(t)
 
