@@ -202,6 +202,40 @@ def test_stateful_counter_streaming_equals_batch(spark):
     assert _rows(spark.table(sink)) == _rows(batch)
 
 
+def test_foreachbatch_parquet_sink_roundtrip(spark):
+    """Stream events through foreachBatch into an append-only parquet
+    sink (the canonical production sink pattern: per-micro-batch atomic
+    writes) and assert the re-read equals the batch projection."""
+    events = load(spark, SF_SMALL)["events"]
+    tmp = tempfile.mkdtemp(prefix="fb_sink_")
+    feed = os.path.join(tmp, "feed")
+    out = os.path.join(tmp, "out")
+    events.orderBy("ts", "event_id").repartitionByRange(3, "ts").write.parquet(feed)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.select("event_id", "user_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out))
+    want = _rows(events.select("event_id", "user_id", "event_type", "value"))
+    assert got == want
+
+
 def test_late_data_rows_are_dropped(spark):
     """The stream_late_data query must drop the withheld first-hour rows:
     its total event count is strictly below the batch total, and the
