@@ -44,6 +44,7 @@ def register_all() -> None:
         setops,
         sorts,
         text,
+        timeseries,
         udx,
         vectors,
         windows,

@@ -1,0 +1,194 @@
+"""Time-series regularization operators.
+
+Spark has no native resample/gap-fill (pandas' ``resample().ffill()``);
+these compose it from sequence-explode grids + ignore-null window fills —
+the canonical Spark formulation, kept fully JVM-side.
+
+Scale shape: the grid explode is narrow (user_id, hour) and the fill is
+one window per user partition — shuffle volume is O(grid rows), grid
+density is bounded by the chosen bucket width, and each user's fill is
+independent (embarrassingly partition-parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4
+from ..registry import register
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, SUM(value) AS s
+      FROM events WHERE user_id < 100 GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM b GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    j AS (SELECT g.user_id, g.h, b.s FROM grid g
+          LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h),
+    f AS (SELECT user_id, h,
+                 last_value(s IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS filled
+          FROM j)
+    SELECT user_id, h AS hour, round(filled, 4) AS value_ffill FROM f
+    """,
+    tier="P2",
+)
+def ts_resample_ffill(spark, t):
+    """Resample each user's event stream onto a regular hourly grid and
+    forward-fill the gaps — pandas ``resample('1h').sum().ffill()``
+    re-expressed as DataFrame ops.
+
+    Grid: ``sequence(min_hour, max_hour, 1 hour)`` per user, exploded —
+    gap hours materialize as rows with NULL, then
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding frame
+    carries the latest observation forward. Restricted to user_id < 100
+    to keep the t2 compare payload bounded (~70k rows); the plan is
+    user-partitioned so the restriction is a filter, not a design limit.
+    """
+    b = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("value").alias("s"))
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(b, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        r4(F.last("s", ignorenulls=True).over(w)).alias("value_ffill"),
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(SUM(value), 4) AS s
+      FROM events WHERE user_id < 100 GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM b GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    j AS (SELECT g.user_id, g.h, b.s FROM grid g
+          LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h),
+    f AS (SELECT user_id, h, s,
+                 last_value(s IGNORE NULLS) OVER wp AS ps,
+                 last_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS ph,
+                 first_value(s IGNORE NULLS) OVER wn AS ns,
+                 first_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS nh
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                        ROWS UNBOUNDED PRECEDING),
+                 wn AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, h AS hour,
+           CAST(floor(CASE WHEN s IS NOT NULL THEN s
+                           WHEN ps IS NULL THEN ns
+                           WHEN ns IS NULL THEN ps
+                           ELSE ps + (ns - ps) * ((epoch(h) - epoch(ph))
+                                                  / (epoch(nh) - epoch(ph)))
+                      END * 10000 + 0.5) AS BIGINT) / 10000.0 AS value_interp
+    FROM f
+    """,
+    tier="P2",
+)
+def ts_interpolate_linear(spark, t):
+    """Linear interpolation across gap hours (pandas
+    ``resample('1h').sum().interpolate()``): each NULL grid row gets the
+    time-weighted blend of its nearest observations on either side;
+    leading/trailing gaps fall back to nearest-value fill.
+
+    Two ignore-null windows per user partition (backward last + forward
+    first for value and observation hour) — still a single shuffle on
+    user_id; both frames evaluate in the same per-partition sort. The
+    interpolation arithmetic is written identically in the oracle so the
+    rounded doubles agree.
+    """
+    b = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        # pre-round the observations (determinism policy §5.4): the two
+        # engines' SUMs differ in the last ulp, and interpolating from
+        # them would flip the 4th decimal at rounding boundaries —
+        # rounding first makes both sides interpolate identical inputs
+        .agg(r4(F.sum("value")).alias("s"))
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(b, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("s").isNotNull(), F.col("h"))
+    ps = F.last("s", ignorenulls=True).over(wp)
+    ph = F.last(obs_h, ignorenulls=True).over(wp)
+    ns = F.first("s", ignorenulls=True).over(wn)
+    nh = F.first(obs_h, ignorenulls=True).over(wn)
+    ratio = (
+        (F.unix_timestamp("h") - F.unix_timestamp(ph)).cast("double")
+        / (F.unix_timestamp(nh) - F.unix_timestamp(ph)).cast("double")
+    )
+    interp = (
+        F.when(F.col("s").isNotNull(), F.col("s"))
+        .when(ps.isNull(), ns)
+        .when(ns.isNull(), ps)
+        .otherwise(ps + (ns - ps) * ratio)
+    )
+    # round with floor(x*1e4 + 0.5)/1e4, not round(): interpolating 4-dp
+    # inputs lands on exact .xxxx5 midpoints where Spark's round (HALF_UP
+    # on the shortest decimal string), DuckDB's round, and DuckDB's
+    # decimal cast all disagree with each other (measured, all three).
+    # floor is exact on doubles, so the same formula over the same
+    # doubles is engine-independent — the determinism-policy move of
+    # never letting a cross-engine rounding layer near a midpoint.
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        (
+            F.floor(interp * 10000 + F.lit(0.5)).cast("bigint") / F.lit(10000.0)
+        ).alias("value_interp"),
+    )
