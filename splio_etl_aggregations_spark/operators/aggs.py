@@ -572,3 +572,69 @@ def agg_approx_percentile(spark, t):
             ).alias("quartiles")
         )
     )
+
+
+@register("agg_count_min_sketch", oracle=None, tier="P2")  # rows-only: sketch
+def agg_count_min_sketch(spark, t):
+    """Count-min sketch as a DataFrame: token frequency estimates from a
+    d=4 × w=256 counter table instead of a full distinct-token aggregate.
+
+    Build: explode d seeded hash functions per token occurrence →
+    groupBy (hash_id, bucket) count — the sketch IS a 1,024-row
+    DataFrame, mergeable across partitions/days by summing counters
+    (same pattern as ``agg_hll_partial_merge``). Query: estimate(token)
+    = min over the d counters it hashes to — never an undercount,
+    overcounts bounded by collisions (ε ≈ e/w of total mass). Output:
+    per-token estimate vs exact count for every distinct token;
+    tests assert estimate ≥ exact and within the ε·N bound.
+
+    At 100 TB the sketch stays 1,024 rows no matter the corpus — the
+    heavy-hitters pattern when the distinct-key space is too large to
+    aggregate exactly.
+    """
+    d, w = 4, 256
+    docs = t["documents"]
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    hashes = tok.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_id"),
+                        F.pmod(F.xxhash64("token", F.lit(i)), F.lit(w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("hb"),
+    ).select("token", "hb.hash_id", "hb.bucket")
+    sketch = hashes.groupBy("hash_id", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    # estimate every distinct token by re-hashing and probing the sketch
+    distinct_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    probes = distinct_tok.select(
+        "token",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_id"),
+                        F.pmod(F.xxhash64("token", F.lit(i)), F.lit(w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("hb"),
+    ).select("token", "exact", "hb.hash_id", "hb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["hash_id", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )

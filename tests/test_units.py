@@ -304,3 +304,14 @@ def test_approx_percentile_within_1pct_of_exact(spark):
     for status, qs in exact.items():
         for a, e in zip(got[status], qs):
             assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (status, a, e)
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS never undercounts; overcounts stay within the ε·N collision
+    bound (ε = e/w, here with generous slack since d is small)."""
+    rows = Q["agg_count_min_sketch"].run(spark, SF_SMALL).collect()
+    total = sum(r["exact"] for r in rows)
+    eps_bound = 2.72 / 256 * total * 3  # e/w · N with 3x slack
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact"], r
+        assert r["cms_estimate"] - r["exact"] <= eps_bound, (r, eps_bound)
