@@ -142,3 +142,13 @@ def test_flagship_preaggregates_before_join(spark):
     joins = re.findall(r"\(\d+\) \w*Join", text)
     assert len(joins) == 2, joins
     assert "HashAggregate" in text
+
+
+def test_salted_join_shuffles_not_broadcasts(spark):
+    """join_salted_skew exists to exercise the real shuffle-join path —
+    if the planner broadcast the replicated dim the salting would be
+    decorative."""
+    df = Q["join_salted_skew"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "ShuffledHashJoin" in text, text
+    assert "BroadcastHashJoin" not in text

@@ -185,3 +185,28 @@ def test_connected_components_endpoints_share_cluster(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_resample_grid_is_dense_per_user(spark):
+    """The resampled output must be a gap-free hourly grid per user:
+    row count per user == hours between that user's min and max + 1."""
+    from splio_etl_aggregations_spark.registry import get
+
+    out = get("ts_resample_ffill").run(spark, SF_SMALL)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                (
+                    F.unix_timestamp(F.max("hour"))
+                    - F.unix_timestamp(F.min("hour"))
+                )
+                / 3600
+                + 1
+            ).cast("long").alias("expected"),
+        )
+        .filter(F.col("n") != F.col("expected"))
+    )
+    assert per_user.count() == 0
+    assert out.filter(F.col("value_ffill").isNull()).count() == 0
