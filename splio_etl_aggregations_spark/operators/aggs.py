@@ -638,3 +638,74 @@ def agg_count_min_sketch(spark, t):
         .groupBy("token", "exact")
         .agg(F.min("counter").alias("cms_estimate"))
     )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_orderstatus = o.o_orderstatus)
+    """,
+    tier="P2",
+)
+def subquery_correlated_scalar(spark, t):
+    """Orders above their own status group's average price, phrased as a
+    correlated scalar subquery through the SQL entry point.
+
+    Exercises Catalyst's RewriteCorrelatedScalarSubquery (SURVEY.md
+    §4.1): the per-row subquery decorrelates into one aggregate-by-
+    status plus a join — no nested-loop re-execution. The identical SQL
+    runs on DuckDB, which performs the same decorrelation; the threshold
+    compares unrounded doubles (both engines compute the same AVG over
+    the same doubles in aggregate order — verified by the hash-check).
+    """
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_orderstatus = o.o_orderstatus)
+        """
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(greatest(floor(o_totalprice / 50000), 0), 11)
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           round(MIN(o_totalprice), 4) AS lo,
+           round(MAX(o_totalprice), 4) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tier="P2",
+)
+def agg_histogram(spark, t):
+    """Equi-width histogram of order prices: 12 × 50k buckets with
+    overflow clamped into the edge bins.
+
+    The bucket id is portable floor arithmetic (width_bucket doesn't
+    exist in DuckDB 1.0): floor of a positive quotient is an exact
+    integer-valued double in both engines, so the grouping keys match
+    bit-for-bit. One partial+final hash aggregate — the standard
+    profiling/data-quality shape over a fact column.
+    """
+    bucket = (
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / 50000), F.lit(0)),
+            F.lit(11),
+        )
+    ).cast("bigint")
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.min("o_totalprice")).alias("lo"),
+            r4(F.max("o_totalprice")).alias("hi"),
+        )
+    )

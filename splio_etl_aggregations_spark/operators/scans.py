@@ -121,3 +121,20 @@ def sink_parquet_partitioned(spark, t):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_year")
     )
+
+
+@register("scan_orc_roundtrip", oracle=None, tier="P2")  # rows-only
+def scan_orc_roundtrip(spark, t):
+    """Write `region` to ORC (Spark's second first-class columnar
+    format), read back with an explicit schema — widens the source/sink
+    matrix beyond parquet/CSV/JSON; vectorized ORC reads share the same
+    ColumnarBatch path as parquet."""
+    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "region_orc")
+    t["region"].write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)
