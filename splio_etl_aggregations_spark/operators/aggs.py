@@ -709,3 +709,37 @@ def agg_histogram(spark, t):
             r4(F.max("o_totalprice")).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tier="P2",
+)
+def agg_bitmap_distinct(spark, t):
+    """EXACT distinct counts via Spark 4 bitmap aggregates — the
+    mergeable exact-distinct path (vs HLL's approximate one).
+
+    Keys bucket into 32k-bit bitmaps (bitmap_bucket_number /
+    bitmap_bit_position); per-(group, bucket) bitmaps OR-combine
+    map-side, and the final count sums per-bucket popcounts. Unlike
+    COUNT(DISTINCT)'s expand, the shuffle carries fixed-size bitmaps
+    per bucket instead of every distinct value — and like the sketch
+    ops, persisted per-partition bitmaps can answer any rollup by
+    bitmap_or_agg merge without rescanning. The hash-check proves
+    exactness against plain COUNT(DISTINCT).
+    """
+    return spark.sql(
+        """
+        SELECT event_type, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+        FROM (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM events GROUP BY 1, 2
+        ) GROUP BY event_type
+        """
+    )

@@ -435,3 +435,35 @@ def join_salted_skew(spark, t):
             F.round(F.col("value") * F.col("weight"), 4).alias("weighted_value"),
         )
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+    tier="P2",
+)
+def join_lateral_topn(spark, t):
+    """Top-2 orders per customer via a correlated LATERAL subquery — the
+    SQL-surface twin of ``win_topk_per_group``.
+
+    Catalyst rewrites the correlated LATERAL limit into the same
+    window/join shape the DataFrame form compiles to (DecorrelateInnerQuery)
+    rather than re-executing the subquery per row; DuckDB runs the
+    identical SQL for the hash-check.
+    """
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 4) AS o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
