@@ -743,3 +743,90 @@ def agg_bitmap_distinct(spark, t):
         ) GROUP BY event_type
         """
     )
+
+
+@register(
+    "project_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, round(value, 4) AS value FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+             CAST(c_nationkey AS DOUBLE) AS c_nationkey
+      FROM customer
+    ) UNPIVOT (value FOR metric IN (c_acctbal, c_nationkey))
+    """,
+    tier="P2",
+)
+def project_unpivot(spark, t):
+    """Wide→long melt (the inverse of ``agg_pivot``): customer metric
+    columns unpivot into (key, metric, value) rows — the export shape
+    metric stores and feature pipelines consume. ``df.unpivot`` expands
+    row-wise in one narrow pass (no shuffle, no UDF); values are cast to
+    one common double type exactly as the oracle's UNPIVOT requires."""
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("c_nationkey").cast("double").alias("c_nationkey"),
+        )
+        .unpivot("c_custkey", ["c_acctbal", "c_nationkey"], "metric", "value")
+        .select("c_custkey", "metric", r4(F.col("value")).alias("value"))
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+    tier="P2",
+)
+def agg_string_concat(spark, t):
+    """Per-customer ordered status concatenation (LISTAGG / string_agg
+    shape). Determinism policy §5.4: the collected list is sorted before
+    joining, matching the oracle's ORDER BY inside the aggregate."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderstatus")), ","
+            ).alias("statuses")
+        )
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT user_id, event_type AS top_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    tier="P2",
+)
+def agg_mode_deterministic(spark, t):
+    """Per-user most frequent event type with a DETERMINISTIC tie-break
+    (alphabetical). Built-in ``mode()`` picks arbitrarily on ties in both
+    engines — unusable under hash-checking — so the operator is the
+    count + row_number composition, which also generalizes to top-k
+    modes."""
+    from pyspark.sql import Window
+
+    counts = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
