@@ -830,3 +830,115 @@ def agg_mode_deterministic(spark, t):
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_type"), "n")
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    tier="P2",
+)
+def cohort_retention(spark, t):
+    """Weekly cohort retention — the marketing-analytics flagship shape
+    alongside ``rfm_customer_360``: users grouped by first-activity week,
+    counted per week offset they return in.
+
+    Two aggregates (first week per user, distinct user-weeks) joined on
+    user_id — the join key is the high-cardinality user, the output is
+    |cohorts|×|offsets| tiny. At warehouse scale ``firsts`` is an
+    incrementally-maintained table (``agg_incremental_merge`` pattern:
+    min is decomposable), so each run scans only new events.
+    """
+    firsts = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", "ts").alias("active_week"))
+        .distinct()
+    )
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH stage1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    stage2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN stage1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ),
+    stage3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN stage2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, COUNT(*) AS n_users FROM stage1
+    UNION ALL SELECT 'click_after_signup', COUNT(*) FROM stage2
+    UNION ALL SELECT 'purchase_after_click', COUNT(*) FROM stage3
+    """,
+    tier="P2",
+)
+def funnel_conversion(spark, t):
+    """Ordered funnel: signup → first click after it → first purchase
+    after that. Each stage is a min-timestamp aggregate semi-joined to
+    the previous stage's users, so the event table is scanned once per
+    stage with an event-type filter that pushes into the parquet scan;
+    stage outputs are |users|-sized and shrink monotonically.
+    """
+    events = t["events"]
+
+    def stage(event_type, prev):
+        e = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    s1 = stage("signup", None)
+    s2 = stage("click", s1)
+    s3 = stage("purchase", s2)
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("signup").alias("stage"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("click_after_signup").alias("stage"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("purchase_after_click").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
