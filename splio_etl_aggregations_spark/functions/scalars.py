@@ -319,3 +319,33 @@ def hash_funcs(spark, t):
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "str_extended",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_devoweled,
+           repeat(p_brand, 2) AS brand_twice,
+           reverse(p_name) AS name_reversed,
+           split_part(p_name, ' ', 1) AS name_first_word,
+           CAST(position('BRASS' IN p_type) AS INTEGER) AS brass_pos
+    FROM part
+    """,
+    tier="P2",
+)
+def str_extended(spark, t):
+    """translate/repeat/reverse/split_part/position — the second string
+    family (initcap deliberately excluded: absent from DuckDB 1.0, and
+    word-boundary rules differ across engines anyway). split_part and
+    position agree on the edge cases (missing delimiter → '', missing
+    needle → 0) in both engines — verified before pinning."""
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_devoweled"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("name_first_word"),
+        F.instr("p_type", "BRASS").alias("brass_pos"),
+    )
