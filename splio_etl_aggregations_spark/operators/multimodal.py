@@ -85,3 +85,56 @@ def multimodal_decode_features(spark, t):
     return raw.select("path", "content").mapInPandas(
         decode, schema="file_name string, width int, height int, byte_mean double"
     )
+
+
+@register("multimodal_frame_sample", oracle=None, tier="P3")  # rows-only
+def multimodal_frame_sample(spark, t):
+    """Frame-sampling + resize stage over binary 'video' blobs: every
+    k-th fixed-size frame is extracted and 'resized' (strided byte
+    downsample standing in for a real scaler), one output row per
+    sampled frame.
+
+    The Spark-side plumbing is the real thing — binaryFile scan,
+    mapInPandas with a 1→N row fan-out per blob (the batch shape a
+    video pipeline needs: output rows ≫ input rows, still
+    Arrow-batched), deterministic frame indexing — while the codec is
+    the documented fake (a real one would wrap pyav/ffmpeg in
+    ``_frames``). Partitioning note: each blob expands independently,
+    so files parallelize perfectly and output skew follows blob size —
+    at scale, repartition on (file, frame bucket) before any heavy
+    per-frame model stage.
+    """
+    frame_bytes, every_k, resize_stride = 64, 4, 8
+    root = _write_blobs()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.bin")
+
+    def _frames(content: bytes):
+        # STUB codec: fixed-size byte windows as 'frames'; a real
+        # implementation would decode containers/codecs here.
+        body = content[10:]
+        for i in range(0, len(body) - frame_bytes + 1, frame_bytes):
+            yield i // frame_bytes, body[i : i + frame_bytes]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"file_name": [], "frame_idx": [], "resized_len": [], "frame_sha": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                for idx, frame in _frames(content):
+                    if idx % every_k:
+                        continue
+                    resized = frame[::resize_stride]  # stand-in scaler
+                    out["file_name"].append(name)
+                    out["frame_idx"].append(idx)
+                    out["resized_len"].append(len(resized))
+                    out["frame_sha"].append(
+                        hashlib.sha256(resized).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        sample,
+        schema="file_name string, frame_idx int, resized_len int, frame_sha string",
+    )

@@ -315,3 +315,16 @@ def test_count_min_sketch_bounds(spark):
     for r in rows:
         assert r["cms_estimate"] >= r["exact"], r
         assert r["cms_estimate"] - r["exact"] <= eps_bound, (r, eps_bound)
+
+
+def test_frame_sample_is_deterministic_and_strided(spark):
+    a = {
+        (r["file_name"], r["frame_idx"]): r["frame_sha"]
+        for r in Q["multimodal_frame_sample"].run(spark, SF_SMALL).collect()
+    }
+    b = {
+        (r["file_name"], r["frame_idx"]): r["frame_sha"]
+        for r in Q["multimodal_frame_sample"].run(spark, SF_SMALL).collect()
+    }
+    assert a == b and a  # deterministic across runs, non-empty
+    assert all(idx % 4 == 0 for _, idx in a)  # only every 4th frame kept
