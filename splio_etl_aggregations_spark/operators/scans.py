@@ -138,3 +138,42 @@ def scan_orc_roundtrip(spark, t):
         ]
     )
     return spark.read.schema(schema).orc(path)
+
+
+@register(
+    "source_date_spine",
+    oracle="""
+    SELECT CAST(d AS DATE) AS day,
+           CAST(year(d) AS INTEGER) AS y,
+           CAST(month(d) AS INTEGER) AS m,
+           CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+    FROM generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+    tier="P2",
+)
+def source_date_spine(spark, t):
+    """Generated calendar dimension (date spine) — the ETL utility every
+    gap-free report joins against; built from one sequence() row
+    exploded, no source table. dayofweek trap pinned again: Spark
+    1=Sunday/7=Saturday vs DuckDB 0=Sunday/6=Saturday."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-03-31").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day")
+        )
+        .select(
+            "day",
+            F.year("day").alias("y"),
+            F.month("day").alias("m"),
+            F.when(F.dayofweek("day").isin(1, 7), 1).otherwise(0).alias(
+                "is_weekend"
+            ),
+        )
+    )

@@ -306,3 +306,31 @@ def win_global_rank_scalable(spark, t):
         "c_acctbal",
         (F.col("offset") + F.col("local_rn")).cast("long").alias("rn"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order_price
+    FROM orders
+    """,
+    tier="P2",
+)
+def win_nth_value(spark, t):
+    """Each customer's second-ever order price on every row (NULL for
+    single-order customers) — nth_value with an explicit full-partition
+    frame, since the default frame would hide the value until row 2."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    )
