@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.helpers import r4
 from ..registry import register
 
 
@@ -139,3 +140,131 @@ def etl_upsert_merge(spark, t):
             "src",
         )
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    """,
+    tier="P2",
+)
+def dq_constraint_report(spark, t):
+    """Data-quality constraint report (the Deequ-style audit an ETL
+    pipeline runs before publishing): referential orphans via anti
+    joins, null checks, domain checks, primary-key uniqueness — one row
+    per check with its violation count (all zero on these fixtures;
+    the machinery is the deliverable and the oracle proves each check's
+    semantics, not just the zeros).
+
+    Scale shape: each check is an independent aggregate/anti-join over
+    one pass of its table; checks evaluate in parallel jobs and the
+    report is |checks| rows.
+    """
+    orders, customer, lineitem = t["orders"], t["customer"], t["lineitem"]
+
+    def row(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        row(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+            ),
+        ),
+        row(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+            ),
+        ),
+        row("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        row(
+            "orders_bad_status",
+            orders.filter(~F.col("o_orderstatus").isin("F", "O", "P")),
+        ),
+        row(
+            "lineitem_discount_range",
+            lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ),
+        ),
+        row(
+            "orders_duplicate_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           round(MIN(o_totalprice), 4) AS min_val,
+           round(MAX(o_totalprice), 4) AS max_val,
+           round(AVG(o_totalprice), 4) AS avg_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), CAST(COUNT(o_custkey) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           round(MIN(o_custkey), 4), round(MAX(o_custkey), 4),
+           round(AVG(o_custkey), 4)
+    FROM orders
+    """,
+    tier="P2",
+)
+def dq_profile(spark, t):
+    """Column-profile report (row/non-null/distinct counts + min/max/avg
+    per column) — the table-stats shape feeding both data-quality
+    dashboards and optimizer statistics. Each column's profile is one
+    aggregate pass; numeric columns share a uniform (double) stats
+    schema so the report unions cleanly."""
+    orders = t["orders"]
+
+    def profile(col):
+        return orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            r4(F.min(F.col(col).cast("double"))).alias("min_val"),
+            r4(F.max(F.col(col).cast("double"))).alias("max_val"),
+            r4(F.avg(F.col(col).cast("double"))).alias("avg_val"),
+        ).select(F.lit(col).alias("col_name"), "*")
+
+    return profile("o_totalprice").unionByName(profile("o_custkey"))
