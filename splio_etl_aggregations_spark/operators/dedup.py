@@ -472,6 +472,15 @@ def _cc_labels(t, tau: float = 0.9):
     composite corpus pipeline; returns (doc_id, cluster_id) for every doc
     in ``t["documents"]``."""
     pairs = _near_dup_pairs(t, tau).select("id_lo", "id_hi")
+    nodes = t["documents"].select("doc_id")
+    return hash_min_components(nodes, pairs, "doc_id")
+
+
+def hash_min_components(nodes, pairs, id_col: str):
+    """Generic hash-min connected components over (id_lo, id_hi) pairs;
+    returns one (id_col, cluster_id) row per node, cluster_id = the
+    component's minimum id. Shared by the token-Jaccard and the
+    embedding-cosine dedup clusterers."""
     edges = (
         pairs.select(F.col("id_lo").alias("s"), F.col("id_hi").alias("d"))
         .unionByName(
@@ -479,19 +488,19 @@ def _cc_labels(t, tau: float = 0.9):
         )
         .persist()
     )
-    labels = t["documents"].select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
+    labels = nodes.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
     for _ in range(20):  # diameter bound; fixtures converge in 2-3
         prop = (
-            edges.join(labels, edges["d"] == labels["doc_id"])
+            edges.join(labels, edges["d"] == labels[id_col])
             .groupBy("s")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(prop, labels["doc_id"] == prop["s"], "left")
+            labels.join(prop, labels[id_col] == prop["s"], "left")
             .select(
-                labels["doc_id"],
+                labels[id_col],
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce("nbr_min", F.col("cluster_id")),
@@ -501,7 +510,7 @@ def _cc_labels(t, tau: float = 0.9):
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), id_col)
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )

@@ -216,7 +216,14 @@ def dedup_embedding_cosine(spark, t):
     the threshold filter happens inside NumPy before any row
     materializes, so the Python→JVM traffic is only the survivors.
     """
-    tau = 0.35
+    pairs = _cosine_pairs(spark, t, 0.35)
+    return pairs.select("id_lo", "id_hi", r6("cos_sim").alias("cos_sim"))
+
+
+def _cosine_pairs(spark, t, tau: float):
+    """Thresholded cosine pair frame (id_lo, id_hi, cos_sim raw double)
+    via the blocked matmul; shared by the pair listing and the semantic
+    clustering operator."""
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast(_EMB_D).alias("emb")
     )
@@ -244,8 +251,46 @@ def dedup_embedding_cosine(spark, t):
                     }
                 )
 
-    pairs = emb.mapInPandas(gen, schema="id_lo long, id_hi long, cos_sim double")
-    return pairs.select("id_lo", "id_hi", r6("cos_sim").alias("cos_sim"))
+    return emb.mapInPandas(gen, schema="id_lo long, id_hi long, cos_sim double")
+
+
+@register(
+    "dedup_embedding_cluster",
+    oracle="""
+    WITH RECURSIVE pair AS (
+      SELECT a.vec_id AS id_lo, b.vec_id AS id_hi
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.35
+    ),
+    edges AS (SELECT id_lo AS s, id_hi AS d FROM pair
+              UNION ALL SELECT id_hi, id_lo FROM pair),
+    reach(v, l) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.s, r.l FROM edges e JOIN reach r ON r.v = e.d
+    )
+    SELECT v AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    """,
+    tier="P2",
+)
+def dedup_embedding_cluster(spark, t):
+    """Semantic dedup clusters (SemDeDup shape): connected components of
+    the cosine-≥0.35 embedding graph — every vector gets a cluster id
+    equal to its component's minimum vec_id, so the label IS the keeper.
+
+    Pipeline: thresholded blocked-matmul pairs (``_cosine_pairs``) →
+    generic hash-min propagation (``hash_min_components``, shared with
+    the token-Jaccard clusterer). Hash-checked against DuckDB's
+    recursive-CTE closure over the same cosine predicate — the whole
+    numeric + graph composition is proven, not sampled.
+    """
+    from .dedup import hash_min_components
+
+    pairs = _cosine_pairs(spark, t, 0.35).select("id_lo", "id_hi")
+    nodes = t["embeddings"].select("vec_id")
+    return hash_min_components(nodes, pairs, "vec_id")
 
 
 def ivf_knn(spark, t, n_cells: int = 10, n_probe: int = 4, k: int = 10):
