@@ -214,20 +214,24 @@ def cond_funcs(spark, t):
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
              AS n_distinct,
            list_contains(string_split(text, ' '), 'data') AS has_data,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5_sorted
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+             AS first5_sorted
     FROM documents
     """,
     tier="P1",
 )
 def array_funcs(spark, t):
-    """split/size/array_contains/array_distinct/sort_array/slice."""
+    """split/size/array_contains/array_distinct/sort_array/slice; the
+    slice is emitted '|'-joined (scalar) to stay driver-canonicalizer-safe."""
     toks = F.split("text", " ")
     return t["documents"].select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first5_sorted"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), "|"
+        ).alias("first5_sorted"),
     )
 
 

@@ -188,17 +188,26 @@ def agg_min_max_by(spark, t):
 @register(
     "agg_collect",
     oracle="""
-    SELECT c_nationkey, list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+    SELECT c_nationkey,
+           array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), '|')
+             AS segments
     FROM customer GROUP BY c_nationkey
     """,
     tier="P2",
 )
 def agg_collect(spark, t):
-    """Per-group ordered list (collect is always sorted — §5.4)."""
+    """Per-group ordered list (collect is always sorted — §5.4), emitted
+    as a '|'-joined string: the driver's canonicalizer sorts result
+    columns through pandas, which cannot hash array cells (round-1
+    CORRECTNESS err), so no registered query declares an array column."""
     return (
         t["customer"]
         .groupBy("c_nationkey")
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), "|"
+            ).alias("segments")
+        )
     )
 
 
@@ -552,25 +561,47 @@ def agg_hll_partial_merge(spark, t):
     return per_day.unionByName(total)
 
 
-@register("agg_approx_percentile", oracle=None, tier="P2")  # rows-only: approx
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS q25,
+           quantile_disc(o_totalprice, 0.50) AS q50,
+           quantile_disc(o_totalprice, 0.75) AS q75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tier="P2",
+)
 def agg_approx_percentile(spark, t):
     """Approximate quartiles of o_totalprice per order status via the
-    KLL/GK-style percentile_approx sketch (accuracy parameter 10,000).
+    GK-style percentile_approx sketch, emitted as three SCALAR columns
+    (the round-1 array<double> output crashed the driver canonicalizer).
 
     The scale story mirrors the HLL op: percentile sketches are
     mergeable, so partial per-partition sketches combine without a
-    global sort — vs exact percentiles which need one. Approximation is
-    engine-specific ⇒ rows-only; tests assert each quartile within 1 %
-    relative error of the exact interpolated percentile.
+    global sort — vs exact percentiles which need one. Oracle-checkable
+    because GK's rank error is ≤ n/accuracy: with accuracy 100,000 and
+    |group| ≪ 100k the allowed error is < 1 rank, so the sketch answer
+    IS the exact discrete quantile (the element at rank ⌈p·n⌉ —
+    DuckDB's quantile_disc). Measured: accuracy 10,000 was one rank off
+    on a 5,088-row group whose ⌈p·n⌉ hit an integer boundary after the
+    partition-sketch merge. Tests additionally assert the relative-error
+    bound that holds when accuracy < |group|.
     """
-    return (
+    q = (
         t["orders"]
         .groupBy("o_orderstatus")
         .agg(
             F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75], 10000
+                "o_totalprice", [0.25, 0.5, 0.75], 100000
             ).alias("quartiles")
         )
+    )
+    return q.select(
+        "o_orderstatus",
+        F.element_at("quartiles", 1).alias("q25"),
+        F.element_at("quartiles", 2).alias("q50"),
+        F.element_at("quartiles", 3).alias("q75"),
     )
 
 

@@ -25,13 +25,33 @@ def _norm_value(v):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        # The driver's canonicalizer (pandas sort_values over all columns)
+        # crashes on array/map cells — round 1 lost agg_collect and
+        # agg_approx_percentile to exactly this. Reject here so the
+        # internal preflight is at least as strict as the driver.
+        raise TypeError(
+            "driver-unsafe result cell (array/map); declare scalar columns "
+            f"instead (got {type(v).__name__}: {v!r})"
+        )
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, int):
         return int(v)
     return v
+
+
+def assert_driver_safe_schema(df: DataFrame, name: str = "") -> None:
+    """Every declared query output must be flat scalars: the driver's
+    canonicalizer cannot sort array/map/struct cells (round-1 lesson)."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"[{name}] driver-unsafe non-scalar output columns: {bad}"
 
 
 def spark_rows(df: DataFrame) -> tuple[list[str], list[tuple]]:

@@ -15,7 +15,7 @@ import pytest
 from splio_etl_aggregations_spark import register_all
 from splio_etl_aggregations_spark.registry import all_queries
 
-from .compare import diff_report, duck_rows, spark_rows
+from .compare import assert_driver_safe_schema, diff_report, duck_rows, spark_rows
 from .conftest import SF_SMALL, SF_T2, register_duck_views
 
 register_all()
@@ -30,7 +30,9 @@ _ROWS_ONLY_IDS = sorted(n for n, q in _QUERIES.items() if not q.oracle)
 def test_oracle_match(spark, duck, name):
     q = _QUERIES[name]
     register_duck_views(duck, _SF)
-    s_cols, s_rows = spark_rows(q.run(spark, _SF))
+    df = q.run(spark, _SF)
+    assert_driver_safe_schema(df, name)
+    s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(duck, q.oracle)
     report = diff_report(name, s_cols, s_rows, d_cols, d_rows)
     assert report is None, report
@@ -41,6 +43,7 @@ def test_rows_only_smoke(spark, name):
     """Rows-only operators must at least run and return a stable schema."""
     q = _QUERIES[name]
     df = q.run(spark, _SF)
+    assert_driver_safe_schema(df, name)
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0

@@ -291,7 +291,7 @@ def test_hll_partial_merge_within_5pct_of_exact(spark):
 def test_approx_percentile_within_1pct_of_exact(spark):
     t = load(spark, SF_SMALL)
     got = {
-        r["o_orderstatus"]: r["quartiles"]
+        r["o_orderstatus"]: (r["q25"], r["q50"], r["q75"])
         for r in Q["agg_approx_percentile"].run(spark, SF_SMALL).collect()
     }
     exact = {
