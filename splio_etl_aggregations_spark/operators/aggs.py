@@ -93,16 +93,92 @@ def agg_count_distinct(spark, t):
     )
 
 
-@register("agg_approx_count_distinct", oracle=None, tier="P2")  # rows-only
-def agg_approx_count_distinct(spark, t):
-    """HyperLogLog++ distinct estimate per event type. Sketches are not
-    cross-engine comparable by construction → rows-only; the ±5 % accuracy
-    bound is asserted in tests/test_units_aggs.py."""
-    return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+# ---- portable HyperLogLog (shared by the two HLL operators) ----------
+# m = 256 registers (p = 8): RSE ≈ 1.04/√256 ≈ 6.5 %; linear counting
+# below 2.5·m. Every step is exact-integer (register index = h % m,
+# rank = first-set-bit position via bin/lpad/strpos — no float log2) so
+# the DuckDB oracle reproduces the estimate bit-for-bit; the only float
+# ops are one division and one ln, IEEE-identical across engines.
+_HLL_M = 256
+_HLL_W = 52  # 60-bit hash minus p=8 index bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_CRAW = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**(_HLL_W + 1))
+_HLL_LC = 2.5 * _HLL_M
+
+
+def _hll_regmax(df, keys: list[str], item: str):
+    """(keys…, j, mj): per-key max rank of each touched HLL register."""
+    from ..functions.portable_hash import hll_rank, ph60
+
+    h = (
+        df.select(*keys, item)
+        .distinct()  # register max is duplicate-invariant; dedup first
+        .select(*keys, ph60(item, "hll").alias("h"))
     )
+    reg = h.select(
+        *keys,
+        (F.col("h") % _HLL_M).alias("j"),
+        hll_rank(F.expr(f"h div {_HLL_M}"), _HLL_W).alias("r"),
+    )
+    return reg.groupBy(*keys, "j").agg(F.max("r").alias("mj"))
+
+
+def _hll_estimate(regmax, keys: list[str], out: str):
+    """Fold register maxima into the HLL estimate (raw harmonic-mean form
+    with the linear-counting branch below 2.5·m), as exact-integer sums
+    plus one double division — deterministic cross-engine."""
+    s = regmax.groupBy(*keys).agg(
+        F.expr(
+            f"sum(shiftleft(1L, {_HLL_W + 1} - mj))"
+            f" + ({_HLL_M} - count(1)) * shiftleft(1L, {_HLL_W + 1})"
+        ).alias("s_int"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    raw = F.lit(_HLL_CRAW) / F.col("s_int")
+    est = F.when(
+        (F.col("v") > 0) & (raw <= F.lit(_HLL_LC)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return s.select(*keys, r4(est).alias(out))
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type,
+                 ('0x' || substr(md5('hll:' || user_id), 1, 15))::ubigint AS h
+          FROM u),
+    reg AS (SELECT event_type, h % {_HLL_M} AS j,
+                   CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                        ELSE strpos(lpad(bin(h // {_HLL_M}), {_HLL_W}, '0'), '1')
+                   END AS r
+            FROM h),
+    rm AS (SELECT event_type, j, MAX(r) AS mj FROM reg GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 (SUM(1::BIGINT << ({_HLL_W + 1} - mj))
+                  + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_W + 1}))::BIGINT AS s_int,
+                 {_HLL_M} - COUNT(*) AS v
+          FROM rm GROUP BY event_type)
+    SELECT event_type,
+           round(CASE WHEN v > 0 AND {_HLL_CRAW!r} / s_int <= {_HLL_LC!r}
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                      ELSE {_HLL_CRAW!r} / s_int END, 4) AS approx_users
+    FROM s
+    """,
+    tier="P2",
+)
+def agg_approx_count_distinct(spark, t):
+    """Distinct-user estimate per event type via a PORTABLE HyperLogLog
+    (m=256 registers over the md5-based 60-bit hash, linear counting
+    under 2.5·m) — replacing round-1's builtin approx_count_distinct,
+    whose HLL++ sketch no other engine can reproduce (scored
+    `err: no_oracle`). Same O(m) state and merge algebra as HLL++; the
+    oracle recomputes the identical register table and estimate in SQL,
+    so this row hash-checks exactly. Accuracy (RSE ≈ 6.5 %) asserted
+    against exact counts in tests/test_units.py."""
+    rm = _hll_regmax(t["events"], ["event_type"], "user_id")
+    return _hll_estimate(rm, ["event_type"], "approx_users")
 
 
 @register(
@@ -535,29 +611,62 @@ def agg_incremental_merge(spark, t):
     )
 
 
-@register("agg_hll_partial_merge", oracle=None, tier="P2")  # rows-only: sketches
+@register(
+    "agg_hll_partial_merge",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    h AS (SELECT day,
+                 ('0x' || substr(md5('hll:' || user_id), 1, 15))::ubigint AS h
+          FROM u),
+    reg AS (SELECT day, h % {_HLL_M} AS j,
+                   CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                        ELSE strpos(lpad(bin(h // {_HLL_M}), {_HLL_W}, '0'), '1')
+                   END AS r
+            FROM h),
+    rm AS (SELECT day, j, MAX(r) AS mj FROM reg GROUP BY 1, 2),
+    both_rm AS (
+      SELECT day, j, mj FROM rm
+      UNION ALL
+      SELECT CAST(NULL AS DATE) AS day, j, MAX(mj) AS mj FROM rm GROUP BY j
+    ),
+    s AS (SELECT day,
+                 (SUM(1::BIGINT << ({_HLL_W + 1} - mj))
+                  + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_W + 1}))::BIGINT AS s_int,
+                 {_HLL_M} - COUNT(*) AS v
+          FROM both_rm GROUP BY day)
+    SELECT day,
+           round(CASE WHEN v > 0 AND {_HLL_CRAW!r} / s_int <= {_HLL_LC!r}
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                      ELSE {_HLL_CRAW!r} / s_int END, 4) AS est_users
+    FROM s
+    """,
+    tier="P2",
+)
 def agg_hll_partial_merge(spark, t):
-    """Mergeable-sketch rollup: daily HyperLogLog sketches of distinct
-    users, unioned into a whole-range estimate WITHOUT rescanning events.
+    """Mergeable-sketch rollup: daily portable-HLL register tables of
+    distinct users, merged into a whole-range estimate WITHOUT
+    rescanning events.
 
-    This is the 100 TB distinct-count pattern: persist one tiny sketch
-    per (day, …) partition at ingest, answer any date-range distinct
-    query by merging sketches (hll_union_agg) — O(#days·sketch_size)
-    instead of O(#rows). Output: one row per day plus a NULL-day total
-    row, estimates via hll_sketch_estimate. Sketch bytes are
-    engine-specific ⇒ rows-only; tests assert ±5 % of exact.
+    This is the 100 TB distinct-count pattern: persist one tiny register
+    table per (day, …) partition at ingest, answer any date-range
+    distinct query by merging registers (elementwise MAX — the HLL merge
+    operation) in O(#days·m) instead of O(#rows). Output: one row per
+    day plus a NULL-day total row whose registers are the max-merge of
+    every day's. Round 1 used Spark's hll_sketch_agg (engine-private
+    bytes → `err: no_oracle`); the portable register representation is
+    deterministic SQL on both engines, so the merge algebra itself is
+    hash-checked. ±accuracy asserted in tests/test_units.py.
     """
-    daily = (
-        t["events"]
-        .groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_rm = _hll_regmax(
+        t["events"].select(F.to_date("ts").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
     )
-    per_day = daily.select(
-        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    per_day = _hll_estimate(daily_rm, ["day"], "est_users")
+    merged_rm = daily_rm.groupBy("j").agg(F.max("mj").alias("mj"))
+    total = _hll_estimate(
+        merged_rm.withColumn("day", F.lit(None).cast("date")), ["day"], "est_users"
     )
-    total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
-    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
     return per_day.unionByName(total)
 
 
@@ -605,7 +714,26 @@ def agg_approx_percentile(spark, t):
     )
 
 
-@register("agg_count_min_sketch", oracle=None, tier="P2")  # rows-only: sketch
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    hb AS (SELECT token, s.hash_id,
+                  ('0x' || substr(md5('cms' || s.hash_id || ':' || token), 1, 15))::ubigint
+                    % 256 AS bucket
+           FROM tok, (SELECT unnest([0, 1, 2, 3]) AS hash_id) s),
+    sketch AS (SELECT hash_id, bucket, COUNT(*) AS counter FROM hb GROUP BY 1, 2),
+    exact AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY token),
+    probe AS (SELECT e.token, e.exact, s.hash_id,
+                     ('0x' || substr(md5('cms' || s.hash_id || ':' || e.token), 1, 15))::ubigint
+                       % 256 AS bucket
+              FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS hash_id) s)
+    SELECT p.token, p.exact, MIN(k.counter) AS cms_estimate
+    FROM probe p JOIN sketch k USING (hash_id, bucket)
+    GROUP BY p.token, p.exact
+    """,
+    tier="P2",
+)
 def agg_count_min_sketch(spark, t):
     """Count-min sketch as a DataFrame: token frequency estimates from a
     d=4 × w=256 counter table instead of a full distinct-token aggregate.
@@ -617,53 +745,45 @@ def agg_count_min_sketch(spark, t):
     = min over the d counters it hashes to — never an undercount,
     overcounts bounded by collisions (ε ≈ e/w of total mass). Output:
     per-token estimate vs exact count for every distinct token;
-    tests assert estimate ≥ exact and within the ε·N bound.
+    tests assert estimate ≥ exact and within the ε·N bound. Hash family
+    is the portable md5-based ``ph60`` (seeds cms0..cms3) so the DuckDB
+    oracle rebuilds the identical d×w counter table — round 1's
+    xxhash64 family had no cross-engine equivalent (`err: no_oracle`).
 
     At 100 TB the sketch stays 1,024 rows no matter the corpus — the
     heavy-hitters pattern when the distinct-key space is too large to
     aggregate exactly.
     """
+    from ..functions.portable_hash import ph60
+
     d, w = 4, 256
-    docs = t["documents"]
-    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    hashes = tok.select(
-        "token",
-        F.explode(
+
+    def hash_structs():
+        return F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("hash_id"),
-                        F.pmod(F.xxhash64("token", F.lit(i)), F.lit(w)).alias(
-                            "bucket"
-                        ),
+                        (ph60("token", f"cms{i}") % w).alias("bucket"),
                     )
                     for i in range(d)
                 ]
             )
-        ).alias("hb"),
-    ).select("token", "hb.hash_id", "hb.bucket")
+        ).alias("hb")
+
+    docs = t["documents"]
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    hashes = tok.select("token", hash_structs()).select(
+        "token", "hb.hash_id", "hb.bucket"
+    )
     sketch = hashes.groupBy("hash_id", "bucket").agg(
         F.count(F.lit(1)).alias("counter")
     )
     # estimate every distinct token by re-hashing and probing the sketch
     distinct_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
-    probes = distinct_tok.select(
-        "token",
-        "exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("hash_id"),
-                        F.pmod(F.xxhash64("token", F.lit(i)), F.lit(w)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("hb"),
-    ).select("token", "exact", "hb.hash_id", "hb.bucket")
+    probes = distinct_tok.select("token", "exact", hash_structs()).select(
+        "token", "exact", "hb.hash_id", "hb.bucket"
+    )
     return (
         probes.join(F.broadcast(sketch), ["hash_id", "bucket"])
         .groupBy("token", "exact")

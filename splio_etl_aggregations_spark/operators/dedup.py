@@ -241,24 +241,33 @@ def dedup_ngram_jaccard(spark, t):
     )
 
 
-@register("dedup_near_minhash", oracle=None, tier="P2")  # rows-only (LSH recall)
+@register("dedup_near_minhash", oracle=_NGRAM_ORACLE, tier="P2")
 def dedup_near_minhash(spark, t):
-    """MinHash + LSH banding near-dedup — the 100 TB path.
+    """MinHash + LSH banding near-dedup over bigram shingles — the
+    100 TB path.
 
-    Pipeline: token set → k=32 minhash signatures (universal hashing of
-    xxhash64 token hashes, all JVM-side) → 8 bands × 4 rows → band-bucket
-    self-join (candidates = pairs agreeing on ≥1 band) → EXACT Jaccard
-    verification of candidates only.
+    Pipeline: bigram-shingle set → k=64 minhash signatures (universal
+    hashing of xxhash64 shingle hashes, all JVM-side) → 32 bands ×
+    2 rows → band-bucket self-join (candidates = pairs agreeing on ≥1
+    band) → EXACT shingle-Jaccard verification of candidates only.
 
-    Output = verified pairs (jaccard ≥ 0.9). Probabilistic *recall* makes
-    this rows-only for the driver; tests assert candidates ⊇ the exact
-    operator's pairs at this threshold (P[band match | j=0.9] ≈ 1-1e-7).
-    Unlike pyspark.ml's MinHashLSH (random coefficients per fit), the
-    hash family here is fixed, so results are reproducible run-to-run.
+    Output = verified pairs (jaccard ≥ 0.6) — the same deterministic
+    set as ``dedup_ngram_jaccard``, so it carries the same exact-SQL
+    oracle. Banding choice is what makes that equality hold rather than
+    approximately hold: a τ=0.6 pair misses all 32 two-row bands with
+    P = (1−0.6²)³² ≈ 6e-7, while the corpus's background shingle
+    similarity (~0.03 mean) yields only ~1−(1−0.03²)³² ≈ 3 % spurious
+    candidates for the verifier to kill. (Round 1 banded token sets
+    instead — background Jaccard there is 0.61 on this 31-word
+    vocabulary, and the recall needed at τ=0.9 forces band widths
+    whose candidate set is effectively all-pairs; measured: 8×4 bands
+    missed 1 of 9,020 true pairs at sf0.01.) Unlike pyspark.ml's
+    MinHashLSH (random coefficients per fit), the hash family is fixed,
+    so results are reproducible run-to-run.
     """
-    n_hashes, n_bands = 32, 8
+    n_hashes, n_bands = 64, 32
     rows_per_band = n_hashes // n_bands
-    # Mersenne-prime (2^31-1) universal hashes of the token hash. The
+    # Mersenne-prime (2^31-1) universal hashes of the shingle hash. The
     # 31-bit domain keeps a*x+b under 2^63 — no bigint overflow under
     # ANSI mode (Spark 4 default raises on silent wraparound).
     prime = (1 << 31) - 1
@@ -266,11 +275,22 @@ def dedup_near_minhash(spark, t):
     rng_b = [((i * i + 7) * 0x27D4EB4F) % prime for i in range(n_hashes)]
 
     docs = t["documents"]
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-    ).select("doc_id", F.pmod(F.xxhash64("token"), F.lit(prime)).alias("th"))
-    sig = tok.groupBy("doc_id").agg(
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    gram_sets = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", shingles.alias("grams")
+    )
+    g = gram_sets.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", F.pmod(F.xxhash64("gram"), F.lit(prime)).alias("th"))
+    sig = g.groupBy("doc_id").agg(
         *[
             F.min((F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i])) % F.lit(prime))
             .alias(f"mh{i}")
@@ -311,44 +331,79 @@ def dedup_near_minhash(spark, t):
         )
         .distinct()
     )
-    # Exact verification of candidates only (inverted-index intersection).
-    tokset = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    # Exact verification of candidates only (shingle-set intersection).
+    lo = gram_sets.select(
+        F.col("doc_id").alias("id_lo"), F.col("grams").alias("grams_lo")
     )
-    lo = tokset.select(
-        F.col("doc_id").alias("id_lo"), F.col("toks").alias("toks_lo")
+    hi = gram_sets.select(
+        F.col("doc_id").alias("id_hi"), F.col("grams").alias("grams_hi")
     )
-    hi = tokset.select(
-        F.col("doc_id").alias("id_hi"), F.col("toks").alias("toks_hi")
+    jac = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
+        F.array_union("grams_lo", "grams_hi")
     )
-    inter = F.size(F.array_intersect("toks_lo", "toks_hi"))
-    union = F.size(F.array_union("toks_lo", "toks_hi"))
-    jac = inter / union
     return (
         candidates.join(lo, "id_lo")
         .join(hi, "id_hi")
-        .filter(jac >= 0.9)
+        .filter(jac >= 0.6)
         .select("id_lo", "id_hi", r4(jac).alias("jaccard"))
     )
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # rows-only: bit-level engine-specific fingerprints
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    th AS (SELECT doc_id,
+                  ('0x' || substr(md5('sim:' || token), 1, 15))::ubigint AS h
+           FROM tok),
+    bits AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(range(60)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band_id,
+             (simhash >> (band_id * 15)) & 32767 AS bucket
+      FROM fp, (SELECT unnest(range(4)) AS band_id) bs
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_lo, r.doc_id AS id_hi,
+             bit_count(xor(l.simhash, r.simhash)) AS hamming
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.bucket = r.bucket
+       AND l.doc_id < r.doc_id
+    )
+    SELECT id_lo, id_hi, hamming FROM cand WHERE hamming <= 8
+    """,
     tier="P2",
 )
 def dedup_simhash(spark, t):
-    """64-bit SimHash near-dup candidates.
+    """60-bit SimHash near-dup candidates.
 
-    Fingerprint: sign-sum over token hashes per bit position; candidate
-    pairs share a 16-bit band of the fingerprint (Hamming-ball banding).
-    Deterministic (xxhash64-seeded) but engine-specific bit patterns ⇒
-    rows-only; pair plausibility is asserted in unit tests.
+    Fingerprint: sign-sum over token hashes per bit position (token
+    multiplicity counts — this is the weighted simhash); candidate pairs
+    share one of four 15-bit bands (Hamming-ball banding: any pair with
+    Hamming distance ≤ 3 is guaranteed caught, ≤ 8 caught unless its
+    differing bits spread across all four bands), then filtered to
+    Hamming ≤ 8. Round 1 hashed with xxhash64 (engine-private →
+    `err: no_oracle`); tokens now hash through the portable md5-based
+    ``ph60``, so the full fingerprint → band → Hamming pipeline is
+    recomputed by the DuckDB oracle and hash-checked.
     """
+    from ..functions.portable_hash import ph60
+
     docs = t["documents"]
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("th"))
+    ).select("doc_id", ph60("token", "sim").alias("th"))
     # bit b of fingerprint = sign of sum over tokens of (+1/-1 at bit b)
     bit_sums = tok.groupBy("doc_id").agg(
         *[
@@ -356,7 +411,7 @@ def dedup_simhash(spark, t):
                 F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"s{b}")
-            for b in range(64)
+            for b in range(60)
         ]
     )
     fp = bit_sums.select(
@@ -366,7 +421,7 @@ def dedup_simhash(spark, t):
                 F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
                     F.lit(0).cast("long")
                 )
-                for b in range(63)  # bit 63 excluded: keeps fp non-negative
+                for b in range(60)  # 60-bit hash → fp stays non-negative
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -379,8 +434,8 @@ def dedup_simhash(spark, t):
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("bucket"),
                     )
                     for i in range(4)
@@ -491,6 +546,7 @@ def hash_min_components(nodes, pairs, id_col: str):
     labels = nodes.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
+    changed = -1
     for _ in range(20):  # diameter bound; fixtures converge in 2-3
         prop = (
             edges.join(labels, edges["d"] == labels[id_col])
@@ -518,6 +574,14 @@ def hash_min_components(nodes, pairs, id_col: str):
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a silent exit here would hand back wrong cluster labels for any
+        # graph with diameter > 20 (ADVICE r1) — fail loudly instead
+        raise RuntimeError(
+            "hash_min_components: label propagation did not converge within "
+            "20 rounds (graph diameter exceeds the bound; raise the round "
+            f"cap for this graph — last round still changed {changed} labels)"
+        )
     return labels
 
 
