@@ -19,6 +19,50 @@ from ..functions.helpers import r4
 from ..registry import register
 
 
+def two_phase_global_rank(df, order, n_parts: int = 16):
+    """Distributed global row_number over a total order (``order`` MUST
+    end in a unique key) — the scale-safe replacement for a
+    partition-less Window, which Spark collapses to ONE task:
+
+    1. range-repartition on the sort key (each partition owns a
+       contiguous key range; partition index follows the global order),
+    2. local row_number within each range partition,
+    3. per-partition counts (an ``n_parts``-row aggregate) → cumulative
+       offsets, broadcast back; global rank = offset + local rank.
+
+    Returns ``df`` plus ``rn`` (1-based global rank) and ``n_total``.
+    Shared by ``win_global_rank_scalable``, ``win_ntile`` and
+    ``win_percent_cume`` — ntile/percent_rank/cume_dist are pure
+    arithmetic over (rn, n_total).
+    """
+    parts = df.repartitionByRange(n_parts, *order)
+    with_pid = parts.withColumn("pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "local_rn",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
+    )
+    sizes = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = sizes.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("rn", (F.col("offset") + F.col("local_rn")).cast("long"))
+        .drop("pid", "local_rn", "offset")
+    )
+
+
 @register(
     "win_row_number",
     oracle="""
@@ -71,11 +115,35 @@ def win_rank_dense(spark, t):
     tier="P2",
 )
 def win_ntile(spark, t):
-    """Quartile bucketing of customers by account balance."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return t["customer"].select(
-        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    """Quartile bucketing of customers by account balance — WITHOUT the
+    single-partition global Window round 1 used (the classic 100×-scale
+    killer): ntile(k) is pure arithmetic over the two-phase global rank.
+    With n = total rows, base = n div k, rem = n mod k, the first
+    ``rem`` buckets hold base+1 rows, so
+
+        quartile(rn) = ⌈rn / (base+1)⌉                    if rn ≤ rem·(base+1)
+                       rem + ⌈(rn − rem·(base+1)) / base⌉ otherwise
+
+    (exact integer ceil via (a+b−1) div b). Hash-checked against the
+    oracle's plain ntile(4) OVER (ORDER BY …)."""
+    k = 4
+    ranked = two_phase_global_rank(
+        t["customer"].select("c_custkey", "c_acctbal"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+    ).withColumns(
+        {
+            "base": F.expr(f"n_total div {k}"),
+            "rem": F.col("n_total") % k,
+        }
     )
+    quartile = F.when(
+        F.col("rn") <= F.col("rem") * (F.col("base") + 1),
+        F.expr("(rn + base) div (base + 1)"),
+    ).otherwise(
+        F.col("rem")
+        + F.expr("(rn - rem * (base + 1) + base - 1) div base")
+    )
+    return ranked.select("c_custkey", quartile.cast("long").alias("quartile"))
 
 
 @register(
@@ -89,12 +157,24 @@ def win_ntile(spark, t):
     tier="P2",
 )
 def win_percent_cume(spark, t):
-    """Relative-position functions over suppliers by balance."""
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return t["supplier"].select(
+    """Relative-position functions over suppliers by balance, computed
+    from the two-phase global rank instead of round 1's partition-less
+    Window (single-task at scale). The sort order ends in the unique
+    s_suppkey, so there are no ties and the window functions reduce to
+    exact arithmetic: percent_rank = (rn−1)/(n−1), cume_dist = rn/n.
+    Hash-checked against the oracle's plain OVER (ORDER BY …) forms."""
+    ranked = two_phase_global_rank(
+        t["supplier"].select("s_suppkey", "s_acctbal"),
+        [F.asc("s_acctbal"), F.asc("s_suppkey")],
+    )
+    pct = F.when(
+        F.col("n_total") > 1,
+        (F.col("rn") - 1) / (F.col("n_total") - 1),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         "s_suppkey",
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cume"),
+        r4(pct).alias("pct_rank"),
+        r4(F.col("rn") / F.col("n_total")).alias("cume"),
     )
 
 
@@ -277,35 +357,13 @@ def win_global_rank_scalable(spark, t):
 
     The hash-check against the oracle's plain OVER (ORDER BY) proves the
     two forms agree. Ties are impossible: c_custkey terminates the sort.
+    (The mechanism lives in ``two_phase_global_rank``, shared with
+    ``win_ntile`` and ``win_percent_cume``.)
     """
-    df = t["customer"].select("c_custkey", "c_acctbal")
-    parts = df.repartitionByRange(16, F.desc("c_acctbal"), F.asc("c_custkey"))
-    with_pid = parts.withColumn("pid", F.spark_partition_id())
-    local = with_pid.withColumn(
-        "local_rn",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy(
-                F.desc("c_acctbal"), F.asc("c_custkey")
-            )
-        ),
-    )
-    sizes = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offsets = sizes.withColumn(
-        "offset",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("pid", "offset")
-    return local.join(F.broadcast(offsets), "pid").select(
-        "c_custkey",
-        "c_acctbal",
-        (F.col("offset") + F.col("local_rn")).cast("long").alias("rn"),
-    )
+    return two_phase_global_rank(
+        t["customer"].select("c_custkey", "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+    ).select("c_custkey", "c_acctbal", "rn")
 
 
 @register(
