@@ -110,7 +110,7 @@ EXPECTED_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 class SchemaDriftError(RuntimeError):
@@ -132,7 +132,10 @@ def load(
 ) -> dict[str, DataFrame]:
     """Load all fixture tables from ``sf_dir`` as a name → DataFrame dict."""
     sf_dir = sf_dir.rstrip("/")
-    key = (id(spark), sf_dir)
+    # applicationId is unique per session lifetime — unlike id(spark),
+    # which CPython recycles after GC, so a new session at a reused
+    # address could receive DataFrames bound to a stopped session.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CACHE.get(key)
     if cached is not None:
         if register_views:

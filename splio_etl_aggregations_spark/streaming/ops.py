@@ -217,7 +217,12 @@ def stream_late_data(spark, t):
         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
         .start()
     )
-    query.awaitTermination(120)
+    if not query.awaitTermination(120):
+        query.stop()
+        raise TimeoutError(
+            "stream_late_data replay did not finish within 120 s — "
+            "refusing to return a partially-filled memory sink"
+        )
     return spark.table(sink_name)
 
 
