@@ -49,10 +49,17 @@ def scan_parquet_pushdown(spark, t):
     )
 
 
-@register("scan_csv_roundtrip", oracle=None, tier="P2")  # rows-only
+@register(
+    "scan_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tier="P2",
+)
 def scan_csv_roundtrip(spark, t):
     """Write `nation` to CSV with header, read back with an explicit schema
-    (never inferred — SURVEY.md §1.4), return the re-read rows."""
+    (never inferred — SURVEY.md §1.4), return the re-read rows. The
+    columns are int/plain-string/int, so the roundtrip is lossless and
+    the re-read must equal the source table — which IS the oracle (the
+    hash-check proves no row/value was mangled in transit)."""
     path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "nation_csv")
     t["nation"].write.mode("overwrite").option("header", "true").csv(path)
     schema = T.StructType(
@@ -65,9 +72,15 @@ def scan_csv_roundtrip(spark, t):
     return spark.read.schema(schema).option("header", "true").csv(path)
 
 
-@register("scan_json_roundtrip", oracle=None, tier="P2")  # rows-only
+@register(
+    "scan_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tier="P2",
+)
 def scan_json_roundtrip(spark, t):
-    """Write `supplier` to JSON lines, read back with explicit schema."""
+    """Write `supplier` to JSON lines, read back with explicit schema.
+    Doubles serialize via Jackson's shortest-roundtrip representation,
+    so the re-read is bit-exact and the source table is the oracle."""
     path = os.path.join(tempfile.mkdtemp(prefix="json_rt_"), "supplier_json")
     t["supplier"].write.mode("overwrite").json(path)
     schema = T.StructType(
@@ -100,12 +113,21 @@ def source_range(spark, t):
     )
 
 
-@register("sink_parquet_partitioned", oracle=None, tier="P2")  # rows-only
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tier="P2",
+)
 def sink_parquet_partitioned(spark, t):
     """Write orders partitioned by order year, re-read, count per partition.
 
-    The re-read exercises partition discovery + partition pruning; the
-    per-partition counts prove no rows were lost or duplicated.
+    The re-read exercises partition discovery (the o_year column comes
+    back from directory names, not data pages); the hash-check against
+    a direct GROUP BY year on the source proves no rows were lost or
+    duplicated by the partitioned write.
     """
     path = os.path.join(tempfile.mkdtemp(prefix="pq_part_"), "orders_by_year")
     (
@@ -123,12 +145,17 @@ def sink_parquet_partitioned(spark, t):
     )
 
 
-@register("scan_orc_roundtrip", oracle=None, tier="P2")  # rows-only
+@register(
+    "scan_orc_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tier="P2",
+)
 def scan_orc_roundtrip(spark, t):
     """Write `region` to ORC (Spark's second first-class columnar
     format), read back with an explicit schema — widens the source/sink
     matrix beyond parquet/CSV/JSON; vectorized ORC reads share the same
-    ColumnarBatch path as parquet."""
+    ColumnarBatch path as parquet. ORC is lossless, so the source table
+    is the oracle."""
     path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "region_orc")
     t["region"].write.mode("overwrite").orc(path)
     schema = T.StructType(

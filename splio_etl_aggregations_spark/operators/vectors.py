@@ -118,31 +118,34 @@ def sim_cosine_topk(spark, t):
 
     def topk_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         a_ids, b_ids, sims, within = _group_sims(key, pdf)
+        # cut key: 6-dp HALF_UP, the same rounding the JVM r6 / oracle
+        # apply — so the local cut and the global ranking agree (cosine
+        # scores never land on exact decimal midpoints)
+        r = np.floor(sims.ravel() * 1e6 + 0.5) / 1e6
         if within:
-            rows, cols = np.nonzero(b_ids[None, :] > a_ids[:, None])
+            r = np.where((b_ids[None, :] > a_ids[:, None]).ravel(), r, -np.inf)
+        # O(P) selection, never a full-pair sort/frame (a pandas
+        # sort_values over every pair measured 7× slower at 18 M pairs):
+        # kth largest rounded value via argpartition, then exact
+        # (id_lo, id_hi) tie resolution over the tie band only.
+        if r.size > k:
+            kth = -np.partition(-r, k - 1)[k - 1]
+            cand = np.nonzero(r >= kth)[0] if np.isfinite(kth) else np.nonzero(
+                np.isfinite(r)
+            )[0]
         else:
-            rows, cols = np.nonzero(np.ones_like(sims, dtype=bool))
-        if rows.size == 0:
-            return pd.DataFrame({"id_lo": [], "id_hi": [], "cos_sim": []}).astype(
-                {"id_lo": "int64", "id_hi": "int64", "cos_sim": "float64"}
-            )
+            cand = np.nonzero(np.isfinite(r))[0]
+        rows, cols = np.unravel_index(cand, sims.shape)
         lo = np.minimum(a_ids[rows], b_ids[cols])
         hi = np.maximum(a_ids[rows], b_ids[cols])
-        raw = sims[rows, cols]
-        out = pd.DataFrame(
+        pick = np.lexsort((hi, lo, -r[cand]))[:k]
+        return pd.DataFrame(
             {
-                "id_lo": lo,
-                "id_hi": hi,
-                "cos_sim": raw,
-                # cut key: 6-dp HALF_UP, the same rounding the JVM r6 /
-                # oracle apply — so the local cut and the global ranking
-                # agree (cosines never land on exact decimal midpoints)
-                "_cut": np.floor(raw * 1e6 + 0.5) / 1e6,
+                "id_lo": lo[pick],
+                "id_hi": hi[pick],
+                "cos_sim": sims.ravel()[cand[pick]],
             }
-        )
-        return out.sort_values(
-            ["_cut", "id_lo", "id_hi"], ascending=[False, True, True]
-        ).head(k)[["id_lo", "id_hi", "cos_sim"]]
+        ).astype({"id_lo": "int64", "id_hi": "int64", "cos_sim": "float64"})
 
     pairs = _block_pairs(t).groupBy("gi", "gj").applyInPandas(
         topk_group, schema="id_lo long, id_hi long, cos_sim double"

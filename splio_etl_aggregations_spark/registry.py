@@ -141,6 +141,10 @@ DRIVER_ORDER: list[str] = [
     "udf_pandas_scalar",
     "join_asof",
     # -- slots 51+: the round-3 wave (untested, oracle-backed) ----------
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "sink_parquet_partitioned",
+    "scan_orc_roundtrip",
     "str_distance",
     "array_higher_order",
     "map_funcs",
@@ -214,10 +218,6 @@ DRIVER_ORDER: list[str] = [
     "dq_constraint_report",
     "dq_profile",
     # -- rows-only operators (no oracle by nature) ----------------------
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "sink_parquet_partitioned",
-    "scan_orc_roundtrip",
     "stream_late_data",
     "sim_ann_lsh_knn",
     "sim_ivf_knn",

@@ -152,3 +152,28 @@ def test_salted_join_shuffles_not_broadcasts(spark):
     text = explain_str(df)
     assert "ShuffledHashJoin" in text, text
     assert "BroadcastHashJoin" not in text
+
+
+def test_ntile_percent_cume_avoid_single_partition_window(spark):
+    """Round 2 rewrote win_ntile / win_percent_cume onto the two-phase
+    global rank — their plans must range-partition and must not contain
+    an empty-partition-spec WindowExec over the data table (the
+    offsets-side window runs over the 16-row partition-size frame only,
+    which is the documented bounded exception)."""
+    for name in ("win_ntile", "win_percent_cume"):
+        text = explain_str(Q[name].run(spark, SF_SMALL))
+        assert "rangepartitioning" in text.lower(), name
+        # the data-side row_number windows by the range-partition id
+        assert "windowspecdefinition(pid#" in text, name
+
+
+def test_cosine_ops_have_no_driver_collect(spark):
+    """The all-pairs vector ops must be single distributed plans
+    (block-pair groupBy + FlatMapGroupsInPandas) — round 1 materialized
+    the whole embeddings table on the driver mid-build, which showed up
+    as plans whose inputs were LocalTableScan broadcasts. A scan of the
+    embeddings parquet must appear INSIDE the plan instead."""
+    for name in ("sim_cosine_topk", "dedup_embedding_cosine"):
+        text = explain_str(Q[name].run(spark, SF_SMALL))
+        assert "FlatMapGroupsInPandas" in text, name
+        assert "embeddings" in text, name
