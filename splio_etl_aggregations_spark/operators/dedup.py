@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.helpers import r4
 from ..registry import register
+from .windows import two_phase_global_rank
 
 
 @register(
@@ -100,8 +101,6 @@ def _near_dup_pairs(t, tau: float = 0.9):
     engines. At 100 TB the shuffle key is the (rare) prefix token and the
     df table joined in for ordering is vocabulary-sized — broadcastable.
     """
-    from pyspark.sql import Window
-
     docs = t["documents"]
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
@@ -113,12 +112,13 @@ def _near_dup_pairs(t, tau: float = 0.9):
     # ordered token set, its head slice IS the prefix, and the exact
     # verify intersects int arrays instead of string arrays — measured
     # 3.7× on the whole operator at sf0.1 (46.6 s → 12.5 s; string
-    # intersects over 3.7 M candidate pairs were ~85 % of runtime). The rank window runs over
-    # the vocabulary-sized df table only (for a 1e8-term vocabulary use
-    # the two-phase global rank of `win_global_rank_scalable`).
-    rank = dfreq.select(
-        "token",
-        F.row_number().over(Window.orderBy("df", "token")).alias("r"),
+    # intersects over 3.7 M candidate pairs were ~85 % of runtime). The
+    # rank is computed with the two-phase distributed global rank — a
+    # partition-less row_number here collapsed the vocabulary-sized df
+    # table to ONE task, and Catalyst re-expands this subtree 4× in the
+    # final plan, so the single-partition sort ran four times.
+    rank = two_phase_global_rank(dfreq, [F.asc("df"), F.asc("token")]).select(
+        "token", F.col("rn").cast("int").alias("r")
     )
     tokr = (
         tok.join(F.broadcast(rank), "token")

@@ -460,7 +460,11 @@ def sim_ann_lsh_knn(spark, t):
 
     emb = t["embeddings"].filter(F.col("vec_id") != 0)
     n = emb.count()
-    probe_budget = max(50, n // 10)
+    # The budget candidate cut is an intermediate GlobalLimit — every
+    # partition's local top-budget meets at one task, so the budget must
+    # be an absolute constant at scale, not a corpus fraction (10 % of
+    # 100 TB through one task is a collapse; 100k rows is ~25 MB).
+    probe_budget = min(max(50, n // 10), 100_000)
     ranked = emb.select(
         "vec_id",
         F.col("embedding").cast(_EMB_D).alias("emb"),

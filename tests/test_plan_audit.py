@@ -1,0 +1,74 @@
+"""Whole-registry physical-plan audit (SURVEY.md §5.5) — a ratchet
+against scale-killing plan shapes sneaking into ANY registered query.
+
+Three smells are swept across all 131 plans at once:
+
+- ``Exchange SinglePartition`` — every row of the input stream meets at
+  ONE task. Fine when the input is bounded by construction (a scalar
+  aggregate's partials, the 16-row per-partition-count frame of the
+  two-phase global rank, a capped candidate limit); fatal when it is
+  data-proportional (a partition-less window / global sort over table
+  rows — the round-1 `win_ntile` bug, and the vocabulary-rank window
+  that ran FOUR single-partition sorts inside `dedup_near_jaccard`
+  until round 2).
+- ``CartesianProduct`` — O(n·m) row explosion.
+- ``BroadcastNestedLoopJoin`` — per-row scan of the broadcast side;
+  sane only when the broadcast side is constant-sized.
+
+The whitelist below is exhaustive and commented: a new query (or a
+Catalyst/AQE change) that introduces any occurrence outside it fails
+this test and must either fix the plan or consciously document the
+bound here.
+"""
+
+from __future__ import annotations
+
+from splio_etl_aggregations_spark.plans.checks import explain_str
+from splio_etl_aggregations_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+# name -> (max occurrences, why the exchange input is bounded)
+SINGLE_PARTITION_OK = {
+    # final merge of a global (no-group-key) aggregate: input rows are
+    # one partial-agg row per upstream partition
+    "agg_global": (1, "global agg partials"),
+    "funnel_conversion": (3, "three scalar step-count aggs"),
+    "dq_constraint_report": (6, "six scalar audit counts"),
+    "dq_profile": (2, "per-column scalar profile aggs"),
+    "text_tfidf": (1, "scalar corpus-size N"),
+    # two-phase global rank: the only partition-less window runs over
+    # the n_parts-row per-partition-count frame (≤16 rows)
+    "win_ntile": (1, "rank offsets frame (≤16 rows)"),
+    "win_percent_cume": (1, "rank offsets frame (≤16 rows)"),
+    "win_global_rank_scalable": (1, "rank offsets frame (≤16 rows)"),
+    # Catalyst re-expands the shared rank subtree once per use
+    "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
+    # intermediate GlobalLimit of the probe cut; budget is capped at
+    # an absolute 100k rows (vectors.py) regardless of corpus size
+    "sim_ann_lsh_knn": (1, "capped probe-budget limit"),
+}
+
+BNLJ_OK = {
+    "join_cross": (2, "the required 5×25-row Cartesian demo"),
+    "join_theta_range": (2, "4-row band table broadcast"),
+    "text_tfidf": (2, "1-row scalar-N crossJoin"),
+}
+
+CARTESIAN_OK: dict[str, tuple[int, str]] = {}
+
+
+def test_no_unbounded_plan_smells(spark):
+    offenders = []
+    for name, q in all_queries().items():
+        text = explain_str(q.run(spark, SF_SMALL))
+        for smell, allow in (
+            ("SinglePartition", SINGLE_PARTITION_OK),
+            ("BroadcastNestedLoopJoin", BNLJ_OK),
+            ("CartesianProduct", CARTESIAN_OK),
+        ):
+            n = text.count(smell)
+            cap = allow.get(name, (0, ""))[0]
+            if n > cap:
+                offenders.append(f"{name}: {n}×{smell} (allowed {cap})")
+    assert not offenders, "\n".join(offenders)
