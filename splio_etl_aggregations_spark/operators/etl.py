@@ -268,3 +268,59 @@ def dq_profile(spark, t):
         ).select(F.lit(col).alias("col_name"), "*")
 
     return profile("o_totalprice").unionByName(profile("o_custkey"))
+
+
+@register(
+    "etl_scd2_history",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    chg AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      FROM ch WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL AS BOOLEAN) AS is_current
+    FROM chg
+    """,
+    tier="P2",
+)
+def etl_scd2_history(spark, t):
+    """Slowly-changing-dimension type-2 build: collapse each customer's
+    order-priority change log into validity intervals.
+
+    The warehouse-historization primitive: detect attribute changes with
+    ``lag`` over the per-key timeline, keep only change rows, then
+    ``lead`` gives each surviving row its closing timestamp (open
+    interval = current). Both windows PARTITION BY the key — fully
+    parallel, no global sort; (o_orderdate, o_orderkey) is a total order
+    per customer so the result is deterministic on both engines.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )

@@ -467,3 +467,73 @@ def join_lateral_topn(spark, t):
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT e.event_id, CAST(COUNT(w.lo) AS BIGINT) AS n_overlap
+    FROM events e LEFT JOIN (
+      SELECT ts - INTERVAL 10 MINUTE AS lo, ts + INTERVAL 10 MINUTE AS hi
+      FROM events WHERE event_type = 'error'
+    ) w ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY e.event_id
+    """,
+    tier="P2",
+)
+def join_interval_overlap(spark, t):
+    """Per-event count of overlapping error windows (each 'error' event
+    opens a ±10-minute outage interval) — an interval-overlap join where
+    BOTH sides are data-proportional and there is no equi key.
+
+    The naive form is a range-only theta join: O(n·m) compares and, in
+    Spark, a BroadcastNestedLoopJoin that stops being sane the moment
+    the interval side outgrows a broadcast. The scale form used here is
+    epoch bucketing, the standard distributed interval-join decomposition:
+    chop time into fixed buckets the size of the interval radius, expand
+    each interval to the 2-3 buckets it touches (a bounded fan-out,
+    sequence() on bucket ids), tag each event with its single containing
+    bucket, and equi-join on bucket id before the exact range predicate.
+    Every (event, window) overlap shares the event's bucket by
+    construction, so the equi-join loses nothing — and Catalyst gets a
+    shuffle-hash-joinable key whose skew follows the event-time
+    distribution (burst seconds can further salt the bucket id).
+    """
+    us_per_bucket = 600 * 1_000_000  # 10 min of microseconds
+    ev = t["events"].select(
+        "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn("bucket", F.floor(F.col("us") / us_per_bucket))
+    err = (
+        t["events"]
+        .filter(F.col("event_type") == "error")
+        .select(F.unix_micros("ts").alias("e_us"))
+        .select(
+            (F.col("e_us") - us_per_bucket).alias("lo"),
+            (F.col("e_us") + us_per_bucket).alias("hi"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / us_per_bucket),
+                    F.floor((F.col("hi") - 1) / us_per_bucket),
+                )
+            ),
+        )
+    )
+    hits = (
+        ev.join(
+            err,
+            (ev["bucket"] == err["bucket"])
+            & (ev["us"] >= err["lo"])
+            & (ev["us"] < err["hi"]),
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        t["events"]
+        .select("event_id")
+        .join(hits, "event_id", "left")
+        .select("event_id", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+    )

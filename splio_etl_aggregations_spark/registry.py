@@ -173,6 +173,10 @@ DRIVER_ORDER: list[str] = [
     "join_bucketed_colocated",
     "join_salted_skew",
     "join_lateral_topn",
+    # round-2 additions (oracle-backed)
+    "stream_stream_join",
+    "etl_scd2_history",
+    "join_interval_overlap",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -276,3 +276,67 @@ def stream_stateful_counter(spark, t):
         .groupBy("user_id")
         .applyInPandas(run_state, "event_id long, purchases_since_error long")
     )
+
+
+# ------------------------------------------------------- stream-stream join
+
+def view_purchase_interval_join(
+    views: DataFrame, purchases: DataFrame, watermarked: bool = True
+) -> DataFrame:
+    """Attribute each purchase to the view events of the same user in the
+    preceding hour — the canonical watermarked stream-stream inner join.
+
+    Under ``readStream`` both sides shuffle on ``user_id`` and buffer in
+    the state store; the event-time range condition plus the watermarks
+    lets Spark evict a buffered view once the purchase-side watermark
+    passes ``view_ts + 1 hour`` (state is bounded by watermark × rate,
+    never by stream length). The same expression under ``spark.read`` is
+    a plain shuffle join on user_id with a range filter — which is what
+    the DuckDB oracle hashes.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermarked:
+        v = v.withWatermark("view_ts", "1 hour")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "view_id", "purchase_id", "user_id", r4("purchase_value").alias("purchase_value")
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, round(p.value, 4) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tier="P3",
+)
+def stream_stream_join(spark, t):
+    """Batch form of ``view_purchase_interval_join`` (streaming replay
+    equivalence in tests/test_streaming.py)."""
+    ev = t["events"]
+    return view_purchase_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        watermarked=False,
+    )

@@ -18,6 +18,7 @@ from splio_etl_aggregations_spark.streaming.ops import (
     session_30m,
     sliding_1h_15m,
     tumbling_hourly,
+    view_purchase_interval_join,
 )
 
 from .conftest import SF_SMALL, SF_T2
@@ -260,3 +261,63 @@ def test_late_data_rows_are_dropped(spark):
     # every window the stream did emit agrees with batch
     for w, n in streamed.items():
         assert batch.get(w) == n, (w, n, batch.get(w))
+
+
+def test_stream_stream_join_replay_equals_batch(spark):
+    """Watermarked stream-stream inner join: replay events as time-ordered
+    micro-batches, join the view-side stream to the purchase-side stream
+    of the SAME source (two filters over one file feed — both sides
+    advance together), and assert the emitted pairs equal the batch join.
+    Inner-join matches emit as soon as both rows have arrived, so the
+    bounded availableNow replay must surface every pair.
+
+    The feed is written with strictly increasing mtimes (FileStreamSource
+    orders batches by mtime, not content): an out-of-order file would
+    legitimately advance the watermark past earlier events and DROP their
+    pairs — that's watermark semantics, not a join bug, and exactly why
+    the unordered `_replay` helper can't be used here."""
+
+    def joined(stream):
+        return view_purchase_interval_join(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+
+    events = load(spark, SF_SMALL)["events"]
+    tmp = tempfile.mkdtemp(prefix="ssjoin_feed_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    pdf = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n_files = 4
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    chunk = -(-len(pdf) // n_files)
+    base_t = 1_700_000_000
+    for i in range(n_files):
+        path = os.path.join(feed, f"batch_{i}.parquet")
+        pdf.iloc[i * chunk : (i + 1) * chunk].to_parquet(path, **kw)
+        os.utime(path, (base_t + i * 10, base_t + i * 10))
+
+    stream_df = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined(stream_df)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream-stream join replay timed out"
+    batch = view_purchase_interval_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+        watermarked=False,
+    )
+    got = _rows(spark.table(sink))
+    assert got == _rows(batch)
+    assert len(got) > 0
