@@ -53,6 +53,9 @@ EXTRA_SHAPES = [
     "win_global_rank_scalable",
     "etl_upsert_merge",
     "agg_hll_partial_merge",
+    "join_interval_overlap",
+    "etl_scd2_history",
+    "stream_stream_join",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 
