@@ -117,6 +117,14 @@ def shapes(spark, t):
         .agg(F.sum("o_totalprice").alias("s"))
         .orderBy(F.desc("s"), F.asc("o_custkey"))
         .limit(10),
+        # r2 operators, probed through their registered plans. Copies are
+        # 30-day-shifted, so interval overlaps and view→purchase pairs
+        # never cross copies (output scales with K, not K²); scd2 keeps
+        # customer keys fixed, so per-key change logs grow K× long —
+        # a deliberate partitioned-window depth stress.
+        "interval_overlap": lambda: get("join_interval_overlap").builder(spark, t),
+        "scd2_history": lambda: get("etl_scd2_history").builder(spark, t),
+        "stream_stream_join": lambda: get("stream_stream_join").builder(spark, t),
     }
 
 
