@@ -40,6 +40,7 @@ def register_all() -> None:
         filters,
         joins,
         multimodal,
+        sampling,
         scans,
         setops,
         sorts,

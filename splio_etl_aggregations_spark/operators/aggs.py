@@ -1093,3 +1093,45 @@ def funnel_conversion(spark, t):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "agg_decay_weighted",
+    oracle="""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * exp(-((ref_us - epoch_us(ts)) / 86400000000.0)
+                                 / 7.0)), 4) AS score_7d,
+           round(sum(value * exp(-((ref_us - epoch_us(ts)) / 86400000000.0)
+                                 / 30.0)), 4) AS score_30d
+    FROM events, ref
+    GROUP BY user_id
+    """,
+    tier="P2",
+)
+def agg_decay_weighted(spark, t):
+    """Recency-decayed engagement score per user: each event's value is
+    weighted by ``exp(-age/half_life)`` relative to the newest event in
+    the table, with 7-day and 30-day decay horizons side by side.
+
+    The standard feature for ranking/training pipelines where last
+    week's click matters more than last year's. The reference timestamp
+    is a 1-row global aggregate broadcast into the scan (same scalar-N
+    crossJoin shape as ``text_tfidf``), the weighting is a pure column
+    expression, and the per-user sum is an ordinary partial+final
+    HashAggregate — shuffle volume = |users|. Ages are derived from
+    exact µs integers so both engines exponentiate identical doubles.
+    """
+    e = t["events"].select("user_id", "value", F.unix_micros("ts").alias("ts_us"))
+    ref = e.agg(F.max("ts_us").alias("ref_us"))
+    age_days = (F.col("ref_us") - F.col("ts_us")) / F.lit(86400000000.0)
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            r4(F.sum(F.col("value") * F.exp(-age_days / 7.0))).alias("score_7d"),
+            r4(F.sum(F.col("value") * F.exp(-age_days / 30.0))).alias("score_30d"),
+        )
+    )

@@ -324,3 +324,68 @@ def etl_scd2_history(spark, t):
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "etl_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+    tier="P2",
+)
+def etl_sessionize(spark, t):
+    """Gap-based sessionization (gaps-and-islands): split each user's
+    event stream at >30-minute silences, then aggregate per session.
+
+    The batch complement of ``stream_session`` (streaming/ops.py:59):
+    same 30-min inactivity semantics, computed retroactively over the
+    full history. Classic two-window form — a lag-gap flag marks session
+    starts, its running sum numbers the sessions, then one groupBy
+    collapses them. All three steps PARTITION BY user_id, so the whole
+    plan is one shuffle on the user key and scales with the widest
+    single user's history, not the table. Exact µs timestamps
+    (``unix_micros`` ↔ DuckDB ``epoch_us``) keep the gap comparison
+    integer-exact across engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = t["events"].select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        r4(F.sum("value")).alias("sum_value"),
+    )

@@ -1,0 +1,164 @@
+"""Deterministic sampling / dataset-split operators.
+
+A 100 TB training-data pipeline needs samples that are (a) reproducible
+across runs and engines — no RNG state, no partition-order dependence —
+and (b) computable without materializing or shuffling the full table.
+Every operator here keys its randomness on the portable 60-bit md5 hash
+(``functions/portable_hash.py``), so the "coin flip" for a row is a pure
+column expression: map-side, codegen-friendly, and bit-identical in the
+DuckDB oracle.
+
+Scale posture:
+
+- ``sample_hash_bernoulli`` / ``sample_split_assign`` are pure
+  projections + filters — zero shuffles, and the parquet scan still
+  prunes columns. At 100 TB they cost one pass over the pruned columns.
+- ``sample_topk_per_stratum`` bounds per-group output (k rows) with a
+  probabilistic hash-threshold pre-filter BEFORE the exact rank, so the
+  window never sees more than ~margin·k rows per stratum — the two-phase
+  answer to "row_number over 5 strata funnels the whole table into 5
+  tasks".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4
+from ..functions.portable_hash import ph60, ph60_sql
+from ..registry import register
+
+#: 2^60 — the exclusive upper bound of ph60's range; fractions of this
+#: are the sampling thresholds.
+PH60_RANGE = 1 << 60
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE {ph60_sql("event_id", "bern")} % 100 < 10
+    """,
+    tier="P2",
+)
+def sample_hash_bernoulli(spark, t):
+    """Deterministic 10 % Bernoulli sample of events, keyed on
+    ``ph60(event_id)`` — the reproducible replacement for
+    ``df.sample()`` (whose output depends on seed + partition layout,
+    so it can never hash-match an oracle or a rerun).
+
+    The predicate is a pure column expression: Catalyst keeps it next
+    to the scan, no shuffle, no RNG state. Re-running on a superset of
+    the data keeps every previously-sampled row (hash-stable sampling
+    is append-consistent) — the property that makes incremental
+    training-set refreshes possible at 100 TB.
+    """
+    e = t["events"]
+    return e.filter(ph60("event_id", "bern") % 100 < 10).select(
+        "event_id", "user_id", "event_type", r4("value").alias("value")
+    )
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+    WITH folds AS (
+      SELECT event_type,
+             CASE WHEN f < 80 THEN 'train'
+                  WHEN f < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             value
+      FROM (SELECT event_type, value,
+                   {ph60_sql("event_id", "fold")} % 100 AS f
+            FROM events)
+    )
+    SELECT event_type, split, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM folds GROUP BY event_type, split
+    """,
+    tier="P2",
+)
+def sample_split_assign(spark, t):
+    """Deterministic 80/10/10 train/valid/test assignment with a
+    per-stratum accounting report (count + value mass per
+    event_type × split).
+
+    The fold is ``ph60(event_id) % 100`` — any worker (or any engine)
+    recomputes the same split for any row with no coordination, which
+    is how a 1000-executor job splits 100 TB without a shuffle or a
+    persisted assignment table. The report aggregation is the only
+    shuffle, and its cardinality is |event_type| × 3.
+    """
+    f = ph60("event_id", "fold") % 100
+    split = (
+        F.when(f < 80, "train").when(f < 90, "valid").otherwise("test")
+    )
+    return (
+        t["events"]
+        .select("event_type", "value", split.alias("split"))
+        .groupBy("event_type", "split")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_value"))
+    )
+
+
+#: top-k sample size per stratum, and the pre-filter safety margin.
+#: The pre-filter keeps rows with hash < margin·k/n_stratum of the hash
+#: range; the k-th order statistic of n uniform hashes concentrates at
+#: k/n · 2^60, so margin=8 bounds the miss probability by
+#: P[Binomial(n, 8k/n) < k] < e^{-8k·(7/8)²/2} ≈ 1e-60 at k=50 — far
+#: below any practical determinism bar, and the exact rank afterwards
+#: makes the output identical to the unfiltered answer whenever the
+#: pre-filter keeps ≥ k rows (tests/test_units.py asserts it).
+SAMPLE_K = 50
+SAMPLE_MARGIN = 8
+
+
+@register(
+    "sample_topk_per_stratum",
+    oracle=f"""
+    SELECT event_id, event_type, rk FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {ph60_sql("event_id", "res")},
+                                         event_id) AS rk
+      FROM events
+    ) WHERE rk <= {SAMPLE_K}
+    """,
+    tier="P2",
+)
+def sample_topk_per_stratum(spark, t):
+    """Exactly-k-per-stratum uniform sample: the k events with the
+    smallest ``ph60(event_id)`` per event_type — the deterministic,
+    mergeable equivalent of per-group reservoir sampling (priority
+    sampling with hash priorities).
+
+    Naive plan: ``row_number() OVER (PARTITION BY event_type ORDER BY
+    hash)`` shuffles EVERY row into |event_type| tasks — 5 tasks doing
+    all the work at 100 TB. Instead, a first cheap aggregate counts each
+    stratum, a hash threshold of ``margin·k/n`` of the hash range is
+    broadcast back, and the exact rank runs over the ~margin·k surviving
+    rows per stratum (see SAMPLE_MARGIN for the miss-probability bound).
+    The shuffle input drops from n rows to ~margin·k·|strata| rows.
+    """
+    e = t["events"].select("event_id", "event_type")
+    h = ph60("event_id", "res")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n_stratum"))
+    # threshold as double to avoid bigint overflow of margin·k·2^60/n
+    thresh = (
+        F.lit(float(PH60_RANGE))
+        * F.lit(SAMPLE_MARGIN * SAMPLE_K)
+        / F.col("n_stratum")
+    )
+    survivors = (
+        e.withColumn("h", h)
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("h").cast("double") < thresh)
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("event_id", "event_type", "rk")
+    )

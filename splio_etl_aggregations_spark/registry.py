@@ -177,6 +177,11 @@ DRIVER_ORDER: list[str] = [
     "stream_stream_join",
     "etl_scd2_history",
     "join_interval_overlap",
+    "etl_sessionize",
+    "sample_hash_bernoulli",
+    "sample_split_assign",
+    "sample_topk_per_stratum",
+    "agg_decay_weighted",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

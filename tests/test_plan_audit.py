@@ -47,12 +47,15 @@ SINGLE_PARTITION_OK = {
     # intermediate GlobalLimit of the probe cut; budget is capped at
     # an absolute 100k rows (vectors.py) regardless of corpus size
     "sim_ann_lsh_knn": (1, "capped probe-budget limit"),
+    # 1-row reference-timestamp scalar aggregate (text_tfidf shape)
+    "agg_decay_weighted": (1, "scalar max-ts agg"),
 }
 
 BNLJ_OK = {
     "join_cross": (2, "the required 5×25-row Cartesian demo"),
     "join_theta_range": (2, "4-row band table broadcast"),
     "text_tfidf": (2, "1-row scalar-N crossJoin"),
+    "agg_decay_weighted": (2, "1-row ref-timestamp crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

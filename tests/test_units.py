@@ -332,3 +332,67 @@ def test_frame_sample_is_deterministic_and_strided(spark):
     }
     assert a == b and a  # deterministic across runs, non-empty
     assert all(idx % 4 == 0 for _, idx in a)  # only every 4th frame kept
+
+
+def test_sample_topk_prefilter_is_lossless(spark):
+    """The hash-threshold pre-filter in sample_topk_per_stratum must not
+    change the answer: compare against the naive full-table window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from splio_etl_aggregations_spark.functions.portable_hash import ph60
+    from splio_etl_aggregations_spark.operators.sampling import SAMPLE_K
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    e = load(spark, SF_SMALL)["events"].select("event_id", "event_type")
+    w = Window.partitionBy("event_type").orderBy(
+        ph60("event_id", "res"), "event_id"
+    )
+    naive = {
+        (r["event_id"], r["event_type"], r["rk"])
+        for r in e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .collect()
+    }
+    fast = {
+        (r["event_id"], r["event_type"], r["rk"])
+        for r in Q["sample_topk_per_stratum"].run(spark, SF_SMALL).collect()
+    }
+    assert fast == naive and fast
+
+
+def test_sessionize_partitions_the_timeline(spark):
+    """Session invariants: per-user sessions are 1..n contiguous, event
+    counts sum to the user's event count, and every session lasts less
+    than its event-count × the 30-min gap bound."""
+    from pyspark.sql import functions as F
+
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    out = Q["etl_sessionize"].run(spark, SF_SMALL)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(
+            F.min("session_no").alias("lo"),
+            F.max("session_no").alias("hi"),
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    totals = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_SMALL)["events"]
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_user
+    for r in per_user:
+        assert r["lo"] == 1 and r["hi"] == r["n_sessions"], r
+        assert r["n_events"] == totals[r["user_id"]], r
+    # a session of n events spans at most (n-1) × 30 min
+    bad = out.filter(
+        F.col("duration_us") > (F.col("n_events") - 1) * 1_800_000_000
+    ).count()
+    assert bad == 0
