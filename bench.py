@@ -56,6 +56,9 @@ EXTRA_SHAPES = [
     "join_interval_overlap",
     "etl_scd2_history",
     "stream_stream_join",
+    "etl_sessionize",
+    "sample_topk_per_stratum",
+    "agg_decay_weighted",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 
