@@ -59,6 +59,9 @@ EXTRA_SHAPES = [
     "etl_sessionize",
     "sample_topk_per_stratum",
     "agg_decay_weighted",
+    "agg_entropy",
+    "ml_standardize_features",
+    "vec_quantize_int8",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

@@ -37,6 +37,7 @@ def register_all() -> None:
         aggs,
         dedup,
         etl,
+        features,
         filters,
         joins,
         multimodal,

@@ -1135,3 +1135,42 @@ def agg_decay_weighted(spark, t):
             r4(F.sum(F.col("value") * F.exp(-age_days / 30.0))).alias("score_30d"),
         )
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+    FROM c GROUP BY user_id
+    """,
+    tier="P2",
+)
+def agg_entropy(spark, t):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity / dataset-composition metric used to spot
+    bot-like (zero-entropy) and scattershot users, and to balance
+    training mixtures.
+
+    Uses the decomposition H = ln T − (Σ n·ln n)/T so the whole thing
+    is TWO partial+final hash aggregates — (user,type) counts, then a
+    per-user sum — with no window and no join. Shuffle volume is the
+    distinct (user,type) pair count, then |users|.
+    """
+    c = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n")
+    return c.groupBy("user_id").agg(
+        tot.cast("bigint").alias("n_events"),
+        F.count("*").alias("n_types"),
+        r4(F.log(tot) - F.sum(F.col("n") * F.log("n")) / tot).alias("entropy"),
+    )

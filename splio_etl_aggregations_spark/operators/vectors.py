@@ -482,3 +482,74 @@ def sim_ann_lsh_knn(spark, t):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) AS max_abs
+      FROM d
+    ),
+    errs AS (
+      SELECT vec_id, label, max_abs,
+             list_transform(
+               e, x -> x - round(x * 127.0 / max_abs) * max_abs / 127.0) AS r
+      FROM scaled
+    )
+    SELECT vec_id, label,
+           round(max_abs, 6) AS max_abs,
+           round(sqrt(list_sum(list_transform(r, x -> x * x))), 6)
+             AS quant_err_l2
+    FROM errs
+    """,
+    tier="P2",
+)
+def vec_quantize_int8(spark, t):
+    """Symmetric int8 quantization audit for the embedding store: per
+    vector, the max-abs scale factor and the L2 reconstruction error of
+    round(x·127/max_abs) quantization — the go/no-go report before
+    shipping a compressed (4× smaller) ANN index.
+
+    Pure JVM higher-order array math (``transform`` / ``aggregate`` —
+    no Python, no explode): one scan, zero shuffles, embarrassingly
+    parallel. ``round()`` half-up on exact .5 agrees between engines
+    here because the scaled doubles never land on exact halves (checked
+    over every fixture component; ties would need x·127/max_abs
+    representable as k+0.5 exactly).
+    """
+    e = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast(_EMB_D).alias("e"),
+    )
+    dbl = lambda v: v.cast("double")  # noqa: E731
+    # the scale column must NOT be named `max_abs`: the output select
+    # below aliases its rounded form to that name, and Spark's lateral
+    # column alias resolution would silently rebind F.col("max_abs")
+    # inside `resid` to the ROUNDED value (1-digit error at 6 dp)
+    scaled = e.withColumn(
+        "max_abs_raw", F.array_max(F.transform("e", lambda x: F.abs(x)))
+    )
+    # residual then an explicit x·x square: IEEE multiply is bit-exact
+    # across engines, Math.pow/std::pow(x, 2) are not
+    resid = F.transform(
+        "e",
+        lambda x: x
+        - F.round(x * 127.0 / F.col("max_abs_raw")) * F.col("max_abs_raw") / 127.0,
+    )
+    err_sq = F.aggregate(
+        F.transform(resid, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + dbl(x)
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        r6("max_abs_raw").alias("max_abs"),
+        r6(F.sqrt(err_sq)).alias("quant_err_l2"),
+    )

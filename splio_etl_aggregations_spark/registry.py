@@ -182,6 +182,9 @@ DRIVER_ORDER: list[str] = [
     "sample_split_assign",
     "sample_topk_per_stratum",
     "agg_decay_weighted",
+    "agg_entropy",
+    "ml_standardize_features",
+    "vec_quantize_int8",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -396,3 +396,47 @@ def test_sessionize_partitions_the_timeline(spark):
         F.col("duration_us") > (F.col("n_events") - 1) * 1_800_000_000
     ).count()
     assert bad == 0
+
+
+def test_entropy_bounds_and_degenerate_case(spark):
+    """H ∈ [0, ln n_types]; a user with one event type has exactly H=0."""
+    import math
+
+    rows = Q["agg_entropy"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
+        if r["n_types"] == 1:
+            assert r["entropy"] == 0.0
+
+
+def test_standardize_is_zero_mean_unit_var(spark):
+    """Per-stratum z-scores must have mean ~0 and stddev ~1."""
+    out = Q["ml_standardize_features"].run(spark, SF_SMALL)
+    stats = (
+        out.groupBy("event_type")
+        .agg(
+            F.avg("z_value").alias("mu"),
+            F.stddev_samp("z_value").alias("sd"),
+        )
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert abs(r["mu"]) < 1e-3
+        assert abs(r["sd"] - 1.0) < 1e-3
+
+
+def test_quantize_error_bound(spark):
+    """Per-coordinate quantization error ≤ step/2 = max_abs/254, so the
+    L2 error over d dims is ≤ sqrt(d)·max_abs/254."""
+    d = 64
+    bad = (
+        Q["vec_quantize_int8"]
+        .run(spark, SF_SMALL)
+        .filter(
+            F.col("quant_err_l2") > (d**0.5) * F.col("max_abs") / 254.0 + 1e-9
+        )
+        .count()
+    )
+    assert bad == 0
