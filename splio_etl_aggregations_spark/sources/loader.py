@@ -4,10 +4,12 @@ One central place that:
 
 1. applies the runtime configuration (ns-as-long parquet read, UTC tz),
 2. reads the ten fixture tables,
-3. converts ``events.ts`` from a raw nanosecond long back to a
-   microsecond ``timestamp`` — ``ts div 1000`` is *integer* division, so
-   the conversion is exact (a double-typed ``/ 1000`` would lose
-   sub-microsecond precision at 2024-era epoch magnitudes),
+3. normalizes ``events.ts`` to a microsecond ``timestamp`` whatever the
+   parquet physical type is — the driver has shipped both TIMESTAMP(NANOS)
+   (read as a long via ``nanosAsLong``; ``ts div 1000`` is *integer*
+   division so the conversion is exact) and plain TIMESTAMP(MICROS)
+   (read as ``timestamp_ntz``; cast under the UTC session zone, which
+   preserves the naive value bit-for-bit),
 4. asserts the post-load schema against the declared one so fixture
    drift fails loudly instead of producing wrong hashes,
 5. registers every table as a temp view so operators can use
@@ -148,10 +150,17 @@ def load(
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            # ts arrives as a nanosecond bigint (nanosAsLong=true); the data
-            # has zero sub-microsecond components (FIXTURES.md), so integer
-            # `div 1000` + timestamp_micros reproduces DuckDB's value exactly.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = dict(df.dtypes)["ts"]
+            if ts_type == "bigint":
+                # ts arrives as a nanosecond bigint (nanosAsLong=true); the
+                # data has zero sub-microsecond components (FIXTURES.md), so
+                # integer `div 1000` + timestamp_micros reproduces DuckDB's
+                # value exactly.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:
+                # TIMESTAMP(MICROS) parquet reads as timestamp_ntz; casting
+                # under the UTC session zone keeps the naive value exact.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
         _assert_schema(name, df)
         tables[name] = df
