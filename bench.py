@@ -62,6 +62,10 @@ EXTRA_SHAPES = [
     "agg_entropy",
     "ml_standardize_features",
     "vec_quantize_int8",
+    "corpus_pack_sequences",
+    "text_rep_ngram_filter",
+    "corpus_decontaminate",
+    "corpus_mix_rebalance",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

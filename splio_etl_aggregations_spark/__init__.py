@@ -35,6 +35,7 @@ def register_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggs,
+        corpus,
         dedup,
         etl,
         features,

@@ -1,0 +1,342 @@
+"""Training-corpus preparation operators (SURVEY.md §2-J extension, r2).
+
+The steps between "deduped documents" and "token stream on the trainer":
+sequence packing, repetition-quality filtering, benchmark
+decontamination, domain-mix rebalancing, and quality-aware duplicate
+survivorship. Each is the Spark-first form of a step every large-scale
+LLM data pipeline runs; all five are oracle-checked.
+
+Scale shapes:
+
+- packing: the only global state is the running token offset — computed
+  with the two-phase cumulative sum (range partition → local prefix sum
+  → 16-row offset frame), never a partition-less window;
+- repetition filter: pure per-row array math, zero shuffles;
+- decontamination: the benchmark n-gram set is DISTINCT'd and broadcast
+  (benchmarks are MBs, corpora are TBs), so the only wide exchange is
+  the per-doc hit distinct;
+- mix rebalance: sampling decisions are pure hash predicates — rows
+  never shuffle, only the |lang|-row rate table does;
+- keep-best: window partitioned by content hash, bounded by duplicate
+  cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import ph60, ph60_sql
+from ..registry import register
+
+#: tokens per packed training sequence (small so the sf0.001 fixtures
+#: still straddle sequence boundaries — the interesting case).
+SEQ_LEN = 64
+
+#: n-gram length for benchmark-overlap decontamination. Real pipelines
+#: use 8-13; the fixture vocabulary is 31 tokens, and 8 keeps the
+#: collision set small-but-nonempty at every SF.
+DECON_N = 8
+
+#: benchmark slice of the documents table (stand-in for an eval set).
+BENCH_SOURCES = ("src0", "src1")
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """All n-grams of a token array as strings (empty array when the doc
+    is shorter than n — an unguarded descending ``sequence`` would blow
+    up instead of degrading)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    build = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, build).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_start
+      FROM d
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           (tok_start // {SEQ_LEN})::BIGINT AS seq_first,
+           ((tok_start + n_tokens - 1) // {SEQ_LEN})::BIGINT AS seq_last,
+           ((tok_start + n_tokens - 1) // {SEQ_LEN}
+             - tok_start // {SEQ_LEN} + 1)::BIGINT AS n_seqs
+    FROM c
+    """,
+    tier="P1",
+)
+def corpus_pack_sequences(spark, t):
+    """Pretraining sequence packing: documents are concatenated in
+    doc_id order and cut into fixed ``SEQ_LEN``-token sequences; each doc
+    reports its global token offset and the [first, last] sequence ids it
+    lands in (docs straddle boundaries, as in GPT-style packing).
+
+    The global running offset is the scale problem: a plain
+    ``SUM() OVER (ORDER BY doc_id)`` collapses to one task. This is the
+    two-phase form shared with ``win_global_rank_scalable``: range
+    partition on doc_id, local prefix sums per partition, then a 16-row
+    per-partition-total frame gives each partition its base offset.
+    """
+    d = t["documents"].select(
+        "doc_id", F.size(_toks()).cast("bigint").alias("n_tokens")
+    )
+    parts = d.repartitionByRange(16, F.asc("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_tokens"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("part_tokens").over(w_off), F.lit(0)).alias(
+                "base"
+            ),
+        )
+    )
+    tok_start = (F.col("base") + F.col("local_prefix")).cast("bigint")
+    last_tok = F.col("tok_start") + F.col("n_tokens") - 1
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("tok_start", tok_start)
+        .withColumn("seq_first", (F.col("tok_start") / SEQ_LEN).cast("bigint"))
+        .withColumn("seq_last", (last_tok / SEQ_LEN).cast("bigint"))
+        .withColumn(
+            "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("bigint")
+        )
+        .select(
+            "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last", "n_seqs"
+        )
+    )
+
+
+@register(
+    "text_rep_ngram_filter",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1]) AS g2,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4)
+             AS dup_bigram_frac,
+           round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4)
+             AS dup_trigram_frac,
+           CASE WHEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4) <= 0.2
+                 AND round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) <= 0.18
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM g
+    """,
+    tier="P1",
+)
+def text_rep_ngram_filter(spark, t):
+    """Gopher-style intra-document repetition filter: the fraction of
+    duplicate bigrams/trigrams per doc, and a keep flag at the published
+    thresholds (0.2 / 0.18).
+
+    Entirely per-row array math (``transform`` + ``array_distinct`` —
+    whole-stage codegen, zero shuffles): the filter maps over 100 TB at
+    scan speed. Thresholds compare the ROUNDED fractions so both engines
+    make the same boundary call.
+    """
+    toks = _toks()
+
+    def dup_frac(g: Column) -> Column:
+        return F.round(
+            F.when(
+                F.size(g) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    d2 = dup_frac(_grams(toks, 2))
+    d3 = dup_frac(_grams(toks, 3))
+    return t["documents"].select(
+        "doc_id",
+        d2.alias("dup_bigram_frac"),
+        d3.alias("dup_trigram_frac"),
+        ((d2 <= 0.2) & (d3 <= 0.18)).cast("int").alias("keep_flag"),
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                    i -> array_to_string(t[i:i+{DECON_N - 1}], ' '))) AS g
+      FROM tok WHERE len(t) >= {DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM ng
+      WHERE source IN ('{BENCH_SOURCES[0]}', '{BENCH_SOURCES[1]}')
+    ),
+    hit AS (
+      SELECT DISTINCT doc_id, g FROM ng JOIN bench USING (g)
+      WHERE source NOT IN ('{BENCH_SOURCES[0]}', '{BENCH_SOURCES[1]}')
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_ngrams FROM hit GROUP BY doc_id
+    """,
+    tier="P1",
+)
+def corpus_decontaminate(spark, t):
+    """Benchmark decontamination: training docs sharing any ``DECON_N``-gram
+    with the benchmark slice (sources src0/src1 stand in for an eval
+    set), with the count of distinct colliding n-grams per doc.
+
+    Scale shape: the benchmark side is DISTINCT'd then **broadcast** —
+    eval sets are MBs against TBs of training text, so the contamination
+    probe must never shuffle the corpus by n-gram. The only wide
+    exchange is the per-(doc, gram) distinct, bounded by actual hits.
+    """
+    docs = t["documents"]
+    ng = docs.select(
+        "doc_id", "source", F.explode(_grams(_toks(), DECON_N)).alias("g")
+    )
+    is_bench = F.col("source").isin(*BENCH_SOURCES)
+    bench = ng.filter(is_bench).select("g").distinct()
+    return (
+        ng.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "g")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+@register(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_before FROM documents GROUP BY lang
+    ),
+    tgt AS (SELECT MIN(n_before) AS target FROM counts),
+    rates AS (
+      SELECT lang, n_before,
+             ((target * 1000000) // n_before)::BIGINT AS rate_ppm
+      FROM counts, tgt
+    ),
+    kept AS (
+      SELECT d.lang, COUNT(*)::BIGINT AS n_kept
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE {ph60_sql("doc_id", "mix")} % 1000000 < r.rate_ppm
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_before, r.rate_ppm,
+           COALESCE(k.n_kept, 0)::BIGINT AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+    """,
+    tier="P2",
+)
+def corpus_mix_rebalance(spark, t):
+    """Domain/language mix rebalancing: derive per-language sampling
+    rates that downsample every language to the size of the smallest
+    one (uniform target mix), apply them as deterministic hash
+    predicates, and report before/after counts per language.
+
+    The decision for each row is ``ph60(doc_id) % 1e6 < rate_ppm`` with
+    the |lang|-row rate table broadcast: rows never shuffle to be
+    sampled, which is the only workable shape when the mix step sits in
+    the middle of a 100 TB pipeline. Rates use pure integer arithmetic
+    (``DIV``) so both engines floor identically.
+    """
+    docs = t["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    tgt = counts.agg(F.min("n_before").alias("target"))
+    rates = counts.crossJoin(F.broadcast(tgt)).withColumn(
+        "rate_ppm", F.expr("target * 1000000 DIV n_before").cast("bigint")
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate_ppm")), "lang")
+        .filter(ph60("doc_id", "mix") % 1_000_000 < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            "rate_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id,
+           first_value(doc_id) OVER w AS keeper_id,
+           CASE WHEN doc_id = first_value(doc_id) OVER w THEN 1 ELSE 0 END
+             AS is_keeper
+    FROM documents
+    WINDOW w AS (PARTITION BY sha256(lower(trim(text)))
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tier="P2",
+)
+def dedup_keep_best(spark, t):
+    """Quality-aware exact-dup survivorship: within each content-hash
+    cluster (same normalization as ``dedup_exact``) the keeper is the
+    highest-quality copy — longest text, doc_id as the tie-break —
+    and every doc maps to its cluster's keeper.
+
+    The window partitions by content hash, so its width is the duplicate
+    cluster size (bounded in practice), never the corpus. Differs from
+    ``dedup_exact`` (min-doc_id survivor) by ranking survivors on a
+    quality key — the policy real pipelines want when near-identical
+    copies differ in truncation.
+    """
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    w = (
+        Window.partitionBy("text_hash")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "n_chars", h.alias("text_hash"))
+        .withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias(
+                "is_keeper"
+            ),
+        )
+    )

@@ -185,6 +185,11 @@ DRIVER_ORDER: list[str] = [
     "agg_entropy",
     "ml_standardize_features",
     "vec_quantize_int8",
+    "corpus_pack_sequences",
+    "text_rep_ngram_filter",
+    "corpus_decontaminate",
+    "corpus_mix_rebalance",
+    "dedup_keep_best",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -49,6 +49,12 @@ SINGLE_PARTITION_OK = {
     "sim_ann_lsh_knn": (1, "capped probe-budget limit"),
     # 1-row reference-timestamp scalar aggregate (text_tfidf shape)
     "agg_decay_weighted": (1, "scalar max-ts agg"),
+    # two-phase cumulative sum: the only partition-less window runs over
+    # the 16-row per-partition-total frame (win_ntile shape)
+    "corpus_pack_sequences": (1, "pack offsets frame (≤16 rows)"),
+    # scalar MIN over the |lang|-row counts frame; Catalyst re-expands
+    # the shared rates subtree once per use (rates ∪ kept branches)
+    "corpus_mix_rebalance": (2, "|lang|-row min-target agg ×2 re-expansions"),
 }
 
 BNLJ_OK = {
@@ -56,6 +62,8 @@ BNLJ_OK = {
     "join_theta_range": (2, "4-row band table broadcast"),
     "text_tfidf": (2, "1-row scalar-N crossJoin"),
     "agg_decay_weighted": (2, "1-row ref-timestamp crossJoin"),
+    # 1-row target-count crossJoin, re-expanded into both consumers
+    "corpus_mix_rebalance": (4, "1-row min-target crossJoin ×2 re-expansions"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

@@ -440,3 +440,76 @@ def test_quantize_error_bound(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_pack_sequences_is_contiguous_and_conserving(spark):
+    """Token offsets tile the corpus: each doc starts where the previous
+    one (in doc_id order) ended, and every sequence span is consistent
+    with its offset arithmetic."""
+    rows = sorted(
+        Q["corpus_pack_sequences"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows
+    expect_start = 0
+    for r in rows:
+        assert r["tok_start"] == expect_start
+        assert r["seq_first"] == r["tok_start"] // 64
+        assert r["seq_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 64
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        expect_start += r["n_tokens"]
+
+
+def test_rep_filter_fractions_bounded(spark):
+    """Duplicate-n-gram fractions live in [0, 1); flag agrees with the
+    thresholds on the rounded values."""
+    for r in Q["text_rep_ngram_filter"].run(spark, SF_SMALL).collect():
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert 0.0 <= r["dup_trigram_frac"] < 1.0
+        want = int(r["dup_bigram_frac"] <= 0.2 and r["dup_trigram_frac"] <= 0.18)
+        assert r["keep_flag"] == want
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark):
+    """Output carries only non-benchmark docs, each with ≥1 colliding
+    n-gram."""
+    out = Q["corpus_decontaminate"].run(spark, SF_SMALL)
+    docs = out.join(
+        Q["corpus_decontaminate"]
+        .run(spark, SF_SMALL)
+        .sparkSession.table("documents"),
+        "doc_id",
+    )
+    assert docs.filter(F.col("source").isin("src0", "src1")).count() == 0
+    assert out.filter(F.col("n_hit_ngrams") < 1).count() == 0
+
+
+def test_mix_rebalance_caps_at_available(spark):
+    """Every language keeps ≤ its population; the smallest language's
+    rate is exactly 100 % so it keeps everything."""
+    rows = Q["corpus_mix_rebalance"].run(spark, SF_SMALL).collect()
+    assert rows
+    smallest = min(rows, key=lambda r: (r["n_before"], r["lang"]))
+    assert smallest["rate_ppm"] == 1_000_000
+    assert smallest["n_kept"] == smallest["n_before"]
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_before"]
+
+
+def test_keep_best_selects_longest_copy(spark):
+    """Keeper ids are self-keepers, and no doc in a cluster is longer
+    than its keeper."""
+    out = Q["dedup_keep_best"].run(spark, SF_SMALL)
+    docs = out.sparkSession.table("documents").select("doc_id", "n_chars")
+    j = out.join(docs, "doc_id").select(
+        "doc_id", "keeper_id", "is_keeper", F.col("n_chars").alias("own")
+    )
+    k = j.join(
+        docs.withColumnRenamed("doc_id", "keeper_id").withColumnRenamed(
+            "n_chars", "keeper_chars"
+        ),
+        "keeper_id",
+    )
+    assert k.filter(F.col("own") > F.col("keeper_chars")).count() == 0
+    keepers = out.filter(F.col("is_keeper") == 1)
+    assert keepers.filter(F.col("doc_id") != F.col("keeper_id")).count() == 0
