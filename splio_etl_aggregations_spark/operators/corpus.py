@@ -11,7 +11,9 @@ Scale shapes:
 - packing: the only global state is the running token offset — computed
   with the two-phase cumulative sum (range partition → local prefix sum
   → 16-row offset frame), never a partition-less window;
-- repetition filter: pure per-row array math, zero shuffles;
+- repetition filter: tagged n-gram explode + two-level agg (the per-row
+  higher-order-function form evaluates interpreted and re-inlines the
+  gram tree per output column — measured 23x slower at sf0.1);
 - decontamination: the benchmark n-gram set is DISTINCT'd and broadcast
   (benchmarks are MBs, corpora are TBs), so the only wide exchange is
   the per-doc hit distinct;
@@ -46,15 +48,24 @@ def _toks(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def _grams(toks: Column, n: int) -> Column:
-    """All n-grams of a token array as strings (empty array when the doc
-    is shorter than n — an unguarded descending ``sequence`` would blow
-    up instead of degrading)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    build = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, build).otherwise(
-        F.array().cast("array<string>")
+def _zip_grams(toks: Column, n: int) -> Column:
+    """All n-grams of a token array as an array of ``struct<w0..w{n-1}>``
+    — built from ``arrays_zip`` of shifted ``slice`` views, which are
+    plain codegen expressions. (A ``transform``-over-``sequence`` build
+    evaluates interpreted — measured 23x slower; see
+    ``text_rep_ngram_filter``.) Callers must pre-filter docs shorter
+    than ``n`` tokens: below that the slice length goes non-positive and
+    the zip is empty-or-junk."""
+    sz = F.size(toks) - (n - 1)
+    return F.arrays_zip(
+        *[F.slice(toks, i + 1, sz).alias(f"w{i}") for i in range(n)]
     )
+
+
+def _gram_str(n: int, field: str = "t") -> Column:
+    """Join one exploded :func:`_zip_grams` struct back into the
+    space-separated n-gram string."""
+    return F.concat_ws(" ", *[f"{field}.w{i}" for i in range(n)])
 
 
 @register(
@@ -161,25 +172,42 @@ def text_rep_ngram_filter(spark, t):
     duplicate bigrams/trigrams per doc, and a keep flag at the published
     thresholds (0.2 / 0.18).
 
-    Entirely per-row array math (``transform`` + ``array_distinct`` —
-    whole-stage codegen, zero shuffles): the filter maps over 100 TB at
-    scan speed. Thresholds compare the ROUNDED fractions so both engines
-    make the same boundary call.
+    Shape: per n, explode the doc's n-grams and run a two-level
+    aggregation — (doc, gram) counts, then per-doc total vs distinct —
+    and join the two per-doc stats (both sides already partitioned by
+    doc_id). Grams are built with ``arrays_zip`` of shifted ``slice``
+    views + ``concat_ws`` — plain codegen expressions. Two rejected
+    forms, both measured at sf0.1: per-row ``array_distinct`` over
+    ``transform``-built gram arrays (zero shuffles but higher-order
+    functions evaluate interpreted, and every projected output column
+    re-inlines the gram tree: 23.6 s) and the same exploded agg with
+    ``transform``-built grams (3.9 s). This plan: 0.06 s. Thresholds
+    compare the ROUNDED fractions so both engines make the same
+    boundary call.
     """
     toks = _toks()
 
-    def dup_frac(g: Column) -> Column:
-        return F.round(
-            F.when(
-                F.size(g) > 0,
-                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
-            ).otherwise(F.lit(0.0)),
-            4,
+    def gram_stats(n: int):
+        ex = (
+            t["documents"]
+            .filter(F.size(toks) >= n)
+            .select("doc_id", F.explode(_zip_grams(toks, n)).alias("t"))
+            .select("doc_id", _gram_str(n).alias("g"))
+        )
+        return (
+            ex.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias(f"tot{n}"),
+                F.count(F.lit(1)).alias(f"dist{n}"),
+            )
         )
 
-    d2 = dup_frac(_grams(toks, 2))
-    d3 = dup_frac(_grams(toks, 3))
-    return t["documents"].select(
+    stats = gram_stats(2).join(gram_stats(3), "doc_id")
+    d2 = F.round(F.lit(1.0) - F.col("dist2") / F.col("tot2"), 4)
+    d3 = F.round(F.lit(1.0) - F.col("dist3") / F.col("tot3"), 4)
+    return stats.select(
         "doc_id",
         d2.alias("dup_bigram_frac"),
         d3.alias("dup_trigram_frac"),
@@ -222,9 +250,11 @@ def corpus_decontaminate(spark, t):
     exchange is the per-(doc, gram) distinct, bounded by actual hits.
     """
     docs = t["documents"]
-    ng = docs.select(
-        "doc_id", "source", F.explode(_grams(_toks(), DECON_N)).alias("g")
-    )
+    ng = docs.filter(F.size(_toks()) >= DECON_N).select(
+        "doc_id",
+        "source",
+        F.explode(_zip_grams(_toks(), DECON_N)).alias("t"),
+    ).select("doc_id", "source", _gram_str(DECON_N).alias("g"))
     is_bench = F.col("source").isin(*BENCH_SOURCES)
     bench = ng.filter(is_bench).select("g").distinct()
     return (
