@@ -66,6 +66,11 @@ EXTRA_SHAPES = [
     "text_rep_ngram_filter",
     "corpus_decontaminate",
     "corpus_mix_rebalance",
+    "corpus_shuffle_shards",
+    "text_vocab_coverage",
+    "ml_feature_hashing",
+    "corpus_lm_quality",
+    "dedup_cross_source",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

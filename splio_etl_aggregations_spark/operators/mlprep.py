@@ -1,0 +1,274 @@
+"""Training-set assembly operators (SURVEY.md §2-L, r2 second wave).
+
+The steps that turn a cleaned corpus into what the trainer actually
+consumes: a deterministic global shuffle into shards, tokenizer-vocab
+coverage auditing, hashing-trick featurization, unigram-LM quality
+scoring (the CCNet-style perplexity proxy), and a cross-source overlap
+audit. All five are oracle-checked.
+
+Scale shapes:
+
+- shuffle shards: the shard id is a pure hash predicate (no shuffle to
+  decide placement); within-shard positions come from a window
+  partitioned by shard, so each task sorts exactly one shard — the
+  shard count is the scale knob (16 here, thousands on a cluster, each
+  sized to one task);
+- vocab coverage: the vocabulary is bounded (top-K of a
+  vocabulary-sized count table, TakeOrderedAndProject) and broadcast —
+  the corpus-side token stream never shuffles to be tested;
+- feature hashing: bucket = hash(token) % B is per-row math; the only
+  shuffle is the (doc, bucket) aggregate, map-side-combined to ≤B rows
+  per doc;
+- LM quality: the unigram model (≤|vocab| rows) broadcasts; scoring is
+  one token-stream join + per-doc avg;
+- cross-source overlap: self-join on content hash over the DISTINCT
+  (hash, source) projection — per-hash fan-out is bounded by the number
+  of sources, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import r4, topk
+from ..functions.portable_hash import ph60, ph60_sql
+from ..registry import register
+
+#: shard count for the deterministic training shuffle (the scale knob:
+#: one task sorts one shard, so a cluster run raises this until each
+#: shard fits a task).
+N_SHARDS = 16
+
+#: vocabulary size for the coverage audit — 16 of the fixtures' 31
+#: distinct tokens, so the OOV rate is nonzero at every SF.
+VOCAB_K = 16
+
+#: hashing-trick feature dimensionality.
+FEAT_BUCKETS = 32
+
+#: keep threshold for the unigram-LM mean log-prob (natural log). The
+#: fixture corpus scores in a tight band around ln(1/31) ≈ -3.43;
+#: -3.435 splits it into nonempty keep/drop classes at every SF.
+LM_THRESHOLD = -3.435
+
+
+def _tok_stream(t, *cols: str):
+    """The exploded token stream of the documents table."""
+    return t["documents"].select(
+        *cols, F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           ({ph60_sql("doc_id", "shard")} % {N_SHARDS})::BIGINT AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY {ph60_sql("doc_id", "shard")} % {N_SHARDS}
+             ORDER BY {ph60_sql("doc_id", "pos")}, doc_id
+           )::BIGINT AS pos
+    FROM documents
+    """,
+    tier="P1",
+)
+def corpus_shuffle_shards(spark, t):
+    """Deterministic global training shuffle: every doc lands in shard
+    ``ph60(doc_id) % N_SHARDS`` at position ``rank(ph60(doc_id))`` within
+    its shard — a reproducible random permutation of the corpus, the
+    replacement for ``ORDER BY random()`` that any engine (or a resumed
+    job) re-derives bit-identically.
+
+    Placement is a pure hash predicate (rows never shuffle to *decide*
+    their shard); the within-shard position window partitions by shard,
+    so one task sorts one shard and ``N_SHARDS`` is the scale knob.
+    """
+    shard = (ph60("doc_id", "shard") % N_SHARDS).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(
+        ph60("doc_id", "pos"), F.asc("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_K})
+    SELECT source,
+           COUNT(*)::BIGINT AS n_tokens,
+           COUNT(v.token)::BIGINT AS n_in_vocab,
+           round(1.0 - COUNT(v.token) * 1.0 / COUNT(*), 4) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY source
+    """,
+    tier="P2",
+)
+def text_vocab_coverage(spark, t):
+    """Tokenizer-vocabulary coverage audit: build the top-``VOCAB_K``
+    vocabulary by corpus frequency (count DESC, token ASC tie-break) and
+    report per-source token counts and OOV rate — the go/no-go check
+    before committing to a tokenizer on a new corpus slice.
+
+    The vocabulary is bounded by construction (top-K of the
+    vocabulary-sized count table, TakeOrderedAndProject) and broadcast;
+    the token stream is tested where it lives, never shuffled by token.
+    """
+    tok = _tok_stream(t, "source")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = topk(counts, [F.desc("cnt"), F.asc("token")], VOCAB_K).select(
+        "token", F.lit(1).alias("in_vocab")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("in_vocab").alias("n_in_vocab"),
+            r4(F.lit(1.0) - F.count("in_vocab") / F.count(F.lit(1))).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    SELECT doc_id,
+           ({ph60_sql("token", "feat")} % {FEAT_BUCKETS})::BIGINT AS bucket,
+           COUNT(*)::BIGINT AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, bucket
+    """,
+    tier="P2",
+)
+def ml_feature_hashing(spark, t):
+    """Hashing-trick bag-of-words: each token maps to bucket
+    ``ph60(token) % FEAT_BUCKETS`` and the per-(doc, bucket) counts are
+    the sparse feature matrix — fixed dimensionality with no vocabulary
+    pass, the standard way to featurize unbounded token spaces.
+
+    Bucketing is per-row hash math; the only shuffle is the
+    (doc, bucket) aggregate, map-side-combined to ≤``FEAT_BUCKETS`` rows
+    per doc before the exchange.
+    """
+    bucket = (ph60("token", "feat") % FEAT_BUCKETS).cast("bigint")
+    return (
+        _tok_stream(t, "doc_id")
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+@register(
+    "corpus_lm_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    model AS (SELECT token, COUNT(*)::DOUBLE AS cnt FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*)::DOUBLE AS n FROM tok),
+    scored AS (
+      SELECT t.doc_id, round(AVG(ln(m.cnt / total.n)), 4) AS lm_score
+      FROM tok t JOIN model m USING (token), total
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, lm_score,
+           CASE WHEN lm_score >= {LM_THRESHOLD} THEN 1 ELSE 0 END AS keep_flag
+    FROM scored
+    """,
+    tier="P1",
+)
+def corpus_lm_quality(spark, t):
+    """Unigram-LM quality score: train token probabilities on the corpus
+    itself, score each doc by its mean token log-probability, and flag
+    keeps at ``LM_THRESHOLD`` — the cheap perplexity proxy (CCNet-style)
+    that separates fluent text from token soup before the expensive
+    filters run.
+
+    The model is the vocabulary-bounded count table, broadcast to the
+    scoring join; the corpus streams through one explode + join + per-doc
+    avg. The keep decision compares the ROUNDED score so both engines
+    make the same boundary call.
+    """
+    tok = _tok_stream(t, "doc_id")
+    model = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    score = r4(F.avg(F.log(F.col("cnt") / F.col("n"))))
+    return (
+        tok.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(score.alias("lm_score"))
+        .withColumn(
+            "keep_flag",
+            (F.col("lm_score") >= LM_THRESHOLD).cast("int"),
+        )
+    )
+
+
+#: tokens in the cross-source content fingerprint. Whole-text hashing
+#: finds only byte-identical re-crawls (zero at sf≤0.01 in the
+#: fixtures); a leading-16-token prefix also catches truncation /
+#: continuation variants — the granularity real dump-overlap audits use.
+PREFIX_TOKENS = 16
+
+
+@register(
+    "dedup_cross_source",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT
+             md5(array_to_string(
+               (string_split(lower(trim(text)), ' '))[1:{PREFIX_TOKENS}], ' '
+             )) AS h,
+             source
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tier="P2",
+)
+def dedup_cross_source(spark, t):
+    """Cross-source contamination audit: for every source pair, the
+    number of distinct ``PREFIX_TOKENS``-token content fingerprints
+    (md5 of the normalized leading prefix) appearing in both — the
+    overlap matrix that decides which dumps are worth ingesting and
+    which are re-crawls or truncated copies of each other.
+
+    The self-join runs on the DISTINCT (hash, source) projection, so
+    per-hash fan-out is bounded by the number of sources (a handful),
+    never the duplicate cluster size — the corpus itself is never
+    squared.
+    """
+    prefix = F.concat_ws(
+        " ",
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, PREFIX_TOKENS),
+    )
+    hs = t["documents"].select(F.md5(prefix).alias("h"), "source").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -190,6 +190,11 @@ DRIVER_ORDER: list[str] = [
     "corpus_decontaminate",
     "corpus_mix_rebalance",
     "dedup_keep_best",
+    "corpus_shuffle_shards",
+    "text_vocab_coverage",
+    "ml_feature_hashing",
+    "corpus_lm_quality",
+    "dedup_cross_source",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -37,6 +37,7 @@ SINGLE_PARTITION_OK = {
     "dq_constraint_report": (6, "six scalar audit counts"),
     "dq_profile": (2, "per-column scalar profile aggs"),
     "text_tfidf": (1, "scalar corpus-size N"),
+    "corpus_lm_quality": (1, "scalar corpus-token-total agg"),
     # two-phase global rank: the only partition-less window runs over
     # the n_parts-row per-partition-count frame (≤16 rows)
     "win_ntile": (1, "rank offsets frame (≤16 rows)"),
@@ -61,6 +62,7 @@ BNLJ_OK = {
     "join_cross": (2, "the required 5×25-row Cartesian demo"),
     "join_theta_range": (2, "4-row band table broadcast"),
     "text_tfidf": (2, "1-row scalar-N crossJoin"),
+    "corpus_lm_quality": (2, "1-row token-total crossJoin"),
     "agg_decay_weighted": (2, "1-row ref-timestamp crossJoin"),
     # 1-row target-count crossJoin, re-expanded into both consumers
     "corpus_mix_rebalance": (4, "1-row min-target crossJoin ×2 re-expansions"),
