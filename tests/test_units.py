@@ -513,3 +513,82 @@ def test_keep_best_selects_longest_copy(spark):
     assert k.filter(F.col("own") > F.col("keeper_chars")).count() == 0
     keepers = out.filter(F.col("is_keeper") == 1)
     assert keepers.filter(F.col("doc_id") != F.col("keeper_id")).count() == 0
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    """Every doc appears exactly once; shard ids are in range; positions
+    are contiguous 1..|shard| within each shard."""
+    out = Q["corpus_shuffle_shards"].run(spark, SF_SMALL)
+    docs = out.sparkSession.table("documents")
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    assert out.filter((F.col("shard") < 0) | (F.col("shard") >= 16)).count() == 0
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    )
+    assert per.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_vocab_coverage_conserves_tokens(spark):
+    """Per-source token totals sum to the corpus total, and in-vocab
+    counts never exceed them."""
+    out = Q["text_vocab_coverage"].run(spark, SF_SMALL)
+    docs = out.sparkSession.table("documents")
+    corpus_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    rows = out.collect()
+    assert sum(r["n_tokens"] for r in rows) == corpus_tokens
+    for r in rows:
+        assert 0 <= r["n_in_vocab"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_feature_hashing_conserves_tokens(spark):
+    """Bucketed counts sum back to the corpus token total (the hashing
+    trick loses identity, never mass); buckets are in range."""
+    out = Q["ml_feature_hashing"].run(spark, SF_SMALL)
+    docs = out.sparkSession.table("documents")
+    corpus_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    assert out.agg(F.sum("cnt")).collect()[0][0] == corpus_tokens
+    assert out.filter((F.col("bucket") < 0) | (F.col("bucket") >= 32)).count() == 0
+
+
+def test_lm_quality_scores_are_log_probs(spark):
+    """Mean token log-probs are strictly negative (probabilities < 1),
+    every doc is scored, and the keep flag matches the rounded-score
+    threshold."""
+    out = Q["corpus_lm_quality"].run(spark, SF_SMALL)
+    docs = out.sparkSession.table("documents")
+    assert out.count() == docs.count()
+    for r in out.collect():
+        assert r["lm_score"] < 0.0
+        assert r["keep_flag"] == int(r["lm_score"] >= -3.435)
+
+
+def test_cross_source_overlap_is_upper_triangular(spark):
+    """Pairs are strictly ordered (src_a < src_b, no self-pairs or
+    mirrors) and each overlap is bounded by the smaller side's distinct
+    fingerprint count."""
+    out = Q["dedup_cross_source"].run(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows  # fixtures do contain cross-source prefix collisions
+    assert all(r["src_a"] < r["src_b"] for r in rows)
+    docs = out.sparkSession.table("documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 16)
+    )
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.select(F.md5(prefix).alias("h"), "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r["n_shared"] <= min(per_src[r["src_a"]], per_src[r["src_b"]])
