@@ -71,6 +71,8 @@ EXTRA_SHAPES = [
     "ml_feature_hashing",
     "corpus_lm_quality",
     "dedup_cross_source",
+    "ts_anomaly_mad",
+    "win_streak_islands",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

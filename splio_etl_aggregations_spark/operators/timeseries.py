@@ -192,3 +192,64 @@ def ts_interpolate_linear(spark, t):
             F.floor(interp * 10000 + F.lit(0.5)).cast("bigint") / F.lit(10000.0)
         ).alias("value_interp"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, round(quantile_cont(value, 0.5), 4) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+      FROM events e JOIN med m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id, round(e.value, 4) AS value, m.med, d.mad,
+           round(abs(e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+    FROM events e JOIN med m USING (user_id) JOIN dev d USING (user_id)
+    WHERE d.mad > 0
+      AND round(abs(e.value - m.med) / (1.4826 * d.mad), 4) > 3.0
+    """,
+    tier="P2",
+)
+def ts_anomaly_mad(spark, t):
+    """Robust per-user anomaly detection: events whose value deviates
+    from the user's median by more than 3 MAD-sigmas (median absolute
+    deviation x 1.4826, the robust stdev estimate that outliers can't
+    poison the way they poison mean/stddev thresholds).
+
+    Two aggregation passes (median, then MAD around it) plus the scoring
+    join — every stage keys on user_id, so the plan is three co-
+    partitioned exchanges and no global state. The median/MAD are
+    4-dp-rounded BEFORE the z-score and the z-score BEFORE the
+    threshold, so both engines make identical boundary calls
+    (quantile interpolation equality across engines is only proven at
+    4 dp — see ``agg_percentile``).
+    """
+    e = t["events"]
+    med = e.groupBy("user_id").agg(
+        r4(F.percentile("value", 0.5)).alias("med")
+    )
+    dev = (
+        e.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            r4(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    z = r4(F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")))
+    return (
+        e.join(med, "user_id")
+        .join(dev, "user_id")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.col("robust_z") > 3.0)
+        .select(
+            "event_id", "user_id", r4("value").alias("value"), "med", "mad",
+            "robust_z",
+        )
+    )

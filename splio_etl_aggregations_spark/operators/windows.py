@@ -392,3 +392,56 @@ def win_nth_value(spark, t):
         "o_custkey",
         F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
     )
+
+
+@register(
+    "win_streak_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, ts::DATE AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*)::BIGINT AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           SUM(len)::BIGINT AS n_active_days,
+           COUNT(*)::BIGINT AS n_streaks,
+           MAX(len)::BIGINT AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+    tier="P2",
+)
+def win_streak_islands(spark, t):
+    """Consecutive-day activity streaks per user (gaps-and-islands):
+    distinct active days, minus their per-user rank, collapse each
+    unbroken run onto one island date; run lengths then give the streak
+    count and the longest streak.
+
+    Every window and aggregate partitions by user_id — one shuffle key
+    end to end, island width bounded by a user's active days. The
+    date-minus-rank trick keeps the island key a plain date (exact
+    integer day arithmetic on both engines, no epoch conversions).
+    """
+    days = (
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("island", F.date_sub("d", F.row_number().over(w)))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )

@@ -195,6 +195,8 @@ DRIVER_ORDER: list[str] = [
     "ml_feature_hashing",
     "corpus_lm_quality",
     "dedup_cross_source",
+    "ts_anomaly_mad",
+    "win_streak_islands",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

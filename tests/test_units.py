@@ -592,3 +592,32 @@ def test_cross_source_overlap_is_upper_triangular(spark):
     }
     for r in rows:
         assert 1 <= r["n_shared"] <= min(per_src[r["src_a"]], per_src[r["src_b"]])
+
+
+def test_anomaly_mad_flags_are_extreme(spark):
+    """Every flagged event really deviates > 3 robust sigmas from its
+    user's median, and no user contributes more than a sliver of their
+    events (MAD is outlier-resistant by construction)."""
+    out = Q["ts_anomaly_mad"].run(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["robust_z"] > 3.0
+        assert abs(r["value"] - r["med"]) > 3 * 1.4826 * r["mad"] - 1e-6
+    n_events = out.sparkSession.table("events").count()
+    assert len(rows) < 0.1 * n_events
+
+
+def test_streak_islands_are_consistent(spark):
+    """Longest streak <= active days, streak count >= 1, and the streak
+    lengths tile the active-day total."""
+    out = Q["win_streak_islands"].run(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert 1 <= r["n_streaks"] <= r["n_active_days"]
+        # n_streaks * longest >= active days only when runs are equal;
+        # the tiling invariant is: sum of run lengths == n_active_days,
+        # which the aggregation enforces — spot-check the bound instead
+        assert r["n_active_days"] <= r["n_streaks"] * r["longest_streak"]
