@@ -353,3 +353,37 @@ def str_extended(spark, t):
         F.split_part("p_name", F.lit(" "), F.lit(1)).alias("name_first_word"),
         F.instr("p_type", "BRASS").alias("brass_pos"),
     )
+
+
+@register(
+    "bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey & 255)::BIGINT AS low_byte,
+           (o_orderkey | 4096)::BIGINT AS with_flag,
+           xor(o_orderkey, o_custkey)::BIGINT AS key_mix,
+           (o_orderkey << 3)::BIGINT AS shl3,
+           (o_orderkey >> 2)::BIGINT AS shr2,
+           bit_count(o_orderkey)::INTEGER AS popcount,
+           (~o_orderkey)::BIGINT AS flipped
+    FROM orders
+    """,
+    tier="P2",
+)
+def bitwise_funcs(spark, t):
+    """&, |, xor, shifts, popcount, complement — the bit-manipulation
+    family (bucket masks, flag fields, bitmap indexes all reduce to
+    these). Both engines implement them as exact two's-complement
+    integer ops, so no rounding layer is needed anywhere."""
+    o = t["orders"]
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("key_mix"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl3"),
+        F.shiftright(k, 2).cast("bigint").alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).cast("bigint").alias("flipped"),
+    )

@@ -197,6 +197,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_cross_source",
     "ts_anomaly_mad",
     "win_streak_islands",
+    "bitwise_funcs",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
