@@ -73,6 +73,7 @@ EXTRA_SHAPES = [
     "dedup_cross_source",
     "ts_anomaly_mad",
     "win_streak_islands",
+    "sql_shipping_priority",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

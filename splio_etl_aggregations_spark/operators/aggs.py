@@ -1174,3 +1174,54 @@ def agg_entropy(spark, t):
         F.count("*").alias("n_types"),
         r4(F.log(tot) - F.sum(F.col("n") * F.log("n")) / tot).alias("entropy"),
     )
+
+
+@register(
+    "sql_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tier="P1",
+)
+def sql_shipping_priority(spark, t):
+    """TPC-H Q3 shape (top unshipped-revenue orders for one segment)
+    through the SQL entry point — the classic selective-dim ⋈ fact ⋈
+    fact + agg + top-k plan, end to end in one statement.
+
+    The plan to want, and the one Catalyst picks (verified formatted):
+    both date filters and the segment filter push to the parquet scans,
+    and ORDER BY+LIMIT compiles to TakeOrderedAndProject (no global
+    sort). At fixture scale AQE broadcasts both filtered build sides;
+    at 100 TB the orders⋈lineitem join falls back to a shuffle on the
+    high-cardinality order key while filtered-customer keeps
+    broadcasting — both the right call at their scale. Revenue is
+    rounded before the ORDER BY with l_orderkey as tie-break, so the
+    top-10 cut is deterministic cross-engine.
+    """
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < CAST('1998-06-01' AS TIMESTAMP_NTZ)
+          AND l.l_shipdate > CAST('1998-06-01' AS TIMESTAMP_NTZ)
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )

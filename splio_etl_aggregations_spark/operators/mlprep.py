@@ -272,3 +272,51 @@ def dedup_cross_source(spark, t):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+@register(
+    "corpus_length_buckets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT (length(bin(n_tokens)) - 1)::BIGINT AS bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           MIN(n_tokens)::BIGINT AS min_tokens,
+           MAX(n_tokens)::BIGINT AS max_tokens,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) AS n_batches
+    FROM d GROUP BY bucket
+    """,
+    tier="P2",
+)
+def corpus_length_buckets(spark, t):
+    """Length-bucketed batching plan: docs grouped into power-of-two
+    token-length buckets (floor(log2 n) via the exact binary-string
+    length, never float log2 — log2(2^k) through libm can land at
+    k-epsilon and flip the bucket) with per-bucket doc counts and the
+    batch count at a 512-token budget — how training loaders equalize
+    padding waste.
+
+    One narrow projection + one bounded aggregate (≤64 buckets): scan
+    speed at any corpus size.
+    """
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    d = t["documents"].select(n_tokens.alias("n_tokens"))
+    return (
+        d.groupBy(
+            (F.length(F.bin(F.col("n_tokens"))) - 1)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / 512.0).cast("bigint").alias(
+                "n_batches"
+            ),
+        )
+    )

@@ -253,3 +253,43 @@ def ts_anomaly_mad(spark, t):
             "robust_z",
         )
     )
+
+
+@register(
+    "ts_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us)::BIGINT AS n_gaps,
+           round(AVG(gap_us / 1000000.0), 4) AS avg_gap_s,
+           round(MIN(gap_us) / 1000000.0, 4) AS min_gap_s,
+           round(MAX(gap_us) / 1000000.0, 4) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+    tier="P2",
+)
+def ts_gap_stats(spark, t):
+    """Inter-event gap statistics per user (count / avg / min / max gap
+    seconds) — the cadence profile behind sessionization-gap and
+    bot-detection thresholds.
+
+    One window (lag over the user partition, exact integer µs ordering
+    with an event_id tie-break — §5.4) and one aggregate, both keyed on
+    user_id: a single shuffle end to end.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.asc("event_id"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    g = t["events"].select("user_id", gap).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        r4(F.avg(F.col("gap_us") / 1_000_000.0)).alias("avg_gap_s"),
+        r4(F.min("gap_us") / 1_000_000.0).alias("min_gap_s"),
+        r4(F.max("gap_us") / 1_000_000.0).alias("max_gap_s"),
+    )

@@ -198,6 +198,9 @@ DRIVER_ORDER: list[str] = [
     "ts_anomaly_mad",
     "win_streak_islands",
     "bitwise_funcs",
+    "corpus_length_buckets",
+    "ts_gap_stats",
+    "sql_shipping_priority",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
