@@ -89,18 +89,21 @@ def text_lang_stats(spark, t):
 def text_ngrams(spark, t):
     """Per-document bigram counts.
 
-    Built array-side (transform over an index sequence) instead of
-    explode+window: one pass, no per-token shuffle for the window sort.
+    Built by exploding ``arrays_zip`` of shifted ``slice`` views (plain
+    codegen expressions) — one pass, no per-token shuffle for a window
+    sort, and no lambda higher-order functions, which evaluate
+    interpreted (the ``transform``-over-``sequence`` form this replaced
+    measured 4.1 s at sf0.1 vs 0.5 s; same lesson as
+    ``text_rep_ngram_filter``).
     """
+    from .corpus import _gram_str, _zip_grams
+
     toks = _tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )
     return (
         t["documents"]
         .filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -125,6 +125,14 @@ def shapes(spark, t):
         "interval_overlap": lambda: get("join_interval_overlap").builder(spark, t),
         "scd2_history": lambda: get("etl_scd2_history").builder(spark, t),
         "stream_stream_join": lambda: get("stream_stream_join").builder(spark, t),
+        # r2 second wave: the codegen n-gram rebuild (per-doc work is
+        # constant, docs grow K× → expect linear), the broadcast-model
+        # LM scorer, and the per-user double-percentile anomaly pass
+        # (user count fixed, per-user event history grows K× — a
+        # deliberate partitioned-aggregation depth stress)
+        "rep_ngram_filter": lambda: get("text_rep_ngram_filter").builder(spark, t),
+        "lm_quality": lambda: get("corpus_lm_quality").builder(spark, t),
+        "anomaly_mad": lambda: get("ts_anomaly_mad").builder(spark, t),
     }
 
 
