@@ -205,19 +205,21 @@ def dedup_ngram_jaccard(spark, t):
     join shape as ``dedup_near_jaccard`` (candidates share ≥1 shingle;
     never a cross join), so the same 100 TB posture applies.
     """
+    from .corpus import _gram_str, _zip_grams
+
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
+    # distinct (doc, shingle) rows via explode + DISTINCT: the zip-gram
+    # build is plain codegen, where the per-row
+    # array_distinct(transform(...)) form it replaced evaluates
+    # interpreted (measured 23x on the rep filter; same lesson). The
+    # distinct is one exchange on rows the downstream inverted-index
+    # join reshuffles anyway.
     g = (
         t["documents"]
         .filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(shingles).alias("gram"))
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("gram"))
+        .distinct()
     )
     sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = g.alias("a"), g.alias("b")
@@ -274,22 +276,27 @@ def dedup_near_minhash(spark, t):
     rng_a = [((2 * i + 1) * 0x9E3779B9) % prime or 1 for i in range(n_hashes)]
     rng_b = [((i * i + 7) * 0x27D4EB4F) % prime for i in range(n_hashes)]
 
+    from .corpus import _gram_str, _zip_grams
+
     docs = t["documents"]
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
+    # One codegen zip-gram explode feeds both consumers: the signature
+    # stream keeps duplicate shingles (min() over universal hashes is
+    # duplicate-insensitive), and the verify-side gram SET re-forms via
+    # collect_set — one exchange, replacing the per-row
+    # array_distinct(transform(...)) build that evaluates interpreted
+    # (measured 23x on the rep filter; same lesson).
+    grams_rows = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("gram"))
     )
-    gram_sets = docs.filter(F.size(toks) >= 2).select(
-        "doc_id", shingles.alias("grams")
+    gram_sets = grams_rows.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams")
     )
-    g = gram_sets.select(
-        "doc_id", F.explode("grams").alias("gram")
-    ).select("doc_id", F.pmod(F.xxhash64("gram"), F.lit(prime)).alias("th"))
+    g = grams_rows.select(
+        "doc_id", F.pmod(F.xxhash64("gram"), F.lit(prime)).alias("th")
+    )
     sig = g.groupBy("doc_id").agg(
         *[
             F.min((F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i])) % F.lit(prime))
