@@ -74,6 +74,7 @@ EXTRA_SHAPES = [
     "ts_anomaly_mad",
     "win_streak_islands",
     "sql_shipping_priority",
+    "pipeline_training_set",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

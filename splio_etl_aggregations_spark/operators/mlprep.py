@@ -3,8 +3,10 @@
 The steps that turn a cleaned corpus into what the trainer actually
 consumes: a deterministic global shuffle into shards, tokenizer-vocab
 coverage auditing, hashing-trick featurization, unigram-LM quality
-scoring (the CCNet-style perplexity proxy), and a cross-source overlap
-audit. All five are oracle-checked.
+scoring (the CCNet-style perplexity proxy), a cross-source overlap
+audit, length-bucketed batching stats, and the end-to-end
+``pipeline_training_set`` composite chaining gate → dedup → rebalance →
+shard in one dataflow. All oracle-checked.
 
 Scale shapes:
 
@@ -319,4 +321,117 @@ def corpus_length_buckets(spark, t):
                 "n_batches"
             ),
         )
+    )
+
+
+@register(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4) AS d2,
+             round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) AS d3
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1]) AS g2,
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+            FROM toks)
+    ),
+    clean AS (
+      SELECT d.* FROM documents d JOIN rep r USING (doc_id)
+      WHERE r.d2 <= 0.2 AND r.d3 <= 0.18
+    ),
+    keep AS (
+      SELECT * FROM (
+        SELECT d.*, ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(trim(text)))
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM clean d) WHERE rn = 1
+    ),
+    counts AS (SELECT lang, COUNT(*)::BIGINT AS n FROM keep GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS target FROM counts),
+    rates AS (
+      SELECT lang, ((target * 1000000) // n)::BIGINT AS rate_ppm
+      FROM counts, tgt
+    ),
+    sampled AS (
+      SELECT k.* FROM keep k JOIN rates r USING (lang)
+      WHERE {ph60_sql("doc_id", "ts")} % 1000000 < r.rate_ppm
+    )
+    SELECT lang,
+           ({ph60_sql("doc_id", "tshard")} % 8)::BIGINT AS shard,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+    FROM sampled GROUP BY lang, shard
+    """,
+    tier="P1",
+)
+def pipeline_training_set(spark, t):
+    """End-to-end training-set assembly, hash-checked as ONE dataflow:
+    repetition-quality gate (Gopher thresholds) → quality-aware exact-dup
+    survivorship (longest copy per content hash) → language-mix
+    rebalance to the smallest surviving language (shuffle-free ph60
+    predicates) → deterministic 8-way hash sharding, reported as
+    per-(lang, shard) doc/token counts.
+
+    The composition proof for the r2 wave (counterpart of
+    ``pipeline_clean_corpus``): every stage is the same shape as its
+    standalone operator — codegen zip-gram explode, duplicate-cluster-
+    bounded window, broadcast |lang|-row rate table, hash-predicate
+    placement — so the chain inherits each stage's 100 TB posture; the
+    only driver-visible state is the |lang|x8 summary.
+    """
+    from .corpus import _gram_str, _zip_grams
+
+    docs = t["documents"]
+    toks = F.split(F.col("text"), " ")
+
+    def gram_stats(n: int):
+        ex = (
+            docs.filter(F.size(toks) >= n)
+            .select("doc_id", F.explode(_zip_grams(toks, n)).alias("t"))
+            .select("doc_id", _gram_str(n).alias("g"))
+        )
+        return (
+            ex.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4
+                ).alias(f"d{n}")
+            )
+        )
+
+    rep = gram_stats(2).join(gram_stats(3), "doc_id")
+    clean = docs.join(rep, "doc_id").filter(
+        (F.col("d2") <= 0.2) & (F.col("d3") <= 0.18)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    keep = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d2", "d3")
+    )
+    counts = keep.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tgt = counts.agg(F.min("n").alias("target"))
+    rates = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang", F.expr("target * 1000000 DIV n").cast("bigint").alias("rate_ppm")
+    )
+    sampled = keep.join(F.broadcast(rates), "lang").filter(
+        ph60("doc_id", "ts") % 1_000_000 < F.col("rate_ppm")
+    )
+    return sampled.groupBy(
+        "lang", (ph60("doc_id", "tshard") % 8).cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "n_tokens"
+        ),
     )

@@ -201,6 +201,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_length_buckets",
     "ts_gap_stats",
     "sql_shipping_priority",
+    "pipeline_training_set",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -56,6 +56,7 @@ SINGLE_PARTITION_OK = {
     # scalar MIN over the |lang|-row counts frame; Catalyst re-expands
     # the shared rates subtree once per use (rates ∪ kept branches)
     "corpus_mix_rebalance": (2, "|lang|-row min-target agg ×2 re-expansions"),
+    "pipeline_training_set": (1, "|lang|-row min-target agg"),
 }
 
 BNLJ_OK = {
@@ -66,6 +67,7 @@ BNLJ_OK = {
     "agg_decay_weighted": (2, "1-row ref-timestamp crossJoin"),
     # 1-row target-count crossJoin, re-expanded into both consumers
     "corpus_mix_rebalance": (4, "1-row min-target crossJoin ×2 re-expansions"),
+    "pipeline_training_set": (2, "1-row min-target crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
