@@ -202,6 +202,7 @@ DRIVER_ORDER: list[str] = [
     "ts_gap_stats",
     "sql_shipping_priority",
     "pipeline_training_set",
+    "stream_upsert_materialize",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
