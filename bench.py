@@ -75,6 +75,7 @@ EXTRA_SHAPES = [
     "win_streak_islands",
     "sql_shipping_priority",
     "pipeline_training_set",
+    "attribution_last_touch",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

@@ -1225,3 +1225,78 @@ def sql_shipping_priority(spark, t):
         LIMIT 10
         """
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_ts
+      FROM events
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'direct') AS touch,
+           COUNT(*)::BIGINT AS n_purchases,
+           round(SUM(value), 4) AS total_value
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY touch
+    """,
+    tier="P2",
+)
+def attribution_last_touch(spark, t):
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent non-purchase touch within a 7-day lookback
+    ('direct' when none) — revenue and purchase counts per attributed
+    channel, the classic CDP attribution rollup alongside RFM / cohort /
+    funnel.
+
+    One ignore-nulls last_value window per user (the running as-of state
+    — no per-purchase point lookup join) feeding a 5-row aggregate;
+    shuffle key is user_id throughout. The lookback compares exact
+    timestamps, and the window frame ends AT the purchase row, whose own
+    CASE is NULL — so a purchase can never attribute to itself.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = e.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(in_window, F.col("touch_type")), F.lit("direct")
+            ).alias("touch"),
+            "value",
+        )
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )

@@ -203,6 +203,7 @@ DRIVER_ORDER: list[str] = [
     "sql_shipping_priority",
     "pipeline_training_set",
     "stream_upsert_materialize",
+    "attribution_last_touch",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
