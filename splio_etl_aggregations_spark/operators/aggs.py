@@ -1300,3 +1300,70 @@ def attribution_last_touch(spark, t):
             r4(F.sum("value")).alias("total_value"),
         )
     )
+
+
+@register(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey)::DOUBLE AS n_orders FROM ob),
+    bc AS (SELECT brand, COUNT(*)::BIGINT AS n FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*)::BIGINT AS n_both
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           round(p.n_both * n.n_orders / (ca.n * cb.n), 4) AS lift
+    FROM pairs p
+    JOIN bc ca ON ca.brand = p.brand_a
+    JOIN bc cb ON cb.brand = p.brand_b, n
+    WHERE p.n_both >= 5
+    """,
+    tier="P2",
+)
+def basket_brand_affinity(spark, t):
+    """Market-basket brand affinity: for every brand pair co-occurring in
+    ≥5 orders, the co-occurrence count and lift
+    (P(a,b) / (P(a)·P(b))) — the classic association rollup behind
+    "bought together" recommendations.
+
+    The self-join runs on the DISTINCT (order, brand) projection, so
+    per-order fan-out is bounded by distinct brands per basket (~4 here,
+    never the catalog); part is a broadcast dim; the |brands|-row count
+    table broadcasts back onto the ≤|brands|² pair table. The only
+    unbounded-input exchange is the (order, brand) distinct.
+    """
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("okey").cast("double").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    lift = F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select("brand_a", "brand_b", "n_both", r4(lift).alias("lift"))
+    )

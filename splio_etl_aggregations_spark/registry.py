@@ -204,6 +204,7 @@ DRIVER_ORDER: list[str] = [
     "pipeline_training_set",
     "stream_upsert_materialize",
     "attribution_last_touch",
+    "basket_brand_affinity",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -57,6 +57,7 @@ SINGLE_PARTITION_OK = {
     # the shared rates subtree once per use (rates ∪ kept branches)
     "corpus_mix_rebalance": (2, "|lang|-row min-target agg ×2 re-expansions"),
     "pipeline_training_set": (1, "|lang|-row min-target agg"),
+    "basket_brand_affinity": (1, "scalar n_orders agg"),
 }
 
 BNLJ_OK = {
@@ -68,6 +69,7 @@ BNLJ_OK = {
     # 1-row target-count crossJoin, re-expanded into both consumers
     "corpus_mix_rebalance": (4, "1-row min-target crossJoin ×2 re-expansions"),
     "pipeline_training_set": (2, "1-row min-target crossJoin"),
+    "basket_brand_affinity": (2, "1-row n_orders crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
