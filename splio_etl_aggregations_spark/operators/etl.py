@@ -389,3 +389,67 @@ def etl_sessionize(spark, t):
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         r4(F.sum("value")).alias("sum_value"),
     )
+
+
+@register(
+    "dq_freshness_report",
+    oracle="""
+    SELECT 'events' AS table_name, 'ts' AS ts_col,
+           COUNT(*)::BIGINT AS n_rows,
+           MIN(ts) AS oldest, MAX(ts) AS newest,
+           CAST(date_diff('day', MAX(ts), TIMESTAMP '2026-01-01')
+                AS BIGINT) AS days_stale
+    FROM events
+    UNION ALL
+    SELECT 'orders', 'o_orderdate', COUNT(*)::BIGINT,
+           MIN(o_orderdate), MAX(o_orderdate),
+           CAST(date_diff('day', MAX(o_orderdate), TIMESTAMP '2026-01-01')
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_shipdate', COUNT(*)::BIGINT,
+           MIN(l_shipdate), MAX(l_shipdate),
+           CAST(date_diff('day', MAX(l_shipdate), TIMESTAMP '2026-01-01')
+                AS BIGINT)
+    FROM lineitem
+    """,
+    tier="P2",
+)
+def dq_freshness_report(spark, t):
+    """Freshness/staleness audit across every time-bearing table: row
+    count, oldest/newest timestamp, and whole days between the newest
+    row and a fixed reference date (a pinned literal, not now(), so the
+    report is reproducible and cross-engine-checkable) — the data-ops
+    monitor that catches a stalled ingest before downstream aggregates
+    silently go quiet.
+
+    One scalar aggregate per table (min/max/count reduce map-side to a
+    single row each) unioned into the report: scan-bound, no shuffles of
+    table rows. Staleness uses exact whole-day datediff on both engines.
+
+    Note: events.ts is session-tz (UTC) while orders/lineitem are NTZ —
+    the day arithmetic is identical either way because the reference is
+    a date-aligned literal.
+    """
+    ref = "2026-01-01"
+
+    def freshness(table: str, ts_col: str):
+        df = t[table]
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(ts_col).alias("oldest"),
+            F.max(ts_col).alias("newest"),
+            F.datediff(F.lit(ref).cast("date"), F.to_date(F.max(ts_col)))
+            .cast("bigint")
+            .alias("days_stale"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(ts_col).alias("ts_col"),
+            "*",
+        )
+
+    return (
+        freshness("events", "ts")
+        .unionByName(freshness("orders", "o_orderdate"))
+        .unionByName(freshness("lineitem", "l_shipdate"))
+    )

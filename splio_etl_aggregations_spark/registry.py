@@ -205,6 +205,7 @@ DRIVER_ORDER: list[str] = [
     "stream_upsert_materialize",
     "attribution_last_touch",
     "basket_brand_affinity",
+    "dq_freshness_report",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
