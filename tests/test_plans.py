@@ -177,3 +177,47 @@ def test_cosine_ops_have_no_driver_collect(spark):
         text = explain_str(Q[name].run(spark, SF_SMALL))
         assert "FlatMapGroupsInPandas" in text, name
         assert "embeddings" in text, name
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """The SQL-entry TPC-H Q3 shape must push all three scan filters
+    (segment + both date cuts) into the parquet readers and compile its
+    ORDER BY + LIMIT to TakeOrderedAndProject — the two properties that
+    keep the plan viable when the fact tables are 100 TB."""
+    df = Q["sql_shipping_priority"].run(spark, SF_SMALL)
+    assert has_operator(df, "TakeOrderedAndProject")
+    pf = " | ".join(pushed_filters(df))
+    for frag in ("c_mktsegment,BUILDING", "o_orderdate", "l_shipdate"):
+        assert frag in pf, frag
+
+
+def test_lm_quality_broadcasts_model(spark):
+    """The unigram model join must be a broadcast (vocabulary-bounded
+    build side) — a shuffle join here would reshuffle the whole token
+    stream by token, the scale-breaking shape."""
+    df = Q["corpus_lm_quality"].run(spark, SF_SMALL)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_vocab_coverage_topk_and_broadcast(spark):
+    """Vocab selection must fuse to TakeOrderedAndProject (never a global
+    sort) and the coverage join must broadcast the top-K vocab."""
+    df = Q["text_vocab_coverage"].run(spark, SF_SMALL)
+    assert has_operator(df, "TakeOrderedAndProject")
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_rep_filter_has_no_lambda_hof(spark):
+    """The repetition filter (and the shared zip-gram build) must stay
+    out of interpreted lambda territory: no LambdaFunction/transform
+    nodes in the plan — the 23x regression class caught in round 2."""
+    for name in ("text_rep_ngram_filter", "text_ngrams"):
+        text = explain_str(Q[name].run(spark, SF_SMALL))
+        assert "lambdafunction" not in text.lower(), name
+
+
+def test_shuffle_shards_windows_by_shard(spark):
+    """The training-shuffle position window must partition by shard —
+    never an empty partition spec (single-task global sort)."""
+    text = explain_str(Q["corpus_shuffle_shards"].run(spark, SF_SMALL))
+    assert "windowspecdefinition(shard#" in text
