@@ -387,3 +387,32 @@ def bitwise_funcs(spark, t):
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).cast("bigint").alias("flipped"),
     )
+
+
+@register(
+    "encoding_funcs",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(p_name::BLOB) AS name_b64,
+           hex(p_brand) AS brand_hex,
+           from_base64(to_base64(p_name::BLOB))::VARCHAR AS name_roundtrip,
+           md5(p_name) AS name_md5
+    FROM part
+    """,
+    tier="P2",
+)
+def encoding_funcs(spark, t):
+    """base64/hex/md5 encode-decode — the binary-transport family
+    (payload IDs, cache keys, fixture fingerprints). Both engines emit
+    RFC-4648 base64 and uppercase hex for the same UTF-8 bytes, and the
+    base64 roundtrip proves decode parity, not just encode."""
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.hex(F.col("p_brand")).alias("brand_hex"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string")
+        .alias("name_roundtrip"),
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+    )

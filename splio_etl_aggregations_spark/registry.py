@@ -206,6 +206,7 @@ DRIVER_ORDER: list[str] = [
     "attribution_last_touch",
     "basket_brand_affinity",
     "dq_freshness_report",
+    "encoding_funcs",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
