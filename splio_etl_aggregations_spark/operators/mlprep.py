@@ -435,3 +435,50 @@ def pipeline_training_set(spark, t):
             "n_tokens"
         ),
     )
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+    WITH c AS (
+      SELECT md5(array_to_string(
+               (string_split(lower(trim(text)), ' '))[1:{PREFIX_TOKENS}], ' '
+             )) AS h,
+             COUNT(*)::BIGINT AS sz
+      FROM documents GROUP BY h
+    )
+    SELECT sz AS cluster_size, COUNT(*)::BIGINT AS n_clusters,
+           (sz * COUNT(*))::BIGINT AS n_docs
+    FROM c GROUP BY sz
+    """,
+    tier="P2",
+)
+def dedup_cluster_size_hist(spark, t):
+    """Duplicate cluster-size histogram on the ``PREFIX_TOKENS``-token
+    content fingerprint (same granularity as ``dedup_cross_source`` —
+    whole-text hashing finds nothing at sf≤0.01 in these fixtures): how
+    many clusters exist at each size and how many docs they hold — the
+    one-look diagnostic that tells you whether a corpus needs dedup at
+    all (and whether survivorship will be cheap: max cluster size bounds
+    the keep-best window width).
+
+    Two bounded aggregations (hash → size, size → histogram); shuffle
+    volume is #distinct fingerprints then #distinct sizes.
+    """
+    h = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), " "), 1, PREFIX_TOKENS
+            ),
+        )
+    )
+    c = (
+        t["documents"]
+        .groupBy(h.alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    return c.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.first("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

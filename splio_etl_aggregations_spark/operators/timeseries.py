@@ -293,3 +293,32 @@ def ts_gap_stats(spark, t):
         r4(F.min("gap_us") / 1_000_000.0).alias("min_gap_s"),
         r4(F.max("gap_us") / 1_000_000.0).alias("max_gap_s"),
     )
+
+
+@register(
+    "ts_hourly_profile",
+    oracle="""
+    SELECT EXTRACT(hour FROM ts)::INTEGER AS hour_of_day, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           round(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    tier="P2",
+)
+def ts_hourly_profile(spark, t):
+    """Hour-of-day × event-type activity profile (the 24×|types|
+    seasonality matrix behind load forecasting and send-time
+    optimization). One grouped aggregate; map-side combine collapses
+    each partition to ≤24·|types| rows before the exchange, so shuffle
+    volume is constant regardless of table size."""
+    return (
+        t["events"]
+        .groupBy(
+            F.hour("ts").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+    )

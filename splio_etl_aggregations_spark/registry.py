@@ -207,6 +207,8 @@ DRIVER_ORDER: list[str] = [
     "basket_brand_affinity",
     "dq_freshness_report",
     "encoding_funcs",
+    "dedup_cluster_size_hist",
+    "ts_hourly_profile",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
