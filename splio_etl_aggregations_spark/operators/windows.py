@@ -445,3 +445,72 @@ def win_streak_islands(spark, t):
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.max("len").cast("bigint").alias("longest_streak"),
     )
+
+
+@register(
+    "pareto_revenue_deciles",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             COUNT(*) OVER () AS n_total, SUM(rev) OVER () AS total_rev
+      FROM cust
+    ),
+    per AS (
+      SELECT ((rn - 1) * 10 // n_total) + 1 AS decile,
+             COUNT(*)::BIGINT AS n_customers,
+             round(SUM(rev), 4) AS revenue,
+             round(SUM(rev) / MAX(total_rev), 4) AS rev_share,
+             SUM(rev) AS raw_rev, MAX(total_rev) AS traw
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers, revenue, rev_share,
+           round(SUM(raw_rev) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) / traw, 4) AS cum_share
+    FROM per
+    """,
+    tier="P2",
+)
+def pareto_revenue_deciles(spark, t):
+    """Pareto / ABC revenue-concentration analysis: customers ranked by
+    total spend, cut into 10 rank-deciles, each reporting customer
+    count, revenue, revenue share, and cumulative share — the "top 10 %
+    of customers drive X % of revenue" rollup.
+
+    The global rank rides ``two_phase_global_rank`` (range partition +
+    local rank + broadcast offsets — never a partition-less window over
+    customers); decile assignment is pure integer arithmetic over
+    (rn, n_total); the only partition-less window left runs over the
+    10-row decile frame.
+    """
+    cust = t["orders"].groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    ranked = two_phase_global_rank(
+        cust, [F.desc("rev"), F.asc("o_custkey")]
+    )
+    total = cust.agg(F.sum("rev").alias("total_rev"))
+    decile = (
+        F.expr("(rn - 1) * 10 DIV n_total") + 1
+    ).alias("decile")
+    per = (
+        ranked.crossJoin(F.broadcast(total))
+        .groupBy(decile)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            r4(F.sum("rev")).alias("revenue"),
+            r4(F.sum("rev") / F.max("total_rev")).alias("rev_share"),
+            F.sum("rev").alias("raw_rev"),
+            F.max("total_rev").alias("traw"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_customers",
+        "revenue",
+        "rev_share",
+        r4(F.sum("raw_rev").over(w) / F.col("traw")).alias("cum_share"),
+    )

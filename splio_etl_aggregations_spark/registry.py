@@ -209,6 +209,7 @@ DRIVER_ORDER: list[str] = [
     "encoding_funcs",
     "dedup_cluster_size_hist",
     "ts_hourly_profile",
+    "pareto_revenue_deciles",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

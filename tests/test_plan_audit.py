@@ -44,6 +44,9 @@ SINGLE_PARTITION_OK = {
     "win_ntile": (1, "rank offsets frame (≤16 rows)"),
     "win_percent_cume": (1, "rank offsets frame (≤16 rows)"),
     "win_global_rank_scalable": (1, "rank offsets frame (≤16 rows)"),
+    # two-phase rank offsets frame + scalar total-rev agg + 10-row
+    # decile cum-share window — all bounded by construction
+    "pareto_revenue_deciles": (3, "offsets frame + scalar total + 10-row deciles"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -71,6 +74,7 @@ BNLJ_OK = {
     "corpus_mix_rebalance": (4, "1-row min-target crossJoin ×2 re-expansions"),
     "pipeline_training_set": (2, "1-row min-target crossJoin"),
     "basket_brand_affinity": (2, "1-row n_orders crossJoin"),
+    "pareto_revenue_deciles": (2, "1-row total-rev crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
