@@ -537,3 +537,38 @@ def join_interval_overlap(spark, t):
         .join(hits, "event_id", "left")
         .select("event_id", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
     )
+
+
+@register(
+    "join_null_safe_equi",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey, 0) AS nk FROM customer
+    ),
+    n AS (
+      SELECT nullif(n_nationkey, 0) AS nk, n_name FROM nation
+    )
+    SELECT c.c_custkey, n.n_name
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    """,
+    tier="P2",
+)
+def join_null_safe_equi(spark, t):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): nation
+    key 0 is nulled on both sides, and the null-safe predicate still
+    matches those rows to each other — the semantic a plain equi-join
+    silently drops (NULL = NULL is never true). The practical shape for
+    joining on nullable business keys without COALESCE sentinels.
+
+    Spark plans ``<=>`` as a hash join (the null bucket hashes like any
+    other key), so the scale posture is identical to ``join_shuffle_equi``.
+    """
+    c = t["customer"].select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
+    )
+    n = t["nation"].select(
+        F.nullif(F.col("n_nationkey"), F.lit(0)).alias("nk"), "n_name"
+    )
+    return c.join(F.broadcast(n), c["nk"].eqNullSafe(n["nk"])).select(
+        "c_custkey", "n_name"
+    )

@@ -9,6 +9,8 @@ surface — the pandas variants are the only ones allowed in hot paths
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -154,4 +156,43 @@ def udtf_python(spark, t):
         SELECT o.o_orderkey, s.pos, s.word
         FROM orders o, LATERAL split_words(o.o_orderpriority) s
         """
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 1.1 * 10000 + 0.5)
+             / 10000 AS taxed_net
+    FROM lineitem
+    """,
+    tier="P2",
+)
+def udf_pandas_iter(spark, t):
+    """Iterator-of-series pandas UDF (SCALAR_ITER): the variant for UDFs
+    with expensive per-executor setup (model load, dictionary mmap) —
+    the init cost is paid once per partition, then every Arrow batch
+    streams through the same state. Here the "state" is a constant tax
+    rate, so the result is oracle-checkable; the shape is what matters.
+
+    Rounds via floor(x*1e4 + 0.5)/1e4, not round(): the *1.1 product
+    lands on .xxxx5 midpoints where the engines' round() disagree
+    (caught by the driver-sim hash check; same fix as
+    ``ts_interpolate_linear``).
+    """
+    @F.pandas_udf("double")
+    def taxed_net(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rate = 1.1  # expensive-setup stand-in: loaded once per partition
+        for net in batches:
+            yield net * rate
+
+    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(taxed_net(net) * 10000 + F.lit(0.5)).cast("bigint")
+            / F.lit(10000.0)
+        ).alias("taxed_net"),
     )

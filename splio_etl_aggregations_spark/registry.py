@@ -210,6 +210,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_cluster_size_hist",
     "ts_hourly_profile",
     "pareto_revenue_deciles",
+    "udf_pandas_iter",
+    "join_null_safe_equi",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
