@@ -514,3 +514,110 @@ def pareto_revenue_deciles(spark, t):
         "rev_share",
         r4(F.sum("raw_rev").over(w) / F.col("traw")).alias("cum_share"),
     )
+
+
+@register(
+    "win_bollinger_bands",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             round(AVG(value) OVER win, 4) AS ma7,
+             round(stddev_samp(value) OVER win, 4) AS sd7,
+             COUNT(*) OVER win AS n_win
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, round(value, 4) AS value, ma7, sd7,
+           CASE WHEN value > ma7 + 2 * sd7 THEN 1
+                WHEN value < ma7 - 2 * sd7 THEN -1
+                ELSE 0 END AS breach
+    FROM w WHERE n_win = 7
+    """,
+    tier="P2",
+)
+def win_bollinger_bands(spark, t):
+    """Bollinger bands per user: trailing 7-event moving average ±
+    2 rolling sample-stddevs, with a breach flag (+1 above, -1 below) —
+    the rolling-volatility envelope behind alerting and trading-style
+    signals. Rows without a full 7-event history are excluded so the
+    bands are always well-defined.
+
+    One window spec (user partition, exact (ts, event_id) order) carries
+    all three frame aggregates in a single pass — no extra shuffles per
+    function. The breach compares ROUNDED bands so both engines make
+    the same call at the boundary.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    d = t["events"].select(
+        "event_id",
+        "user_id",
+        "value",
+        r4(F.avg("value").over(w)).alias("ma7"),
+        r4(F.stddev_samp("value").over(w)).alias("sd7"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    breach = (
+        F.when(F.col("value") > F.col("ma7") + 2 * F.col("sd7"), 1)
+        .when(F.col("value") < F.col("ma7") - 2 * F.col("sd7"), -1)
+        .otherwise(0)
+    )
+    return d.filter(F.col("n_win") == 7).select(
+        "event_id",
+        "user_id",
+        r4("value").alias("value"),
+        "ma7",
+        "sd7",
+        breach.alias("breach"),
+    )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn,
+             COUNT(*) OVER () AS n, SUM(rev) OVER () AS total
+      FROM cust
+    )
+    SELECT round(2.0 * SUM(rn * rev) / (MAX(n) * MAX(total))
+                 - (MAX(n) + 1.0) / MAX(n), 4) AS gini,
+           MAX(n)::BIGINT AS n_customers
+    FROM ranked
+    """,
+    tier="P2",
+)
+def agg_gini_revenue(spark, t):
+    """Gini coefficient of customer revenue (0 = perfectly equal,
+    →1 = one customer is all the revenue) via the rank formulation
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted revenues —
+    the one-number inequality companion to ``pareto_revenue_deciles``.
+
+    The rank rides ``two_phase_global_rank`` (never a partition-less
+    window over customers); the final fold is a scalar aggregate of
+    exact (rank × revenue) products.
+    """
+    cust = t["orders"].groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    ranked = two_phase_global_rank(cust, [F.asc("rev"), F.asc("o_custkey")])
+    gini = (
+        F.lit(2.0) * F.sum(F.col("rn") * F.col("rev"))
+        / (F.max("n_total") * F.max(F.col("total")))
+        - (F.max("n_total") + F.lit(1.0)) / F.max("n_total")
+    )
+    total = cust.agg(F.sum("rev").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .agg(
+            r4(gini).alias("gini"),
+            F.max("n_total").cast("bigint").alias("n_customers"),
+        )
+    )

@@ -212,6 +212,8 @@ DRIVER_ORDER: list[str] = [
     "pareto_revenue_deciles",
     "udf_pandas_iter",
     "join_null_safe_equi",
+    "win_bollinger_bands",
+    "agg_gini_revenue",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -47,6 +47,7 @@ SINGLE_PARTITION_OK = {
     # two-phase rank offsets frame + scalar total-rev agg + 10-row
     # decile cum-share window — all bounded by construction
     "pareto_revenue_deciles": (3, "offsets frame + scalar total + 10-row deciles"),
+    "agg_gini_revenue": (3, "offsets frame + scalar total + scalar gini fold"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -75,6 +76,7 @@ BNLJ_OK = {
     "pipeline_training_set": (2, "1-row min-target crossJoin"),
     "basket_brand_affinity": (2, "1-row n_orders crossJoin"),
     "pareto_revenue_deciles": (2, "1-row total-rev crossJoin"),
+    "agg_gini_revenue": (2, "1-row total-rev crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
