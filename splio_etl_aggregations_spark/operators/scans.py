@@ -204,3 +204,36 @@ def source_date_spine(spark, t):
             ),
         )
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    SELECT event_id, user_id, round(value, 4) AS value,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+    FROM events
+    """,
+    tier="P2",
+)
+def scan_merge_schema(spark, t):
+    """Schema-evolution read: two generations of event files — the old
+    layout without `event_type`, the new one with it — land in the same
+    directory, and a ``mergeSchema`` scan reconciles them into one
+    DataFrame (old rows get NULL for the new column). The ingest
+    reality every long-lived pipeline hits when producers add fields.
+
+    Spark resolves the merged schema from file footers at planning time
+    — no data rewrite — and the per-file projections still prune
+    columns; at 100 TB that matters more than it does here.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="mrg_"), "events_gens")
+    e = t["events"].select(
+        "event_id", "user_id", F.round("value", 4).alias("value"), "event_type"
+    )
+    old_gen = e.filter(F.col("event_id") % 2 == 0).drop("event_type")
+    new_gen = e.filter(F.col("event_id") % 2 == 1)
+    old_gen.write.mode("append").parquet(path)
+    new_gen.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "event_id", "user_id", "value", "event_type"
+    )

@@ -300,7 +300,7 @@ def ts_gap_stats(spark, t):
     oracle="""
     SELECT EXTRACT(hour FROM ts)::INTEGER AS hour_of_day, event_type,
            COUNT(*)::BIGINT AS n_events,
-           round(AVG(value), 4) AS avg_value
+           floor(AVG(value) * 10000 + 0.5) / 10000 AS avg_value
     FROM events GROUP BY 1, 2
     """,
     tier="P2",
@@ -319,6 +319,63 @@ def ts_hourly_profile(spark, t):
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            r4(F.avg("value")).alias("avg_value"),
+            # floor(x*1e4+0.5)/1e4, not round(): the hourly means land on
+            # .xxxx5 midpoints where engine round() implementations
+            # disagree (caught by the sf0.001 differential)
+            (
+                F.floor(F.avg("value") * 10000 + F.lit(0.5)).cast("bigint")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
+    )
+
+
+@register(
+    "ts_year_over_year",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate)::INTEGER AS yr,
+             EXTRACT(month FROM o_orderdate)::INTEGER AS mo,
+             round(SUM(o_totalprice), 4) AS revenue,
+             SUM(o_totalprice) AS raw_rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue,
+           round(raw_rev - lag(raw_rev) OVER w, 4) AS yoy_delta,
+           round((raw_rev / lag(raw_rev) OVER w - 1) * 100, 4) AS yoy_pct
+    FROM m
+    WINDOW w AS (PARTITION BY mo ORDER BY yr)
+    """,
+    tier="P2",
+)
+def ts_year_over_year(spark, t):
+    """Year-over-year monthly revenue: each (year, month) cell vs the
+    same month one year earlier — absolute delta and percent growth,
+    NULL where no prior year exists. The standard BI seasonality-aware
+    growth rollup.
+
+    The lag window partitions by month-of-year (12 partitions of
+    |years| rows over the pre-aggregated monthly frame) — the input is
+    already reduced to #months rows by a map-side-combined aggregate,
+    so the window cost is trivial at any table size.
+    """
+    m = (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            r4(F.sum("o_totalprice")).alias("revenue"),
+            F.sum("o_totalprice").alias("raw_rev"),
+        )
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("raw_rev").over(w)
+    return m.select(
+        "yr",
+        "mo",
+        "revenue",
+        r4(F.col("raw_rev") - prev).alias("yoy_delta"),
+        r4((F.col("raw_rev") / prev - 1) * 100).alias("yoy_pct"),
     )

@@ -214,6 +214,8 @@ DRIVER_ORDER: list[str] = [
     "join_null_safe_equi",
     "win_bollinger_bands",
     "agg_gini_revenue",
+    "scan_merge_schema",
+    "ts_year_over_year",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
