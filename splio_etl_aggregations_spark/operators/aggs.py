@@ -1367,3 +1367,66 @@ def basket_brand_affinity(spark, t):
         .crossJoin(F.broadcast(n))
         .select("brand_a", "brand_b", "n_both", r4(lift).alias("lift"))
     )
+
+
+@register(
+    "agg_sketch_accuracy_report",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type,
+                 ('0x' || substr(md5('hll:' || user_id), 1, 15))::ubigint AS h
+          FROM u),
+    reg AS (SELECT event_type, h % {_HLL_M} AS j,
+                   CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                        ELSE strpos(lpad(bin(h // {_HLL_M}), {_HLL_W}, '0'), '1')
+                   END AS r
+            FROM h),
+    rm AS (SELECT event_type, j, MAX(r) AS mj FROM reg GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 (SUM(1::BIGINT << ({_HLL_W + 1} - mj))
+                  + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_W + 1}))::BIGINT AS s_int,
+                 {_HLL_M} - COUNT(*) AS v
+          FROM rm GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             round(CASE WHEN v > 0 AND {_HLL_CRAW!r} / s_int <= {_HLL_LC!r}
+                        THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                        ELSE {_HLL_CRAW!r} / s_int END, 4) AS approx_users
+      FROM s
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.exact_users, a.approx_users,
+           round(abs(a.approx_users - e.exact_users) / e.exact_users, 4)
+             AS rel_err
+    FROM ex e JOIN est a USING (event_type)
+    """,
+    tier="P2",
+)
+def agg_sketch_accuracy_report(spark, t):
+    """Sketch-accuracy report: exact distinct users per event type next
+    to the portable-HLL estimate with its relative error — the audit a
+    team runs before trusting approximate rollups in production
+    dashboards. (RSE for m=256 is ~6.5 %; the report shows the actual
+    per-group error.)
+
+    The exact side is the expand/two-phase count-distinct; the sketch
+    side reuses the shared HLL register pipeline; both reduce to
+    |event types| rows before the join.
+    """
+    exact = t["events"].groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    est = _hll_estimate(
+        _hll_regmax(t["events"], ["event_type"], "user_id"),
+        ["event_type"],
+        "approx_users",
+    )
+    rel = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_users", "approx_users", r4(rel).alias("rel_err")
+    )

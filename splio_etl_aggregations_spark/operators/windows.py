@@ -621,3 +621,32 @@ def agg_gini_revenue(spark, t):
             F.max("n_total").cast("bigint").alias("n_customers"),
         )
     )
+
+
+@register(
+    "win_rolling_distinct",
+    oracle="""
+    SELECT event_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           )::INTEGER AS types_10
+    FROM events
+    """,
+    tier="P2",
+)
+def win_rolling_distinct(spark, t):
+    """Rolling distinct count: how many distinct event types each user's
+    trailing 10 events span — the behavioral-diversity signal bots
+    (single-type bursts) fail. Spark has no DISTINCT window aggregate,
+    so it composes as ``size(collect_set() over w)`` — per-frame set
+    state bounded by |event types|, all JVM-side."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return t["events"].select(
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("types_10"),
+    )

@@ -216,6 +216,8 @@ DRIVER_ORDER: list[str] = [
     "agg_gini_revenue",
     "scan_merge_schema",
     "ts_year_over_year",
+    "win_rolling_distinct",
+    "agg_sketch_accuracy_report",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
