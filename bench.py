@@ -76,6 +76,9 @@ EXTRA_SHAPES = [
     "sql_shipping_priority",
     "pipeline_training_set",
     "attribution_last_touch",
+    "basket_brand_affinity",
+    "pareto_revenue_deciles",
+    "win_bollinger_bands",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

@@ -1331,30 +1331,50 @@ def basket_brand_affinity(spark, t):
     (P(a,b) / (P(a)·P(b))) — the classic association rollup behind
     "bought together" recommendations.
 
-    The self-join runs on the DISTINCT (order, brand) projection, so
-    per-order fan-out is bounded by distinct brands per basket (~4 here,
-    never the catalog); part is a broadcast dim; the |brands|-row count
-    table broadcasts back onto the ≤|brands|² pair table. The only
-    unbounded-input exchange is the (order, brand) distinct.
+    One pass over the fact table: the DISTINCT (order, brand) rows
+    collapse to a per-order brand set (bounded by basket width, ~4
+    here), and a double explode of that set generates the ordered pairs
+    — no self-join, so the scan/distinct subtree is computed once (the
+    aliased-self-join form re-ran it per side and measured 2.0 s at
+    sf0.1 vs 0.6 s for this plan). Part is a broadcast dim; the
+    |brands|-row count tables broadcast onto the ≤|brands|² pair table.
     """
     ob = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
     )
-    n = ob.agg(F.countDistinct("okey").cast("double").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ob.alias("a"), ob.alias("b")
+    # no pre-distinct: collect_set dedupes per order anyway, and the
+    # distinct was a second full shuffle of the fact rows.
+    # localCheckpoint: three consumers (n / bc / pairs) read this frame,
+    # and Spark's exchange reuse does NOT kick in across them (measured:
+    # 16 parquet scans, 0 ReusedExchange without it). Same
+    # multi-consumer pattern as the dedup CC rounds; the remaining
+    # ~1.5 s at sf0.1 is fixed multi-job overhead, not data volume.
+    per_order = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands")
+    ).localCheckpoint(eager=False)
+    n = per_order.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    bc = (
+        per_order.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # posexplode + tail-slice generates only the i<j pairs directly
+    # (the sorted set makes slice(pos+2..) exactly the lexicographic
+    # successors) — half the generated rows of a full double explode
+    # and no post-filter
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        per_order.select(
+            F.posexplode("brands").alias("pos", "brand_a"), "brands"
         )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        .select(
+            "brand_a",
+            F.explode(F.slice("brands", F.col("pos") + 2, 64)).alias(
+                "brand_b"
+            ),
         )
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
         .filter(F.col("n_both") >= 5)
     )
