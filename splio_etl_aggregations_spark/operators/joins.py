@@ -572,3 +572,88 @@ def join_null_safe_equi(spark, t):
     return c.join(F.broadcast(n), c["nk"].eqNullSafe(n["nk"])).select(
         "c_custkey", "n_name"
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    e AS (
+      SELECT a.brand AS src, b.brand AS dst
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    tri AS (
+      SELECT COUNT(*)::BIGINT AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT src FROM e
+                                  UNION SELECT DISTINCT dst FROM e))::BIGINT
+             AS n_nodes,
+           (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+    tier="P3",
+)
+def graph_triangle_count(spark, t):
+    """Triangle counting on the brand co-occurrence graph (edges =
+    brand pairs sharing ≥5 orders): the classic distributed graph
+    metric behind clustering-coefficient and community detection.
+
+    Edges are ORIENTED low→high before the two-hop join, so every
+    triangle a<b<c is enumerated exactly once and the join fan-out is
+    bounded by out-degree under the orientation — the standard trick
+    that makes distributed triangle counting feasible (an unoriented
+    edge join counts each triangle 6x and explodes on hub nodes).
+    Here the graph is |brands|-sized after the fact-table reduction, so
+    the edge joins broadcast.
+    """
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # three self-join consumers
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select("dst"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

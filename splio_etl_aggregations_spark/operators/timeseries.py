@@ -379,3 +379,110 @@ def ts_year_over_year(spark, t):
         r4(F.col("raw_rev") - prev).alias("yoy_delta"),
         r4((F.col("raw_rev") / prev - 1) * 100).alias("yoy_pct"),
     )
+
+
+@register(
+    "ts_peak_concurrency",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no,
+             ts_us
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_no, MIN(ts_us) AS s_start, MAX(ts_us) AS s_end
+      FROM sess GROUP BY user_id, session_no
+    ),
+    bounds AS (
+      SELECT s_start AS ts_us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT s_end, -1 FROM spans
+    ),
+    run AS (
+      SELECT SUM(delta) OVER (ORDER BY ts_us, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM bounds
+    )
+    SELECT (SELECT MAX(conc) FROM run)::BIGINT AS peak_concurrency,
+           (SELECT COUNT(*) FROM spans)::BIGINT AS n_sessions,
+           (SELECT COUNT(DISTINCT user_id) FROM spans)::BIGINT AS n_users
+    """,
+    tier="P3",
+)
+def ts_peak_concurrency(spark, t):
+    """Peak concurrent sessions (capacity-planning's favorite number):
+    gap-30-min sessions per user (same convention as ``etl_sessionize``)
+    become ±1 boundary events, and a sweep-line running sum's maximum is
+    the peak concurrency. Ends sort before starts at the same microsecond
+    (delta −1 < +1), so touching sessions never double-count.
+
+    The sweep's running sum over ALL boundaries is the scale problem — a
+    plain global window is one task. It rides the two-phase cumulative
+    sum (range partition on the sweep key, local prefix sums, 16-row
+    offset frame), the same machinery as ``corpus_pack_sequences``; the
+    max of a cumulative sum is deterministic under equal-key reordering
+    because equal keys share one sign.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = t["events"].select("user_id", "event_id", us.alias("ts_us"))
+    prev = F.lag("ts_us").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        (prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000)).cast("int"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end")
+    ).localCheckpoint(eager=False)  # sweep + two count consumers
+    bounds = spans.select(
+        F.col("s_start").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("s_end").alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    # two-phase cumulative sum over the sweep order (ts_us, delta)
+    parts = bounds.repartitionByRange(16, F.asc("ts_us"), F.asc("delta"))
+    with_pid = parts.withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("ts_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn("local_sum", F.sum("delta").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.sum("delta").alias("part_sum"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("part_sum").over(w_off), F.lit(0)).alias("base"),
+        )
+    )
+    peak = (
+        local.join(F.broadcast(offsets), "pid")
+        .select((F.col("base") + F.col("local_sum")).alias("conc"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    )
+    counts = spans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    return peak.crossJoin(F.broadcast(counts)).select(
+        "peak_concurrency", "n_sessions", "n_users"
+    )

@@ -218,6 +218,8 @@ DRIVER_ORDER: list[str] = [
     "ts_year_over_year",
     "win_rolling_distinct",
     "agg_sketch_accuracy_report",
+    "graph_triangle_count",
+    "ts_peak_concurrency",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

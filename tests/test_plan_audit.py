@@ -48,6 +48,10 @@ SINGLE_PARTITION_OK = {
     # decile cum-share window — all bounded by construction
     "pareto_revenue_deciles": (3, "offsets frame + scalar total + 10-row deciles"),
     "agg_gini_revenue": (3, "offsets frame + scalar total + scalar gini fold"),
+    # sweep offsets frame (≤16 rows) + scalar peak agg + scalar counts agg
+    "ts_peak_concurrency": (3, "sweep offsets frame + two scalar folds"),
+    # |brands|-bounded graph: three scalar aggs (nodes/edges/triangles)
+    "graph_triangle_count": (3, "bounded-graph scalar aggs"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -77,6 +81,8 @@ BNLJ_OK = {
     "basket_brand_affinity": (2, "1-row n_orders crossJoin"),
     "pareto_revenue_deciles": (2, "1-row total-rev crossJoin"),
     "agg_gini_revenue": (2, "1-row total-rev crossJoin"),
+    "ts_peak_concurrency": (2, "1-row counts crossJoin"),
+    "graph_triangle_count": (4, "1-row edges/triangles crossJoins"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
