@@ -453,3 +453,75 @@ def dq_freshness_report(spark, t):
         .unionByName(freshness("orders", "o_orderdate"))
         .unionByName(freshness("lineitem", "l_shipdate"))
     )
+
+
+@register(
+    "dq_fk_orphans",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+             AS n_orphans,
+           (SELECT COUNT(*) FROM orders)::BIGINT AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))::BIGINT,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT
+    """,
+    tier="P2",
+)
+def dq_fk_orphans(spark, t):
+    """Referential-integrity audit: orphan counts for every declared
+    foreign key (child rows whose parent is missing) — the DQ check that
+    catches partial loads and out-of-order ingestion, complementing the
+    value-rule `dq_constraint_report`.
+
+    Each FK is one LEFT ANTI join (child probes the parent's join hash,
+    nothing materializes but violations) plus a scalar count; parent
+    key sets broadcast when dimension-sized. Zero orphans on these
+    fixtures — the point is the report shape, and that zero is PROVEN,
+    not assumed.
+    """
+
+    def orphans(fk: str, child, key_col: str, parent, pkey_col: str):
+        n_orph = (
+            child.join(
+                parent.select(pkey_col),
+                child[key_col] == parent[pkey_col],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        n_rows = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        return (
+            n_orph.crossJoin(F.broadcast(n_rows))
+            .select(F.lit(fk).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return (
+        orphans(
+            "orders.o_custkey->customer",
+            t["orders"], "o_custkey", t["customer"], "c_custkey",
+        )
+        .unionByName(
+            orphans(
+                "lineitem.l_orderkey->orders",
+                t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+            )
+        )
+        .unionByName(
+            orphans(
+                "lineitem.l_partkey->part",
+                t["lineitem"], "l_partkey", t["part"], "p_partkey",
+            )
+        )
+    )

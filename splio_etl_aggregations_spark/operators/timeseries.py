@@ -486,3 +486,63 @@ def ts_peak_concurrency(spark, t):
     return peak.crossJoin(F.broadcast(counts)).select(
         "peak_concurrency", "n_sessions", "n_users"
     )
+
+
+#: EWMA smoothing factor and window length (trailing 10 events).
+EWMA_ALPHA = 0.3
+EWMA_N = 10
+
+
+@register(
+    "ts_ewma10",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, value,
+             {", ".join(f"lag(value, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{i}" for i in range(1, EWMA_N))},
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN {EWMA_N - 1} PRECEDING AND CURRENT ROW)
+               AS n_win
+      FROM events
+    )
+    SELECT event_id,
+           round((value {" ".join(f"+ {(1 - EWMA_ALPHA) ** i!r} * v{i}" for i in range(1, EWMA_N))})
+                 / {sum((1 - EWMA_ALPHA) ** i for i in range(EWMA_N))!r}, 4)
+             AS ewma
+    FROM lagged WHERE n_win = {EWMA_N}
+    """,
+    tier="P2",
+)
+def ts_ewma10(spark, t):
+    """Exponentially weighted moving average over each user's trailing
+    10 events (alpha = 0.3, normalized finite-window form) — the
+    smoothing primitive behind trend lines and alert baselines.
+
+    Spark windows can't express the recursive EWMA, so the bounded form
+    expands to 9 lags + a weighted sum — ONE window spec evaluated in a
+    single pass, exact weights written as double literals identically
+    into both engines. Rows without a full 10-event history are
+    excluded so the normalization is constant.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", i).over(w) for i in range(1, EWMA_N)
+    ]
+    weights = [(1 - EWMA_ALPHA) ** i for i in range(EWMA_N)]
+    total = sum(weights)
+    n_win = F.count(F.lit(1)).over(
+        w.rowsBetween(-(EWMA_N - 1), 0)
+    )
+    num = lags[0] + sum(
+        (F.lit(weights[i]) * lags[i] for i in range(1, EWMA_N)),
+        F.lit(0.0),
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            (num / F.lit(total)).alias("raw"),
+            n_win.alias("n_win"),
+        )
+        .filter(F.col("n_win") == EWMA_N)
+        .select("event_id", F.round("raw", 4).alias("ewma"))
+    )

@@ -220,6 +220,8 @@ DRIVER_ORDER: list[str] = [
     "agg_sketch_accuracy_report",
     "graph_triangle_count",
     "ts_peak_concurrency",
+    "dq_fk_orphans",
+    "ts_ewma10",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -52,6 +52,8 @@ SINGLE_PARTITION_OK = {
     "ts_peak_concurrency": (3, "sweep offsets frame + two scalar folds"),
     # |brands|-bounded graph: three scalar aggs (nodes/edges/triangles)
     "graph_triangle_count": (3, "bounded-graph scalar aggs"),
+    # three FK audits × (orphan count + row count) scalar aggregates
+    "dq_fk_orphans": (6, "per-FK scalar audit counts"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -83,6 +85,7 @@ BNLJ_OK = {
     "agg_gini_revenue": (2, "1-row total-rev crossJoin"),
     "ts_peak_concurrency": (2, "1-row counts crossJoin"),
     "graph_triangle_count": (4, "1-row edges/triangles crossJoins"),
+    "dq_fk_orphans": (6, "1-row n_rows crossJoin per FK"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
