@@ -1450,3 +1450,83 @@ def agg_sketch_accuracy_report(spark, t):
     return exact.join(est, "event_type").select(
         "event_type", "exact_users", "approx_users", r4(rel).alias("rel_err")
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS slope,
+           round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4)
+             AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2,
+           regr_count(value, epoch_us(ts) / 3600000000.0)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+    tier="P2",
+)
+def agg_regression(spark, t):
+    """Per-group OLS trend fit: slope / intercept / R² of value against
+    event time (in hours) for each event type — the built-in linear
+    regression aggregates (SQL:2003 REGR_*), verified bit-compatible
+    across engines at 6 dp. The one-pass sufficient-statistics form
+    (sums of x, y, xy, x², y²) is what both engines execute, so it
+    partial-aggregates and merges like any other sketch.
+    """
+    x = F.unix_micros("ts") / F.lit(3.6e9)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", x), 6).alias("slope"),
+            r4(F.regr_intercept("value", x)).alias("intercept"),
+            F.round(F.regr_r2("value", x), 6).alias("r2"),
+            F.regr_count("value", x).cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, event_type, MIN(ts::DATE) AS d0
+      FROM events GROUP BY user_id, event_type
+    ),
+    new_per_day AS (
+      SELECT d0 AS day, COUNT(*)::BIGINT AS n_new FROM first_seen GROUP BY d0
+    )
+    SELECT day, n_new,
+           SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS cum_users
+    FROM new_per_day
+    """,
+    tier="P2",
+)
+def agg_cumulative_unique_users(spark, t):
+    """Cumulative distinct (user, event-type) adoption curve: each pair
+    counts once, on its first-seen day, and the running sum of new-pair
+    counts IS the cumulative distinct total — the first-seen-attribution
+    trick that turns an unbounded distinct-over-growing-window into one
+    bounded aggregate chain. (Pair granularity, not bare users: every
+    fixture user is active on day 1, which would collapse the curve to
+    one row.)
+
+    min-per-pair → count-per-day both map-side combine; the only
+    partition-less window runs over the ≤|days| daily frame (30 rows
+    here, still tiny at 100 TB — days, not rows).
+    """
+    from pyspark.sql import Window
+
+    first_seen = t["events"].groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    new_per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )

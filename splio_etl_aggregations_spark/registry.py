@@ -222,6 +222,8 @@ DRIVER_ORDER: list[str] = [
     "ts_peak_concurrency",
     "dq_fk_orphans",
     "ts_ewma10",
+    "agg_regression",
+    "agg_cumulative_unique_users",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -54,6 +54,8 @@ SINGLE_PARTITION_OK = {
     "graph_triangle_count": (3, "bounded-graph scalar aggs"),
     # three FK audits × (orphan count + row count) scalar aggregates
     "dq_fk_orphans": (6, "per-FK scalar audit counts"),
+    # running sum over the <=|days| daily frame (30 rows)
+    "agg_cumulative_unique_users": (1, "daily frame (≤|days| rows)"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
