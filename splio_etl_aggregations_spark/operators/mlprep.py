@@ -482,3 +482,80 @@ def dedup_cluster_size_hist(spark, t):
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.first("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+#: global token budget for the deterministic corpus subsample.
+TOKEN_BUDGET = 4096
+
+
+@register(
+    "corpus_subsample_tokens",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             {ph60_sql("doc_id", "sub")} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_before
+      FROM d
+    )
+    SELECT doc_id, n_tokens, tok_before
+    FROM c WHERE tok_before < {TOKEN_BUDGET}
+    """,
+    tier="P1",
+)
+def corpus_subsample_tokens(spark, t):
+    """Deterministic token-budget subsample: walk the corpus in
+    hash-shuffled order and keep documents until {TOKEN_BUDGET} tokens
+    are covered — "give me exactly ~N tokens of this corpus,
+    reproducibly", the ablation/scaling-law sampling primitive. The
+    budget cut includes the straddling doc (strictly-before prefix
+    < budget), so the kept set is a prefix of the hash order and any
+    engine re-derives it bit-identically.
+
+    The prefix sum over the hash order is the scale problem — the same
+    two-phase cumulative sum as ``corpus_pack_sequences`` (range
+    partition on the hash key, local prefixes, 16-row offset frame);
+    the budget filter then prunes everything past the cut.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        ph60("doc_id", "sub").alias("h"),
+    )
+    parts = d.repartitionByRange(16, F.asc("h"), F.asc("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_tokens"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("part_tokens").over(w_off), F.lit(0)).alias(
+                "base"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "tok_before",
+            (F.col("base") + F.col("local_prefix")).cast("bigint"),
+        )
+        .filter(F.col("tok_before") < TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "tok_before")
+    )

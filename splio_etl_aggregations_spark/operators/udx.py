@@ -196,3 +196,42 @@ def udf_pandas_iter(spark, t):
             / F.lit(10000.0)
         ).alias("taxed_net"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           floor(o_totalprice * 0.2 * 10000 + 0.5) / 10000 AS fee
+    FROM orders
+    """,
+    tier="P2",
+)
+def udf_map_in_arrow(spark, t):
+    """mapInArrow: the zero-copy UDx surface — batches arrive as raw
+    PyArrow RecordBatches (no pandas conversion at all), the right tool
+    when the Python side is itself Arrow-native (polars, DuckDB,
+    vectorized C extensions). Computes a 20 % fee per order; rounding
+    uses the midpoint-safe floor form on both engines (§5.4).
+    """
+    import pyarrow as pa_mod
+
+    def add_fee(batches: Iterator["pa_mod.RecordBatch"]) -> Iterator["pa_mod.RecordBatch"]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            fee = pc.multiply(batch.column("o_totalprice"), pa_mod.scalar(0.2))
+            yield pa_mod.RecordBatch.from_arrays(
+                [batch.column("o_orderkey"), fee], ["o_orderkey", "fee_raw"]
+            )
+
+    out = t["orders"].select("o_orderkey", "o_totalprice").mapInArrow(
+        add_fee, "o_orderkey long, fee_raw double"
+    )
+    return out.select(
+        "o_orderkey",
+        (
+            F.floor(F.col("fee_raw") * 10000 + F.lit(0.5)).cast("bigint")
+            / F.lit(10000.0)
+        ).alias("fee"),
+    )

@@ -224,6 +224,8 @@ DRIVER_ORDER: list[str] = [
     "ts_ewma10",
     "agg_regression",
     "agg_cumulative_unique_users",
+    "udf_map_in_arrow",
+    "corpus_subsample_tokens",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

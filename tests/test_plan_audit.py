@@ -66,6 +66,7 @@ SINGLE_PARTITION_OK = {
     # two-phase cumulative sum: the only partition-less window runs over
     # the 16-row per-partition-total frame (win_ntile shape)
     "corpus_pack_sequences": (1, "pack offsets frame (≤16 rows)"),
+    "corpus_subsample_tokens": (1, "budget offsets frame (≤16 rows)"),
     # scalar MIN over the |lang|-row counts frame; Catalyst re-expands
     # the shared rates subtree once per use (rates ∪ kept branches)
     "corpus_mix_rebalance": (2, "|lang|-row min-target agg ×2 re-expansions"),
