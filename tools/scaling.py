@@ -133,6 +133,11 @@ def shapes(spark, t):
         "rep_ngram_filter": lambda: get("text_rep_ngram_filter").builder(spark, t),
         "lm_quality": lambda: get("corpus_lm_quality").builder(spark, t),
         "anomaly_mad": lambda: get("ts_anomaly_mad").builder(spark, t),
+        # the 4-stage composite (gate → dedup → rebalance → shard) and
+        # the hash-order token-budget cut — both should inherit their
+        # stages' sub-linear profiles
+        "pipeline_training_set": lambda: get("pipeline_training_set").builder(spark, t),
+        "subsample_tokens": lambda: get("corpus_subsample_tokens").builder(spark, t),
     }
 
 
