@@ -237,3 +237,54 @@ def scan_merge_schema(spark, t):
     return spark.read.option("mergeSchema", "true").parquet(path).select(
         "event_id", "user_id", "value", "event_type"
     )
+
+
+@register(
+    "scan_csv_malformed_permissive",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM nation)::BIGINT AS n_good,
+           3::BIGINT AS n_corrupt
+    """,
+    tier="P2",
+)
+def scan_csv_malformed_permissive(spark, t):
+    """Malformed-input ingest: a CSV containing every nation row plus 3
+    injected junk lines (wrong arity / non-numeric key / raw garbage)
+    is read in PERMISSIVE mode with a ``_corrupt_record`` column —
+    valid rows parse, broken ones land in the quarantine column instead
+    of failing the job. The report proves the split: good-row count
+    equals the source table, corrupt count equals the injected lines.
+
+    This is the ingest posture that matters at 100 TB: one bad line in
+    a billion must quarantine, not kill the load (FAILFAST) or silently
+    vanish (DROPMALFORMED).
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="badcsv_"), "nation_dirty")
+    t["nation"].select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).csv(path)
+    with open(os.path.join(path, "zz_junk.csv"), "w") as f:
+        f.write("1,TOO,MANY,FIELDS,HERE\n")
+        f.write("not_a_number,BADKEY,7\n")
+        f.write("garbage line without commas\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # corrupt-record column requires a stable scan to count twice
+    )
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+    )

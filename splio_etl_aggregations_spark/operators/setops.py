@@ -66,3 +66,31 @@ def set_intersect_all(spark, t):
 def set_except_all(spark, t):
     """Bag difference (multiplicity subtraction)."""
     return _a(t).exceptAll(_b(t))
+
+
+@register(
+    "set_symmetric_diff",
+    oracle=f"""
+    SELECT custkey, 'a_only' AS side FROM ({_A_SQL} EXCEPT {_B_SQL})
+    UNION ALL
+    SELECT custkey, 'b_only' FROM ({_B_SQL} EXCEPT {_A_SQL})
+    """,
+    tier="P2",
+)
+def set_symmetric_diff(spark, t):
+    """Symmetric difference with provenance: keys in exactly one of the
+    two sets, tagged with which side they came from — the churn/drift
+    view (who became urgent-only, who became high-value-only) that a
+    plain EXCEPT loses by dropping direction.
+
+    Composes two anti-join differences; each side's distinct collapses
+    map-side before the anti-join probes, so the cost is two semi-join
+    shapes over the already-reduced key sets.
+    """
+    a, b = _a(t), _b(t)
+    return (
+        a.subtract(b).select("custkey", F.lit("a_only").alias("side"))
+        .unionByName(
+            b.subtract(a).select("custkey", F.lit("b_only").alias("side"))
+        )
+    )

@@ -226,6 +226,8 @@ DRIVER_ORDER: list[str] = [
     "agg_cumulative_unique_users",
     "udf_map_in_arrow",
     "corpus_subsample_tokens",
+    "set_symmetric_diff",
+    "scan_csv_malformed_permissive",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
