@@ -1,7 +1,7 @@
 """Whole-registry physical-plan audit (SURVEY.md §5.5) — a ratchet
 against scale-killing plan shapes sneaking into ANY registered query.
 
-Three smells are swept across all 131 plans at once:
+Three smells are swept across every registered plan at once:
 
 - ``Exchange SinglePartition`` — every row of the input stream meets at
   ONE task. Fine when the input is bounded by construction (a scalar
