@@ -1530,3 +1530,118 @@ def agg_cumulative_unique_users(spark, t):
         "n_new",
         F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(MIN(l_extendedprice), 4) AS weighted_median,
+           round(MAX(totw), 4) AS total_weight
+    FROM w WHERE cumw >= totw / 2
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+)
+def agg_weighted_median(spark, t):
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the group's
+    total — the inventory-weighted "typical price" that an unweighted
+    median misstates when cheap items ship in bulk.
+
+    One window spec per group (cumulative weight over the price order
+    with a unique tie-break) plus the group-total frame; the
+    half-weight cut is then a filter + MIN. Everything partitions by
+    the group key — no global state.
+    """
+    from pyspark.sql import Window
+
+    order = [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    wp = Window.partitionBy("l_returnflag")
+    cumw = F.sum("l_quantity").over(
+        wp.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totw = F.sum("l_quantity").over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = t["lineitem"].select(
+        "l_returnflag",
+        "l_extendedprice",
+        cumw.alias("cumw"),
+        totw.alias("totw"),
+    )
+    return (
+        w.filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.min("l_extendedprice")).alias("weighted_median"),
+            r4(F.max("totw")).alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 60000000.0
+               AS mins
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase > first_view
+    )
+    SELECT COUNT(*)::BIGINT AS n_converted,
+           round(quantile_cont(mins, 0.5), 4) AS p50_mins,
+           round(quantile_cont(mins, 0.9), 4) AS p90_mins,
+           round(MAX(mins), 4) AS max_mins
+    FROM conv
+    """,
+    tier="P2",
+)
+def funnel_time_to_convert(spark, t):
+    """Time-to-convert distribution: minutes from each user's first view
+    to their first later purchase, summarized as converted-user count +
+    p50/p90/max — the latency companion to `funnel_conversion`'s rate
+    view.
+
+    One conditional-MIN aggregate per user (map-side combined), then a
+    scalar exact-percentile fold over the |converted users| latency
+    column. Exact integer µs arithmetic before the single division
+    keeps the minutes bit-identical cross-engine.
+    """
+    firsts = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    mins = (
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+        / 60_000_000.0
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(mins.alias("mins"))
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        r4(F.percentile("mins", 0.5)).alias("p50_mins"),
+        r4(F.percentile("mins", 0.9)).alias("p90_mins"),
+        r4(F.max("mins")).alias("max_mins"),
+    )

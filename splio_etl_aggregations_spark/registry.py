@@ -228,6 +228,8 @@ DRIVER_ORDER: list[str] = [
     "corpus_subsample_tokens",
     "set_symmetric_diff",
     "scan_csv_malformed_permissive",
+    "agg_weighted_median",
+    "funnel_time_to_convert",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
