@@ -559,3 +559,84 @@ def corpus_subsample_tokens(spark, t):
         .filter(F.col("tok_before") < TOKEN_BUDGET)
         .select("doc_id", "n_tokens", "tok_before")
     )
+
+
+@register(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    pt AS (
+      SELECT source, token, COUNT(*) * 1.0 /
+             SUM(COUNT(*)) OVER (PARTITION BY source) AS p
+      FROM tok GROUP BY source, token
+    ),
+    grid AS (
+      SELECT s.source, v.token, COALESCE(pt.p, 0.0) AS p
+      FROM (SELECT DISTINCT source FROM tok) s
+      CROSS JOIN (SELECT DISTINCT token FROM tok) v
+      LEFT JOIN pt ON pt.source = s.source AND pt.token = v.token
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(SUM(
+             0.5 * CASE WHEN a.p > 0
+                        THEN a.p * ln(2.0 * a.p / (a.p + b.p)) ELSE 0 END
+             + 0.5 * CASE WHEN b.p > 0
+                          THEN b.p * ln(2.0 * b.p / (a.p + b.p)) ELSE 0 END
+           ), 6) AS js_div
+    FROM grid a JOIN grid b
+      ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tier="P2",
+)
+def text_js_divergence(spark, t):
+    """Jensen-Shannon divergence between every pair of sources' unigram
+    distributions — the distribution-drift metric that flags when one
+    dump's language stops looking like the rest (0 = identical,
+    ln 2 ≈ 0.693 = disjoint). Symmetric and bounded, unlike raw KL.
+
+    The corpus reduces to the |sources|×|vocab| probability grid before
+    any pairing (zeros densified so absent tokens contribute their
+    one-sided terms), so the pair join touches metadata-sized frames
+    only — at 100 TB the token scan is the whole cost and it
+    map-side-combines to the same grid.
+    """
+    tok = _tok_stream(t, "source")
+    pt = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "p",
+            F.col("cnt")
+            / F.sum("cnt").over(Window.partitionBy("source")),
+        )
+        .select("source", "token", "p")
+    )
+    sources = pt.select("source").distinct()
+    vocab = pt.select("token").distinct()
+    grid = (
+        sources.crossJoin(vocab)
+        .join(pt, ["source", "token"], "left")
+        .select("source", "token", F.coalesce("p", F.lit(0.0)).alias("p"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = (
+        F.lit(0.5)
+        * F.when(pa > 0, pa * F.log(F.lit(2.0) * pa / (pa + pb))).otherwise(0.0)
+        + F.lit(0.5)
+        * F.when(pb > 0, pb * F.log(F.lit(2.0) * pb / (pa + pb))).otherwise(0.0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.round(F.sum(term), 6).alias("js_div"))
+    )

@@ -230,6 +230,7 @@ DRIVER_ORDER: list[str] = [
     "scan_csv_malformed_permissive",
     "agg_weighted_median",
     "funnel_time_to_convert",
+    "text_js_divergence",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

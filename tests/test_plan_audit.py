@@ -91,6 +91,9 @@ BNLJ_OK = {
     "ts_peak_concurrency": (2, "1-row counts crossJoin"),
     "graph_triangle_count": (4, "1-row edges/triangles crossJoins"),
     "dq_fk_orphans": (6, "1-row n_rows crossJoin per FK"),
+    # |sources|×|vocab| grid densification (20×31 rows), re-expanded
+    # into both aliases of the pair self-join
+    "text_js_divergence": (4, "sources×vocab grid crossJoin ×2 re-expansions"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
