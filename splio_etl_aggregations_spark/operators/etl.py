@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.helpers import r4
+from ..functions.portable_hash import ph60, ph60_sql
 from ..registry import register
 
 
@@ -524,4 +525,161 @@ def dq_fk_orphans(spark, t):
                 t["lineitem"], "l_partkey", t["part"], "p_partkey",
             )
         )
+    )
+
+
+@register(
+    "etl_anonymize_kanon",
+    oracle=f"""
+    WITH masked AS (
+      SELECT {ph60_sql("c_name", "pii")} AS pseudonym,
+             c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band
+      FROM customer
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, acctbal_band,
+             COUNT(*) AS k
+      FROM masked GROUP BY c_nationkey, c_mktsegment, acctbal_band
+    )
+    SELECT m.pseudonym, m.c_nationkey, m.c_mktsegment, m.acctbal_band,
+           c.k, c.k < 5 AS at_risk
+    FROM masked m
+    JOIN classes c USING (c_nationkey, c_mktsegment, acctbal_band)
+    """,
+    tier="P2",
+)
+def etl_anonymize_kanon(spark, t):
+    """PII anonymization with a k-anonymity audit: direct identifiers are
+    pseudonymized (``ph60(c_name)`` — deterministic, so the same person
+    maps to the same pseudonym across runs and tables, which is what
+    keeps joins working after masking), quasi-identifiers are
+    generalized (account balance → width-1000 band), and every row
+    carries the size k of its quasi-identifier equivalence class
+    (nation × segment × band) plus an ``at_risk`` flag for k < 5 — the
+    rows a k-anonymity policy would suppress or generalize further
+    before the dataset leaves the trust boundary.
+
+    Shape: one groupBy on the quasi-identifier tuple (cardinality
+    |nations|×|segments|×|bands| — tiny), broadcast-joined back onto the
+    masked rows; the pseudonym and band are map-side column expressions.
+    At 100 TB this is one pass + one broadcast join — the class table
+    never grows with the data, only with the generalization grid.
+    """
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    masked = t["customer"].select(
+        ph60("c_name", "pii").alias("pseudonym"),
+        "c_nationkey",
+        "c_mktsegment",
+        band.alias("acctbal_band"),
+    )
+    classes = masked.groupBy("c_nationkey", "c_mktsegment", "acctbal_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return masked.join(
+        F.broadcast(classes), ["c_nationkey", "c_mktsegment", "acctbal_band"]
+    ).select(
+        "pseudonym",
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_band",
+        "k",
+        (F.col("k") < 5).alias("at_risk"),
+    )
+
+
+#: PSI bucket grid for ``dq_psi_drift``: width-50k equi-width buckets
+#: over o_totalprice (observed range ~1k..500k), clamped into [0, 9].
+PSI_BUCKETS = 10
+PSI_WIDTH = 50_000.0
+#: the snapshot split point: orders strictly before this date are the
+#: "expected" (reference) population, the rest are "actual"
+PSI_SPLIT = "1998-01-01"
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT least(greatest(CAST(floor(o_totalprice / {PSI_WIDTH}) AS BIGINT), 0),
+                   {PSI_BUCKETS - 1}) AS bucket,
+             o_orderdate < TIMESTAMP '{PSI_SPLIT}' AS is_ref
+      FROM orders
+    ),
+    grid AS (
+      SELECT g.bucket,
+             coalesce(sum(CASE WHEN b.is_ref THEN 1 END), 0) AS n_ref,
+             coalesce(sum(CASE WHEN NOT b.is_ref THEN 1 END), 0) AS n_act
+      FROM (SELECT unnest(range({PSI_BUCKETS})) AS bucket) g
+      LEFT JOIN bucketed b ON b.bucket = g.bucket
+      GROUP BY g.bucket
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_act) AS t_act FROM grid)
+    SELECT bucket, n_ref, n_act,
+           round((n_ref + 1.0) / (t_ref + {PSI_BUCKETS}), 6) AS p_ref,
+           round((n_act + 1.0) / (t_act + {PSI_BUCKETS}), 6) AS p_act,
+           round(((n_act + 1.0) / (t_act + {PSI_BUCKETS})
+                  - (n_ref + 1.0) / (t_ref + {PSI_BUCKETS}))
+                 * ln(((n_act + 1.0) / (t_act + {PSI_BUCKETS}))
+                      / ((n_ref + 1.0) / (t_ref + {PSI_BUCKETS}))), 6) AS psi_term
+    FROM grid, tot
+    """,
+    tier="P2",
+)
+def dq_psi_drift(spark, t):
+    """Population-stability-index drift report between two order
+    snapshots (pre/post {PSI_SPLIT}): per price bucket, the reference
+    and actual counts, Laplace-smoothed probabilities, and the bucket's
+    PSI contribution (p_act − p_ref)·ln(p_act/p_ref). Σ psi_term > 0.2
+    is the conventional "distribution shifted, retrain/investigate"
+    alarm — the standard pre-deployment check before a model trained on
+    the reference window scores the actual window.
+
+    Fixed equi-width buckets (never data-dependent quantile edges — those
+    make the report non-reproducible across engines and runs) and +1
+    smoothing keep every term finite and bit-comparable. The bucket grid
+    is generated (``spark.range``), so empty buckets appear with count 0
+    instead of silently vanishing and skewing the total.
+
+    Shape: one map-side bucket projection, one groupBy on ≤ {PSI_BUCKETS}
+    buckets (conditional-count partials — constant shuffle volume), the
+    10-row grid left-joins the counts, and the totals frame is a 1-row
+    broadcast cross join. 100 TB cost: one pruned-column pass.
+    """
+    b = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / PSI_WIDTH).cast("bigint"), F.lit(0)),
+        F.lit(PSI_BUCKETS - 1),
+    )
+    is_ref = F.col("o_orderdate") < F.lit(PSI_SPLIT).cast("timestamp")
+    counts = (
+        t["orders"]
+        .select(b.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.count_if("is_ref").alias("n_ref"),
+            F.count_if(~F.col("is_ref")).alias("n_act"),
+        )
+    )
+    grid = (
+        spark.range(PSI_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_act", F.lit(0)).alias("n_act"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_act").alias("t_act")
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + PSI_BUCKETS)
+    p_act = (F.col("n_act") + 1.0) / (F.col("t_act") + PSI_BUCKETS)
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_act",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_act, 6).alias("p_act"),
+        F.round((p_act - p_ref) * F.log(p_act / p_ref), 6).alias("psi_term"),
     )

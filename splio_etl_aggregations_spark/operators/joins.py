@@ -657,3 +657,95 @@ def graph_triangle_count(spark, t):
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, max(c.ts) AS ts
+          FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+          GROUP BY p.event_id),
+    f AS (SELECT p.event_id, min(c.ts) AS ts
+          FROM p JOIN c ON p.user_id = c.user_id AND c.ts > p.ts
+          GROUP BY p.event_id)
+    SELECT p.event_id,
+           CASE WHEN b.ts IS NOT NULL
+                     AND (f.ts IS NULL
+                          OR epoch_us(p.ts) - epoch_us(b.ts)
+                             <= epoch_us(f.ts) - epoch_us(p.ts))
+                THEN b.ts ELSE f.ts END AS nearest_click_ts,
+           CASE WHEN b.ts IS NOT NULL
+                     AND (f.ts IS NULL
+                          OR epoch_us(p.ts) - epoch_us(b.ts)
+                             <= epoch_us(f.ts) - epoch_us(p.ts))
+                THEN epoch_us(p.ts) - epoch_us(b.ts)
+                ELSE epoch_us(f.ts) - epoch_us(p.ts) END AS diff_us,
+           CASE WHEN b.ts IS NOT NULL
+                     AND (f.ts IS NULL
+                          OR epoch_us(p.ts) - epoch_us(b.ts)
+                             <= epoch_us(f.ts) - epoch_us(p.ts))
+                THEN 'backward'
+                WHEN f.ts IS NOT NULL THEN 'forward'
+                ELSE NULL END AS direction
+    FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    """,
+    tier="P2",
+)
+def join_asof_nearest(spark, t):
+    """Nearest-neighbor as-of join, both directions: for each purchase,
+    the same user's click closest in time — before OR after — plus the
+    exact-µs distance and which side won (ties at equal distance go
+    backward, the causally-safe side). The backward-only form
+    (``join_asof``) answers attribution; the nearest form is what
+    sensor/telemetry alignment needs, where the closest reading matters
+    regardless of direction.
+
+    Composed as the two directional as-of joins (equi-join on user +
+    time inequality + max/min aggregate) LEFT-merged back onto the
+    purchase spine, so purchases with no click at all survive with NULL
+    — the contract a plain inner range-join silently breaks. Distance
+    arithmetic is integer microseconds (``unix_micros``/``epoch_us``) —
+    never float seconds, whose rounding can flip the winner at equal
+    distances.
+
+    Scale: both directional joins shuffle on user_id (the natural key —
+    co-partitioned with one Exchange each side, and at 100 TB the event
+    table would be time-bucketed so each user×bucket task scans a
+    bounded click window, the ``join_interval_overlap`` mechanism).
+    """
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    back = (
+        p.join(c, (F.col("user_id") == F.col("c_user_id")) & (F.col("c_ts") <= F.col("ts")))
+        .groupBy("event_id")
+        .agg(F.max("c_ts").alias("b_ts"))
+    )
+    fwd = (
+        p.join(c, (F.col("user_id") == F.col("c_user_id")) & (F.col("c_ts") > F.col("ts")))
+        .groupBy("event_id")
+        .agg(F.min("c_ts").alias("f_ts"))
+    )
+    merged = p.join(back, "event_id", "left").join(fwd, "event_id", "left")
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    d_fwd = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (d_back <= d_fwd)
+    )
+    return merged.select(
+        "event_id",
+        F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "nearest_click_ts"
+        ),
+        F.when(take_back, d_back).otherwise(d_fwd).alias("diff_us"),
+        F.when(take_back, F.lit("backward"))
+        .when(F.col("f_ts").isNotNull(), F.lit("forward"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("direction"),
+    )

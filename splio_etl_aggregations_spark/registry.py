@@ -231,6 +231,10 @@ DRIVER_ORDER: list[str] = [
     "agg_weighted_median",
     "funnel_time_to_convert",
     "text_js_divergence",
+    "dedup_containment",
+    "etl_anonymize_kanon",
+    "dq_psi_drift",
+    "join_asof_nearest",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
