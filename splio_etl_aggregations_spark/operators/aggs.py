@@ -1645,3 +1645,92 @@ def funnel_time_to_convert(spark, t):
         r4(F.percentile("mins", 0.9)).alias("p90_mins"),
         r4(F.max("mins")).alias("max_mins"),
     )
+
+
+def _hll_reg_sql(src_cte: str) -> str:
+    """DuckDB fragment: register (j, rank) rows from a CTE of `h` hashes."""
+    return (
+        f"SELECT h % {_HLL_M} AS j, "
+        f"CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1} "
+        f"ELSE strpos(lpad(bin(h // {_HLL_M}), {_HLL_W}, '0'), '1') END AS r "
+        f"FROM {src_cte}"
+    )
+
+
+def _hll_fold_sql(rm_cte: str, out: str) -> str:
+    """DuckDB fragment: fold a register-max CTE into the HLL estimate."""
+    return (
+        f"SELECT round(CASE WHEN v > 0 AND {_HLL_CRAW!r} / s_int <= {_HLL_LC!r} "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v) "
+        f"ELSE {_HLL_CRAW!r} / s_int END, 4) AS {out} "
+        f"FROM (SELECT (SUM(1::BIGINT << ({_HLL_W + 1} - mj)) "
+        f"+ ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_W + 1}))::BIGINT AS s_int, "
+        f"{_HLL_M} - COUNT(*) AS v FROM {rm_cte})"
+    )
+
+
+@register(
+    "agg_hll_set_algebra",
+    oracle=f"""
+    WITH cu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    hc AS (SELECT ('0x' || substr(md5('hll:' || user_id), 1, 15))::ubigint AS h FROM cu),
+    hp AS (SELECT ('0x' || substr(md5('hll:' || user_id), 1, 15))::ubigint AS h FROM pu),
+    regc AS ({_hll_reg_sql("hc")}),
+    regp AS ({_hll_reg_sql("hp")}),
+    rmc AS (SELECT j, MAX(r) AS mj FROM regc GROUP BY j),
+    rmp AS (SELECT j, MAX(r) AS mj FROM regp GROUP BY j),
+    rmu AS (SELECT j, MAX(mj) AS mj
+            FROM (SELECT * FROM rmc UNION ALL SELECT * FROM rmp) GROUP BY j),
+    ec AS ({_hll_fold_sql("rmc", "est_click")}),
+    ep AS ({_hll_fold_sql("rmp", "est_purchase")}),
+    eu AS ({_hll_fold_sql("rmu", "est_union")})
+    SELECT ec.est_click, ep.est_purchase, eu.est_union,
+           round(ec.est_click + ep.est_purchase - eu.est_union, 4) AS est_intersect
+    FROM ec, ep, eu
+    """,
+    tier="P2",
+)
+def agg_hll_set_algebra(spark, t):
+    """HLL sketch set algebra: distinct clickers, distinct purchasers,
+    their union via REGISTER-WISE MAX of the two sketches, and the
+    intersection by inclusion-exclusion (|A|+|B|−|A∪B|) — the audience-
+    overlap question ("how many users both click and buy?") answered
+    from two O(m) sketches without ever co-shuffling the raw id sets.
+
+    Register-max union is the whole point of HLL in a warehouse: daily
+    (or per-partition) sketches roll up to any window by merging 256-row
+    register tables, and THEN set arithmetic happens on the estimates.
+    Inclusion-exclusion error compounds (RSE of each term adds in the
+    worst case), which is the honest trade documented here — for small
+    overlaps production would switch to theta sketches; the estimate-vs-
+    exact check lives in tests/test_units.py.
+
+    Shape: two distinct-projections (the only shuffles, on user_id),
+    each folded to ≤{_HLL_M} register rows; union/fold/arithmetic all
+    happen on sketch-sized frames. 100 TB cost: the two distincts —
+    everything after is constant-size.
+    """
+    ev = t["events"]
+    rm_c = _hll_regmax(ev.filter(F.col("event_type") == "click"), [], "user_id")
+    rm_p = _hll_regmax(
+        ev.filter(F.col("event_type") == "purchase"), [], "user_id"
+    )
+    rm_u = (
+        rm_c.unionByName(rm_p).groupBy("j").agg(F.max("mj").alias("mj"))
+    )
+    ec = _hll_estimate(rm_c, [], "est_click")
+    ep = _hll_estimate(rm_p, [], "est_purchase")
+    eu = _hll_estimate(rm_u, [], "est_union")
+    return (
+        ec.crossJoin(ep)
+        .crossJoin(eu)
+        .select(
+            "est_click",
+            "est_purchase",
+            "est_union",
+            F.round(
+                F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+        )
+    )

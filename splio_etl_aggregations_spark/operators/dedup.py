@@ -729,7 +729,10 @@ def dedup_containment(spark, t):
     docs" filter actually consumes.
     """
     tau = 0.9
-    tokr = _ranked_token_sets(t)
+    # four consumers (probe, index, and both verify sides): checkpoint so
+    # the token-scan + rank subtree computes once instead of being
+    # re-expanded per consumer (the dedup_near_jaccard 4× lesson)
+    tokr = _ranked_token_sets(t).localCheckpoint(eager=False)
     n = F.size("ord")
     sz = tokr.select("doc_id", n.alias("n"), F.col("ord"))
     # one-sided prefix: probe (contained) docs expose only their rarest

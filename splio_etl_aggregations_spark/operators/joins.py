@@ -749,3 +749,128 @@ def join_asof_nearest(spark, t):
         .otherwise(F.lit(None).cast("string"))
         .alias("direction"),
     )
+
+
+#: pagerank iteration count / damping factor (fixed so both engines run
+#: the identical finite computation — no data-dependent convergence test)
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE DuckDB oracle: the same fixed 5 power iterations."""
+    head = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+e AS (
+  SELECT a.brand AS src, b.brand AS dst
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM sym GROUP BY 1),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+r0 AS (SELECT node, outdeg, 1.0 / (SELECT n FROM nn) AS pr FROM deg)"""
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f""",
+r{i} AS (
+  SELECT d.node, d.outdeg,
+         {1 - _PR_DAMP} / (SELECT n FROM nn)
+           + {_PR_DAMP} * SUM(r.pr / r.outdeg) AS pr
+  FROM sym s
+  JOIN r{i - 1} r ON r.node = s.src
+  JOIN deg d ON d.node = s.dst
+  GROUP BY d.node, d.outdeg
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"\nSELECT node AS brand, round(pr, 6) AS pagerank FROM r{_PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(), tier="P3")
+def graph_pagerank(spark, t):
+    """PageRank over the brand co-occurrence graph (edges = brand pairs
+    sharing ≥5 orders, symmetrized): 5 fixed power iterations at damping
+    0.85 — the iterative-algorithm representative alongside label
+    propagation (``dedup_connected_components``), proving the engine
+    hosts fixed-point graph computations as plain DataFrame loops.
+
+    Determinism policy for an iterative float algorithm: the iteration
+    count is FIXED (never a data-dependent convergence test, which can
+    diverge between engines on the last ulp), intermediate ranks stay
+    raw doubles, and only the final output rounds (6 dp). The oracle
+    unrolls the same 5 iterations as CTEs.
+
+    Scale: each iteration is one contributions join (shuffle keyed on
+    the edge src — at real scale pre-partition ``sym`` by src once and
+    every iteration reuses that layout exchange-free) + one dst-keyed
+    aggregate; rank state is |nodes| rows, never materialized to the
+    driver; ``localCheckpoint`` per iteration keeps the growing lineage
+    from re-planning the whole history each round (the same treatment
+    as label propagation, dedup.py). Dangling-node mass is structurally
+    absent here (symmetrized graph ⇒ every node has out-degree ≥ 1);
+    a directed-graph deployment adds the standard dangling-sum
+    redistribution term.
+    """
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    teleport = F.lit(1 - _PR_DAMP) / F.col("n_nodes")
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            deg.join(contrib, F.col("node") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "outdeg",
+                (teleport + F.lit(_PR_DAMP) * F.coalesce("c", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("node").alias("brand"), F.round("pr", 6).alias("pagerank")
+    )

@@ -640,3 +640,63 @@ def text_js_divergence(spark, t):
         )
         .agg(F.round(F.sum(term), 6).alias("js_div"))
     )
+
+
+#: target-encoding smoothing pseudo-count: the category mean is blended
+#: with the global prior as (sum + m·prior)/(n + m)
+TENC_M = 10.0
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             SUM(o_totalprice) AS s, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    prior AS (SELECT SUM(o_totalprice) / COUNT(*) AS mu FROM orders)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round((st.s - o.o_totalprice + {TENC_M} * p.mu)
+                 / (st.n - 1 + {TENC_M}), 4) AS priority_enc
+    FROM orders o
+    JOIN stats st USING (o_orderpriority)
+    CROSS JOIN prior p
+    """,
+    tier="P2",
+)
+def ml_target_encoding(spark, t):
+    """Leave-one-out smoothed target encoding of a categorical feature:
+    each order's priority is replaced by the mean total price of OTHER
+    orders with the same priority, shrunk toward the global mean with a
+    pseudo-count of m=10 — enc = (Σ_cat − y_own + m·μ)/(n_cat − 1 + m).
+    Leave-one-out (subtracting the row's own target) is what prevents
+    the classic target-leakage failure where a category of one memorizes
+    its own label; the m-shrinkage keeps rare categories near the prior
+    instead of their noisy mean.
+
+    Shape: one category-sized aggregate (|priorities| rows) + one 1-row
+    global prior, both broadcast back onto the fact table; the encoding
+    itself is map-side arithmetic. At 100 TB: one pass to fit, one
+    map-side pass to transform — no per-row state, no shuffle of the
+    fact table.
+    """
+    orders = t["orders"]
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    prior = orders.agg(
+        (F.sum("o_totalprice") / F.count(F.lit(1))).alias("mu")
+    )
+    enc = (F.col("s") - F.col("o_totalprice") + TENC_M * F.col("mu")) / (
+        F.col("n") - 1 + TENC_M
+    )
+    return (
+        orders.join(F.broadcast(stats), "o_orderpriority")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(enc, 4).alias("priority_enc"),
+        )
+    )

@@ -235,6 +235,9 @@ DRIVER_ORDER: list[str] = [
     "etl_anonymize_kanon",
     "dq_psi_drift",
     "join_asof_nearest",
+    "ml_target_encoding",
+    "agg_hll_set_algebra",
+    "graph_pagerank",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -74,6 +74,12 @@ SINGLE_PARTITION_OK = {
     "corpus_mix_rebalance": (2, "|lang|-row min-target agg ×2 re-expansions"),
     "pipeline_training_set": (1, "|lang|-row min-target agg"),
     "basket_brand_affinity": (1, "scalar n_orders agg"),
+    # 10-row bucket grid folded to the 1-row totals frame
+    "dq_psi_drift": (1, "10-row grid totals agg"),
+    # 1-row global-prior (mean target) aggregate
+    "ml_target_encoding": (1, "scalar prior agg"),
+    # three global sketch folds, each over ≤256 register rows
+    "agg_hll_set_algebra": (3, "≤256-row register folds ×3"),
 }
 
 BNLJ_OK = {
@@ -94,6 +100,9 @@ BNLJ_OK = {
     # |sources|×|vocab| grid densification (20×31 rows), re-expanded
     # into both aliases of the pair self-join
     "text_js_divergence": (4, "sources×vocab grid crossJoin ×2 re-expansions"),
+    "dq_psi_drift": (2, "1-row totals crossJoin"),
+    "ml_target_encoding": (2, "1-row prior crossJoin"),
+    "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

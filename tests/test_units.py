@@ -621,3 +621,77 @@ def test_streak_islands_are_consistent(spark):
         # the tiling invariant is: sum of run lengths == n_active_days,
         # which the aggregation enforces — spot-check the bound instead
         assert r["n_active_days"] <= r["n_streaks"] * r["longest_streak"]
+
+
+def test_hll_set_algebra_vs_exact(spark):
+    """Inclusion-exclusion intersection estimate stays within the
+    compounded-RSE envelope of the exact overlap."""
+    row = Q["agg_hll_set_algebra"].run(spark, SF_SMALL).collect()[0]
+    ev = load(spark, SF_SMALL)["events"]
+    clicks = {r[0] for r in ev.filter(F.col("event_type") == "click")
+              .select("user_id").distinct().collect()}
+    purch = {r[0] for r in ev.filter(F.col("event_type") == "purchase")
+             .select("user_id").distinct().collect()}
+    exact_i, exact_u = len(clicks & purch), len(clicks | purch)
+    # each of the 3 estimates carries RSE ~6.5% (m=256); inclusion-
+    # exclusion compounds them, so gate at 3 * 3σ of the union size
+    tol = 3 * 3 * 0.065 * exact_u
+    assert abs(row["est_union"] - exact_u) <= 3 * 0.065 * exact_u
+    assert abs(row["est_intersect"] - exact_i) <= tol
+
+
+def test_pagerank_is_a_distribution(spark):
+    """Ranks are positive and sum to 1 (no dangling-mass leak), and the
+    graph's hub brand outranks the median brand."""
+    rows = Q["graph_pagerank"].run(spark, SF_SMALL).collect()
+    prs = sorted(r["pagerank"] for r in rows)
+    assert all(p > 0 for p in prs)
+    assert abs(sum(prs) - 1.0) < 1e-3
+    assert prs[-1] >= prs[len(prs) // 2]
+
+
+def test_target_encoding_is_leak_free_and_shrunk(spark):
+    """Every encoding lies strictly between the global min and max
+    category means (shrinkage), and removing the row's own target from
+    its category mean changes the value (leave-one-out actually
+    excludes self)."""
+    enc = Q["ml_target_encoding"].run(spark, SF_SMALL)
+    orders = load(spark, SF_SMALL)["orders"]
+    mu = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    stats = {
+        r["o_orderpriority"]: (r["s"], r["n"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sample = enc.limit(50).collect()
+    joined = {
+        r["o_orderkey"]: r
+        for r in orders.join(
+            spark.createDataFrame(sample), ["o_orderkey", "o_orderpriority"]
+        ).collect()
+    }
+    assert joined, "join back onto orders lost every sampled row"
+    for r in joined.values():
+        s, n = stats[r["o_orderpriority"]]
+        loo = (s - r["o_totalprice"] + 10.0 * mu) / (n - 1 + 10.0)
+        assert abs(r["priority_enc"] - round(loo, 4)) < 1e-9
+        naive = s / n
+        # shrinkage pulls toward the prior: enc sits between the
+        # leave-one-out category mean and the global mean's side of it
+        lo, hi = min(naive, mu) * 0.5, max(naive, mu) * 1.5
+        assert lo <= r["priority_enc"] <= hi
+
+
+def test_containment_keeper_is_a_container(spark):
+    """Every reported keeper really contains >= 90% of the contained
+    doc's tokens and is never smaller."""
+    out = {r["contained_id"]: r for r in
+           Q["dedup_containment"].run(spark, SF_SMALL).collect()}
+    docs = {r["doc_id"]: set(r["text"].split(" "))
+            for r in load(spark, SF_SMALL)["documents"].collect()}
+    assert out, "no containment pairs on the near-duplicate corpus"
+    for cid, r in out.items():
+        a, b = docs[cid], docs[r["keeper_id"]]
+        assert len(a & b) / len(a) >= 0.9
+        assert len(b) >= len(a)
