@@ -79,6 +79,12 @@ EXTRA_SHAPES = [
     "basket_brand_affinity",
     "pareto_revenue_deciles",
     "win_bollinger_bands",
+    "join_asof_nearest",
+    "ml_target_encoding",
+    "agg_hll_set_algebra",
+    "graph_pagerank",
+    "dq_psi_drift",
+    "etl_anonymize_kanon",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

@@ -370,3 +370,127 @@ def dedup_keep_best(spark, t):
             ),
         )
     )
+
+
+@register(
+    "corpus_quality_ablation",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dist,
+             string_split(text, ' ') AS t
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             CASE WHEN n_tok < 10 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n_tok > 200 THEN 1 ELSE 0 END AS f_long,
+             CASE WHEN n_dist * 1.0 / n_tok <= 0.2 THEN 1 ELSE 0 END AS f_ttr,
+             CASE WHEN n_tok < 2 THEN 0
+                  WHEN round(1.0 - len(list_distinct(list_transform(
+                         range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+                       * 1.0 / (len(t) - 1), 4) > 0.2 THEN 1
+                  ELSE 0 END AS f_rep
+      FROM base
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(f_short) AS s1, SUM(f_long) AS s2,
+             SUM(f_ttr) AS s3, SUM(f_rep) AS s4,
+             SUM(CASE WHEN f_short = 1 AND f_short+f_long+f_ttr+f_rep = 1
+                      THEN 1 ELSE 0 END) AS o1,
+             SUM(CASE WHEN f_long = 1 AND f_short+f_long+f_ttr+f_rep = 1
+                      THEN 1 ELSE 0 END) AS o2,
+             SUM(CASE WHEN f_ttr = 1 AND f_short+f_long+f_ttr+f_rep = 1
+                      THEN 1 ELSE 0 END) AS o3,
+             SUM(CASE WHEN f_rep = 1 AND f_short+f_long+f_ttr+f_rep = 1
+                      THEN 1 ELSE 0 END) AS o4
+      FROM per
+    )
+    SELECT 'too_short' AS filter, s1 AS n_fail, o1 AS n_sole_fail,
+           round(s1 * 1.0 / n_docs, 4) AS pct_fail FROM s
+    UNION ALL
+    SELECT 'too_long', s2, o2, round(s2 * 1.0 / n_docs, 4) FROM s
+    UNION ALL
+    SELECT 'low_ttr', s3, o3, round(s3 * 1.0 / n_docs, 4) FROM s
+    UNION ALL
+    SELECT 'high_repetition', s4, o4, round(s4 * 1.0 / n_docs, 4) FROM s
+    """,
+    tier="P2",
+)
+def corpus_quality_ablation(spark, t):
+    """Quality-gate ablation report: for each corpus filter (too-short,
+    too-long, low type-token ratio, high bigram repetition — the gates
+    ``pipeline_clean_corpus`` and ``text_rep_ngram_filter`` apply), how
+    many documents fail it, how many fail it as their SOLE reason, and
+    the failure rate. The sole-reason column is the decision-maker:
+    a filter whose failures are all covered by other gates can be
+    dropped for free, one with many sole failures is actually shaping
+    the corpus — the ablation every data-curation team runs before
+    shipping a filter change.
+
+    Shape: one pass computes all per-doc flags (token stats are column
+    expressions; the bigram-repetition stat reuses the codegen
+    ``arrays_zip`` gram aggregate, left-joined so <2-token docs default
+    to zero repetition), then ONE global aggregate folds the flag
+    matrix to a single row of sums, unpivoted by a 4-row ``stack`` —
+    report cardinality is |filters|, never |docs|. At 100 TB: one
+    corpus scan + one constant-size fold.
+    """
+    toks = _toks()
+    n_tok = F.size(toks)
+    g2 = (
+        t["documents"]
+        .filter(n_tok >= 2)
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("tot2"), F.count(F.lit(1)).alias("dist2"))
+    )
+    rep_frac = F.coalesce(
+        F.round(F.lit(1.0) - F.col("dist2") / F.col("tot2"), 4), F.lit(0.0)
+    )
+    per = (
+        t["documents"]
+        .join(g2, "doc_id", "left")
+        .select(
+            (n_tok < 10).cast("int").alias("f_short"),
+            (n_tok > 200).cast("int").alias("f_long"),
+            (F.size(F.array_distinct(toks)) / n_tok <= 0.2)
+            .cast("int")
+            .alias("f_ttr"),
+            (rep_frac > 0.2).cast("int").alias("f_rep"),
+        )
+    )
+    n_flags = (
+        F.col("f_short") + F.col("f_long") + F.col("f_ttr") + F.col("f_rep")
+    )
+    sole = lambda f: F.sum(  # noqa: E731
+        ((F.col(f) == 1) & (n_flags == 1)).cast("bigint")
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").alias("s1"),
+        F.sum("f_long").alias("s2"),
+        F.sum("f_ttr").alias("s3"),
+        F.sum("f_rep").alias("s4"),
+        sole("f_short").alias("o1"),
+        sole("f_long").alias("o2"),
+        sole("f_ttr").alias("o3"),
+        sole("f_rep").alias("o4"),
+    )
+    return s.select(
+        F.expr(
+            "stack(4, 'too_short', s1, o1, 'too_long', s2, o2, "
+            "'low_ttr', s3, o3, 'high_repetition', s4, o4)"
+        ).alias("filter", "n_fail", "n_sole_fail"),
+        F.col("n_docs"),
+    ).select(
+        "filter",
+        "n_fail",
+        "n_sole_fail",
+        F.round(F.col("n_fail") / F.col("n_docs"), 4).alias("pct_fail"),
+    )

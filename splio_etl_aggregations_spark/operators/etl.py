@@ -683,3 +683,183 @@ def dq_psi_drift(spark, t):
         F.round(p_act, 6).alias("p_act"),
         F.round((p_act - p_ref) * F.log(p_act / p_ref), 6).alias("psi_term"),
     )
+
+
+@register(
+    "dq_ks_drift",
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT}'
+                      THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '{PSI_SPLIT}'
+                      THEN 1 ELSE 0 END) AS nb
+      FROM orders GROUP BY o_totalprice
+    ),
+    cum AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v) AS ca,
+             SUM(nb) OVER (ORDER BY v) AS cb
+      FROM vals
+    ),
+    tot AS (SELECT SUM(na)::DOUBLE AS ta, SUM(nb)::DOUBLE AS tb FROM vals),
+    d AS (SELECT v, round(abs(ca / ta - cb / tb), 6) AS dd FROM cum, tot),
+    m AS (SELECT MAX(dd) AS ks FROM d)
+    SELECT m.ks AS ks_stat,
+           (SELECT MIN(v) FROM d WHERE dd = m.ks) AS at_value,
+           (SELECT ta FROM tot)::BIGINT AS n_ref,
+           (SELECT tb FROM tot)::BIGINT AS n_act
+    FROM m
+    """,
+    tier="P2",
+)
+def dq_ks_drift(spark, t):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the same
+    two order snapshots as ``dq_psi_drift``: the maximum vertical gap
+    between the empirical CDFs of o_totalprice, the value where it
+    occurs, and both sample sizes. KS complements PSI — PSI needs a
+    bucket grid and tells you WHICH region moved; KS is bucket-free and
+    gives the classical distribution-shift test statistic (compare
+    √((n+m)/nm)·c(α) for significance).
+
+    Scale shape: one groupBy collapses the table to |distinct values|
+    rows carrying both samples' counts, then the running CDFs come from
+    the two-phase distributed prefix sum (``two_phase_cumsum`` — a
+    partition-less ``SUM() OVER (ORDER BY v)`` here would funnel every
+    distinct price through ONE task, the round-1 win_ntile failure
+    mode). The gap column rounds to 6 dp BEFORE the argmax so both
+    engines pick the same location row. 100 TB cost: one scan + one
+    |values|-sized two-phase pass.
+    """
+    from .windows import two_phase_cumsum
+
+    is_ref = F.col("o_orderdate") < F.lit(PSI_SPLIT).cast("timestamp")
+    # vals feeds the prefix-sum AND the totals; d feeds the max AND the
+    # argmax — checkpoint both so Catalyst doesn't re-expand the orders
+    # scan into every consumer (it repeated the scan 10× unchecked)
+    vals = (
+        t["orders"]
+        .select(F.col("o_totalprice").alias("v"), is_ref.alias("is_ref"))
+        .groupBy("v")
+        .agg(
+            F.count_if("is_ref").alias("na"),
+            F.count_if(~F.col("is_ref")).alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = two_phase_cumsum(vals, [F.asc("v")], ["na", "nb"])
+    tot = vals.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            F.round(
+                F.abs(
+                    F.col("cum_na") / F.col("ta") - F.col("cum_nb") / F.col("tb")
+                ),
+                6,
+            ).alias("dd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = d.agg(F.max("dd").alias("ks_stat"))
+    at = (
+        d.join(F.broadcast(m), F.col("dd") == F.col("ks_stat"))
+        .agg(F.min("v").alias("at_value"))
+    )
+    return (
+        m.crossJoin(F.broadcast(at))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ks_stat",
+            "at_value",
+            F.col("ta").cast("bigint").alias("n_ref"),
+            F.col("tb").cast("bigint").alias("n_act"),
+        )
+    )
+
+
+@register(
+    "dq_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             COUNT(*)::DOUBLE AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rowm AS (SELECT seg, SUM(n) AS rn FROM cells GROUP BY seg),
+    colm AS (SELECT pri, SUM(n) AS cn FROM cells GROUP BY pri),
+    tot AS (SELECT SUM(n) AS tn FROM cells)
+    SELECT round(SUM((c.n - r.rn * m.cn / t.tn) * (c.n - r.rn * m.cn / t.tn)
+                     / (r.rn * m.cn / t.tn)), 4) AS chi2,
+           ((SELECT COUNT(*) FROM rowm) - 1)
+             * ((SELECT COUNT(*) FROM colm) - 1) AS dof,
+           (SELECT tn FROM tot)::BIGINT AS n
+    FROM cells c
+    JOIN rowm r USING (seg)
+    JOIN colm m USING (pri)
+    CROSS JOIN tot t
+    """,
+    tier="P2",
+)
+def dq_chi2_independence(spark, t):
+    """Chi-square test of independence between customer market segment
+    and order priority: Σ (observed − expected)²/expected over the
+    segment × priority contingency table, with expected counts from the
+    margins — the "are these two categoricals actually related?" audit
+    behind feature selection and A/B sanity checks (compare chi2 to the
+    χ²(dof) quantile).
+
+    Scale shape: ONE fact-table aggregate builds the contingency table
+    (cardinality |segments|×|priorities| — constant), and every margin,
+    the total, and the statistic fold over that constant-size frame with
+    broadcast joins. The fact table is touched exactly once; the
+    dimension join broadcasts the customer projection's relevant columns
+    only if small — here customer is the smaller side, but at 100 TB the
+    orders→customer join would shuffle on custkey, still one exchange
+    each, and everything downstream of `cells` stays constant-size.
+    """
+    # six downstream consumers (margins, total, dims, statistic) —
+    # checkpoint the constant-size contingency table so the fact join
+    # computes once instead of being re-expanded per consumer
+    cells = (
+        t["orders"]
+        .join(
+            t["customer"],
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    rowm = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
+    colm = cells.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("tn"))
+    nrows = rowm.agg(F.count(F.lit(1)).alias("n_seg"))
+    ncols = colm.agg(F.count(F.lit(1)).alias("n_pri"))
+    e = F.col("rn") * F.col("cn") / F.col("tn")
+    return (
+        cells.join(F.broadcast(rowm), "seg")
+        .join(F.broadcast(colm), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 4).alias(
+                "chi2"
+            ),
+            F.first(F.col("tn")).cast("bigint").alias("n"),
+        )
+        .crossJoin(F.broadcast(nrows))
+        .crossJoin(F.broadcast(ncols))
+        .select(
+            "chi2",
+            ((F.col("n_seg") - 1) * (F.col("n_pri") - 1)).alias("dof"),
+            "n",
+        )
+    )

@@ -16,6 +16,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.helpers import net_price, r4
@@ -308,24 +309,50 @@ def join_asof(spark, t):
     """As-of join (no native Spark operator): for each purchase event, the
     same user's latest click at-or-before it.
 
-    Composed as equi-join on user + time filter + max() — equivalent to
-    DuckDB's native ASOF LEFT JOIN (ties on ts collapse to the same max).
-    A window row_number()=1 formulation is equivalent; join+agg keeps the
-    whole pipeline in whole-stage codegen.
+    Composed as a MERGE-STREAM window — the linear formulation: union the
+    click and purchase streams, sort each user's timeline once, take the
+    ignore-nulls ``last`` click timestamp over the preceding rows frame.
+    Equal-timestamp ties sort clicks (tag 0) before purchases (tag 1), so
+    a click at exactly the purchase instant counts — the ≤ semantics of
+    DuckDB's native ASOF LEFT JOIN.
+
+    Round 1 composed this as equi-join on user + time filter + max();
+    correct, and at these fixture scales the two forms measure the same
+    (sub-second, noise-bound, probed at sf0.1×{1,3,10}) because codegen
+    chews the join fan-out map-side before any shuffle. The window form
+    still wins structurally: the join form materializes
+    |purchases/user| × |preceding clicks| intermediate rows — quadratic
+    in per-user history depth, the term that detonates on multi-year
+    100 TB histories — where the merge-stream is one user_id exchange +
+    one per-user sort, O(n log n) whatever the history shape (the
+    ``attribution_last_touch`` mechanism).
     """
     ev = t["events"]
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+        "user_id",
+        "ts",
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
     )
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user_id")) & (F.col("ts") >= F.col("c_ts")),
-        "left",
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
+        F.lit(1).alias("tag"),
+        "event_id",
     )
-    return joined.groupBy("event_id").agg(F.max("c_ts").alias("last_click_ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "last_click_ts")
+    )
 
 
 @register(
@@ -702,37 +729,51 @@ def join_asof_nearest(spark, t):
     sensor/telemetry alignment needs, where the closest reading matters
     regardless of direction.
 
-    Composed as the two directional as-of joins (equi-join on user +
-    time inequality + max/min aggregate) LEFT-merged back onto the
-    purchase spine, so purchases with no click at all survive with NULL
-    — the contract a plain inner range-join silently breaks. Distance
+    Composed as ONE merge-stream window pass (the linear as-of
+    formulation, see ``join_asof``): union the tagged click and purchase
+    streams, sort each user's timeline once, and read both neighbors
+    from the same window spec — ignore-nulls ``last`` click over the
+    preceding frame and ignore-nulls ``first`` click over the strictly-
+    following frame. Equal-timestamp clicks sort before purchases, so ≤
+    lands in the backward frame and > in the forward one — exactly the
+    two directional oracles. Purchases with no click survive with NULL
+    (the contract a plain inner range-join silently breaks). Distance
     arithmetic is integer microseconds (``unix_micros``/``epoch_us``) —
     never float seconds, whose rounding can flip the winner at equal
     distances.
 
-    Scale: both directional joins shuffle on user_id (the natural key —
-    co-partitioned with one Exchange each side, and at 100 TB the event
-    table would be time-bucketed so each user×bucket task scans a
-    bounded click window, the ``join_interval_overlap`` mechanism).
+    Scale: one shuffle on user_id + one per-user sort serving both
+    directions — O(n log n) in history depth, where the join+aggregate
+    form is quadratic (fan-out |purchases/user| × |clicks in range|).
     """
     ev = t["events"]
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
+        F.lit(1).alias("tag"),
+        "event_id",
     )
-    back = (
-        p.join(c, (F.col("user_id") == F.col("c_user_id")) & (F.col("c_ts") <= F.col("ts")))
-        .groupBy("event_id")
-        .agg(F.max("c_ts").alias("b_ts"))
+    spec = Window.partitionBy("user_id").orderBy("ts", "tag")
+    w_back = spec.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = spec.rowsBetween(1, Window.unboundedFollowing)
+    merged = (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "ts",
+            F.last("c_ts", ignorenulls=True).over(w_back).alias("b_ts"),
+            F.first("c_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
+        )
+        .filter(F.col("event_id").isNotNull())
     )
-    fwd = (
-        p.join(c, (F.col("user_id") == F.col("c_user_id")) & (F.col("c_ts") > F.col("ts")))
-        .groupBy("event_id")
-        .agg(F.min("c_ts").alias("f_ts"))
-    )
-    merged = p.join(back, "event_id", "left").join(fwd, "event_id", "left")
     d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
     d_fwd = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
     take_back = F.col("b_ts").isNotNull() & (

@@ -309,3 +309,59 @@ def text_fingerprint(spark, t):
             F.array_join(F.array_sort(F.array_distinct(toks)), " ")
         ).alias("fp_tokenset"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT token, COUNT(*)::DOUBLE AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r
+      FROM counts
+    )
+    SELECT round(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+           round(regr_intercept(ln(c), ln(r)), 6) AS zipf_intercept,
+           round(regr_r2(ln(c), ln(r)), 6) AS fit_r2,
+           COUNT(*) AS vocab_size
+    FROM ranked
+    """,
+    tier="P2",
+)
+def text_zipf_fit(spark, t):
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) over the ranked vocabulary, reporting the
+    slope (natural text ≈ −1; this synthetic near-uniform corpus fits a
+    shallow slope — itself a corpus-health signal), intercept, R², and
+    vocabulary size. Deviation from the expected slope is a cheap
+    distribution-level screen for machine-generated or templated text
+    before expensive per-doc scoring.
+
+    Scale shape: one token-stream aggregate folds the corpus to the
+    vocabulary-sized count table; the rank comes from the two-phase
+    distributed global rank (never a partition-less window over the
+    vocabulary — the round-2 ``dedup_near_jaccard`` lesson), and the
+    regression folds via the same one-pass REGR_* sufficient statistics
+    as ``agg_regression`` (bit-stable at 6 dp cross-engine). 100 TB
+    cost: the token-count shuffle; everything after is vocab-sized.
+    """
+    from .windows import two_phase_global_rank
+
+    counts = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ranked = two_phase_global_rank(
+        counts, [F.desc("c"), F.asc("token")]
+    ).select(F.log("c").alias("y"), F.log(F.col("rn").cast("double")).alias("x"))
+    return ranked.agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("fit_r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

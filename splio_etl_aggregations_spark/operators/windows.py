@@ -63,6 +63,54 @@ def two_phase_global_rank(df, order, n_parts: int = 16):
     )
 
 
+def two_phase_cumsum(df, order, values, n_parts: int = 16):
+    """Distributed INCLUSIVE prefix sums of ``values`` columns in the
+    total order ``order`` (must end in a unique key) — the companion of
+    :func:`two_phase_global_rank` for running totals: range partition on
+    the sort key, local prefix sums per partition, then an
+    ``n_parts``-row per-partition-total frame gives each partition its
+    base offset. Adds one ``cum_<v>`` column per input value column.
+
+    The same mechanism is inlined (exclusive form) in
+    ``corpus_pack_sequences``; factored here for the CDF-style consumers
+    (``dq_ks_drift``) where a partition-less ``SUM() OVER (ORDER BY …)``
+    would collapse the whole frame into one task.
+    """
+    parts = df.repartitionByRange(n_parts, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parts.select(
+        "*", *[F.sum(v).over(w_local).alias(f"_lp_{v}") for v in values]
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("pid")
+        .agg(*[F.sum(v).alias(f"_pt_{v}") for v in values])
+        .select(
+            "pid",
+            *[
+                F.coalesce(F.sum(f"_pt_{v}").over(w_off), F.lit(0)).alias(
+                    f"_base_{v}"
+                )
+                for v in values
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "pid")
+    for v in values:
+        out = out.withColumn(f"cum_{v}", F.col(f"_base_{v}") + F.col(f"_lp_{v}"))
+    return out.drop(
+        "pid",
+        *[f"_lp_{v}" for v in values],
+        *[f"_base_{v}" for v in values],
+    )
+
+
 @register(
     "win_row_number",
     oracle="""
@@ -649,4 +697,58 @@ def win_rolling_distinct(spark, t):
     return t["events"].select(
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("types_10"),
+    )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH series AS (
+      SELECT o_custkey, o_totalprice,
+             MAX(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM orders
+    )
+    SELECT o_custkey,
+           round(MAX(peak - o_totalprice), 4) AS max_drawdown,
+           COUNT(*) AS n_orders
+    FROM series
+    GROUP BY o_custkey
+    """,
+    tier="P2",
+)
+def win_max_drawdown(spark, t):
+    """Maximum drawdown per customer: the largest drop from the running
+    historical peak of their order values (orders in date order, key
+    tie-break) — the peak-tracking window pattern behind financial
+    drawdown, high-water-mark billing, and regression-from-best alerts.
+
+    One window spec per customer carries the running ``max``; the
+    drawdown is a map-side subtraction and the per-customer report is
+    one keyed aggregate. Both the window and the aggregate partition on
+    o_custkey — a single exchange serves the whole plan, and per-group
+    window state is O(1) (just the running peak). Never a partition-less
+    window.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.max("o_totalprice").over(w).alias("peak"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("o_totalprice")), 4).alias(
+                "max_drawdown"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )

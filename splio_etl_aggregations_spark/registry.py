@@ -238,6 +238,11 @@ DRIVER_ORDER: list[str] = [
     "ml_target_encoding",
     "agg_hll_set_algebra",
     "graph_pagerank",
+    "corpus_quality_ablation",
+    "dq_ks_drift",
+    "dq_chi2_independence",
+    "win_max_drawdown",
+    "text_zipf_fit",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

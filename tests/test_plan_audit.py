@@ -80,6 +80,15 @@ SINGLE_PARTITION_OK = {
     "ml_target_encoding": (1, "scalar prior agg"),
     # three global sketch folds, each over ≤256 register rows
     "agg_hll_set_algebra": (3, "≤256-row register folds ×3"),
+    # one global fold of the per-doc flag matrix to a 1-row sum frame
+    "corpus_quality_ablation": (1, "scalar flag-sum fold"),
+    # cumsum offsets frame (≤16 rows) + scalar totals/max/argmax folds,
+    # all downstream of the checkpointed |values| frame
+    "dq_ks_drift": (4, "offsets frame + three scalar folds"),
+    # scalar folds over the checkpointed 25-row contingency table
+    "dq_chi2_independence": (4, "contingency-table scalar folds"),
+    # rank offsets frame (≤16 rows) + the final scalar REGR fold
+    "text_zipf_fit": (2, "offsets frame + scalar regression fold"),
 }
 
 BNLJ_OK = {
@@ -103,6 +112,8 @@ BNLJ_OK = {
     "dq_psi_drift": (2, "1-row totals crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
+    "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
+    "dq_chi2_independence": (6, "1-row total/dim-count crossJoins ×2"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

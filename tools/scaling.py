@@ -138,6 +138,17 @@ def shapes(spark, t):
         # stages' sub-linear profiles
         "pipeline_training_set": lambda: get("pipeline_training_set").builder(spark, t),
         "subsample_tokens": lambda: get("corpus_subsample_tokens").builder(spark, t),
+        # r2 third wave: merge-stream bidirectional as-of (one user
+        # sort, should be linear), broadcast-fit target encoding (one
+        # pass), HLL set algebra (distinct shuffles then constant-size
+        # sketch math), pagerank (graph is |brands|-bounded — expect
+        # growth only from the fact-reduction scan), PSI drift (one
+        # pruned-column pass into a 10-bucket agg)
+        "asof_nearest": lambda: get("join_asof_nearest").builder(spark, t),
+        "target_encoding": lambda: get("ml_target_encoding").builder(spark, t),
+        "hll_set_algebra": lambda: get("agg_hll_set_algebra").builder(spark, t),
+        "pagerank": lambda: get("graph_pagerank").builder(spark, t),
+        "psi_drift": lambda: get("dq_psi_drift").builder(spark, t),
     }
 
 
