@@ -85,6 +85,12 @@ EXTRA_SHAPES = [
     "graph_pagerank",
     "dq_psi_drift",
     "etl_anonymize_kanon",
+    "sql_local_supplier_volume",
+    "sql_returned_item_ranking",
+    "dq_ks_drift",
+    "text_zipf_fit",
+    "corpus_quality_ablation",
+    "win_max_drawdown",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

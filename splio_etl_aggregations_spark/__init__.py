@@ -47,6 +47,7 @@ def register_all() -> None:
         scans,
         setops,
         sorts,
+        sqlshapes,
         text,
         timeseries,
         udx,

@@ -243,6 +243,11 @@ DRIVER_ORDER: list[str] = [
     "dq_chi2_independence",
     "win_max_drawdown",
     "text_zipf_fit",
+    "sql_local_supplier_volume",
+    "sql_forecast_revenue",
+    "sql_returned_item_ranking",
+    "sql_promo_revenue",
+    "sql_large_volume_customer",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -89,6 +89,9 @@ SINGLE_PARTITION_OK = {
     "dq_chi2_independence": (4, "contingency-table scalar folds"),
     # rank offsets frame (≤16 rows) + the final scalar REGR fold
     "text_zipf_fit": (2, "offsets frame + scalar regression fold"),
+    # scalar aggregate merges (Q6 / Q14 shapes: 1-row answers)
+    "sql_forecast_revenue": (1, "scalar revenue fold"),
+    "sql_promo_revenue": (1, "scalar ratio fold"),
 }
 
 BNLJ_OK = {

@@ -221,3 +221,22 @@ def test_shuffle_shards_windows_by_shard(spark):
     never an empty partition spec (single-task global sort)."""
     text = explain_str(Q["corpus_shuffle_shards"].run(spark, SF_SMALL))
     assert "windowspecdefinition(shard#" in text
+
+
+def test_q6_pushes_all_filters_and_prunes(spark):
+    """The Q6 SQL shape's three predicates reach the parquet scan and the
+    read schema narrows to the 4 referenced columns."""
+    df = Q["sql_forecast_revenue"].run(spark, SF_SMALL)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters)
+    assert any("l_discount" in f for f in filters)
+    assert any("l_quantity" in f for f in filters)
+    read_schema = [
+        ln for ln in explain_str(df).splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema and "l_returnflag" not in read_schema[0]
+
+
+def test_q10_top20_uses_take_ordered(spark):
+    df = Q["sql_returned_item_ranking"].run(spark, SF_SMALL)
+    assert has_operator(df, "TakeOrderedAndProject")
