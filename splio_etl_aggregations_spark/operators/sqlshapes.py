@@ -1,7 +1,7 @@
 """TPC-H-shaped SQL-entry queries (beyond Q3, aggs.py:sql_shipping_priority).
 
 The reference's users run ad-hoc SQL against the warehouse tables; these
-operators prove the ``spark.sql`` entry point end-to-end on the five
+operators prove the ``spark.sql`` entry point end-to-end on the seven
 classic TPC-H plan shapes the fixture schema supports (no partsupp /
 commitdate / shipmode columns exist, so Q2/Q4/Q11/Q12/Q16/Q20-class
 queries are out of scope by data model, not by engine capability):
@@ -12,7 +12,9 @@ queries are out of scope by data model, not by engine capability):
   pushdown showcase — zero joins, zero shuffles beyond the fold),
 - Q10 returned-item ranking: selective fact filter + 4-table join +
   deterministic top-20,
+- Q13 customer distribution: zero-preserving LEFT-join count histogram,
 - Q14 promo revenue share: conditional aggregation over a dim join,
+- Q15 top supplier: CTE consumed twice + scalar MAX subquery,
 - Q18 large-volume customer: HAVING subquery driving a fact⋈fact join.
 
 Every statement runs verbatim-equivalent in DuckDB (timestamp literal
@@ -237,5 +239,90 @@ def sql_large_volume_customer(spark, t):
               FROM lineitem GROUP BY l_orderkey
               HAVING SUM(l_quantity) > 300) t
           ON o.o_orderkey = t.l_orderkey
+        """
+    )
+
+
+@register(
+    "sql_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tier="P1",
+)
+def sql_customer_distribution(spark, t):
+    """TPC-H Q13 shape: the distribution of customers by order count —
+    INCLUDING zero-order customers, which is the whole point: the LEFT
+    join preserves customers with no orders, COUNT(o_orderkey) counts
+    the null as 0 (COUNT(*) would wrongly count 1), and the second
+    aggregate folds per-customer counts into a |distinct counts|-row
+    histogram.
+
+    Plan: one shuffle on custkey serves both the join and the first
+    aggregate; the histogram aggregate's input is |customers| rows and
+    its output is tiny.
+    """
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """
+    )
+
+
+@register(
+    "sql_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tier="P1",
+)
+def sql_top_supplier(spark, t):
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    a CTE consumed twice (once as the join input, once inside the
+    scalar MAX subquery), the pattern that exercises Catalyst's
+    handling of repeated subplans plus scalar-subquery rewriting.
+
+    Determinism: revenue is rounded to 4 dp INSIDE the CTE, so the
+    equality against the rounded MAX is exact on both engines (raw
+    double sums can differ in the last ulp across engines/partition
+    orders, which would make `= (SELECT MAX…)` nondeterministically
+    empty — rounding first removes the knife edge; genuinely tied
+    suppliers all appear, which is Q15's own semantics).
+    """
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey, round(SUM(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+            AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP_NTZ)
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
         """
     )

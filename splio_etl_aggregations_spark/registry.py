@@ -248,6 +248,8 @@ DRIVER_ORDER: list[str] = [
     "sql_returned_item_ranking",
     "sql_promo_revenue",
     "sql_large_volume_customer",
+    "sql_customer_distribution",
+    "sql_top_supplier",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -92,6 +92,8 @@ SINGLE_PARTITION_OK = {
     # scalar aggregate merges (Q6 / Q14 shapes: 1-row answers)
     "sql_forecast_revenue": (1, "scalar revenue fold"),
     "sql_promo_revenue": (1, "scalar ratio fold"),
+    # the scalar MAX(total_rev) subquery's 1-row fold (Q15 shape)
+    "sql_top_supplier": (1, "scalar max-revenue subquery fold"),
 }
 
 BNLJ_OK = {
