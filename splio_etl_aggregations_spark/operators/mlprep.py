@@ -528,8 +528,12 @@ def corpus_subsample_tokens(spark, t):
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         ph60("doc_id", "sub").alias("h"),
     )
-    parts = d.repartitionByRange(16, F.asc("h"), F.asc("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
+    # cached so pid comes from ONE materialization of the range exchange
+    # (both window and offsets consume it; see two_phase_global_rank)
+    parts = (
+        d.repartitionByRange(16, F.asc("h"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
     )
     w_local = (
         Window.partitionBy("pid")

@@ -458,7 +458,9 @@ def ts_peak_concurrency(spark, t):
     )
     # two-phase cumulative sum over the sweep order (ts_us, delta)
     parts = bounds.repartitionByRange(16, F.asc("ts_us"), F.asc("delta"))
-    with_pid = parts.withColumn("pid", F.spark_partition_id())
+    # cached so pid comes from ONE materialization of the range exchange
+    # (both window and offsets consume it; see two_phase_global_rank)
+    with_pid = parts.withColumn("pid", F.spark_partition_id()).cache()
     w_local = (
         Window.partitionBy("pid")
         .orderBy("ts_us", "delta")

@@ -36,7 +36,14 @@ def two_phase_global_rank(df, order, n_parts: int = 16):
     arithmetic over (rn, n_total).
     """
     parts = df.repartitionByRange(n_parts, *order)
-    with_pid = parts.withColumn("pid", F.spark_partition_id())
+    # CACHED on purpose — correctness, not speed: both consumers below
+    # (local ranks and per-partition sizes) re-instantiate this subtree
+    # in the plan, and if Catalyst does NOT reuse the range exchange the
+    # two instances can sample DIFFERENT range boundaries, making pid
+    # disagree between them — offsets then attach to the wrong ranges
+    # (observed as a run-to-run flaky cumsum in dq_ks_drift before the
+    # fix). The cache pins one materialization that every consumer reads.
+    with_pid = parts.withColumn("pid", F.spark_partition_id()).cache()
     local = with_pid.withColumn(
         "local_rn",
         F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
@@ -76,8 +83,12 @@ def two_phase_cumsum(df, order, values, n_parts: int = 16):
     (``dq_ks_drift``) where a partition-less ``SUM() OVER (ORDER BY …)``
     would collapse the whole frame into one task.
     """
-    parts = df.repartitionByRange(n_parts, *order).withColumn(
-        "pid", F.spark_partition_id()
+    # cached for the same reason as two_phase_global_rank: pid must come
+    # from ONE materialization of the range exchange (see comment there)
+    parts = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
     )
     w_local = (
         Window.partitionBy("pid")

@@ -94,6 +94,11 @@ SINGLE_PARTITION_OK = {
     "sql_promo_revenue": (1, "scalar ratio fold"),
     # the scalar MAX(total_rev) subquery's 1-row fold (Q15 shape)
     "sql_top_supplier": (1, "scalar max-revenue subquery fold"),
+    # rank offsets frame (≤16 rows) inside the cached token-set subtree
+    "dedup_containment": (1, "offsets frame in cached rank subtree"),
+    # |brands|-bounded: the scalar node-count fold appears once per
+    # iteration lineage (fixed 5 iterations + init)
+    "graph_pagerank": (6, "scalar |nodes| fold ×(iters+1)"),
 }
 
 BNLJ_OK = {
@@ -119,6 +124,8 @@ BNLJ_OK = {
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
     "dq_chi2_independence": (6, "1-row total/dim-count crossJoins ×2"),
+    # 1-row |nodes| crossJoin per fixed iteration (×2 explain sections)
+    "graph_pagerank": (12, "1-row node-count crossJoins ×(iters+1)"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

@@ -247,3 +247,73 @@ def test_zip_grams_match_python_reference(spark, docs):
             for j in range(len(tok) - n + 1)
         )
         assert got == want
+
+
+@SLOW
+@given(rows=st.lists(st.tuples(st.integers(0, 1000), st.integers(-50, 50),
+                               st.integers(-50, 50)),
+                     min_size=1, max_size=40, unique_by=lambda r: r[0]))
+def test_two_phase_cumsum_matches_window(spark, rows):
+    """The distributed prefix sum equals the single-partition window
+    form for every ordering key set (incl. sparse/duplicate values)."""
+    from pyspark.sql import Window
+
+    from splio_etl_aggregations_spark.operators.windows import (
+        two_phase_cumsum,
+    )
+
+    df = spark.createDataFrame(rows, "k int, a int, b int")
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in two_phase_cumsum(df, [F.asc("k")], ["a", "b"]).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "k",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_matches_bruteforce(spark, docs):
+    """dedup_containment's survivorship report equals the brute-force
+    all-pairs computation on arbitrary tiny corpora."""
+    from splio_etl_aggregations_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d, "xx", "src", len(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {
+        r["contained_id"]: (r["n_containers"], r["keeper_id"])
+        for r in dedup_containment(spark, {"documents": df}).collect()
+    }
+    sets = {i: set(d.split(" ")) for i, d in enumerate(docs)}
+    want = {}
+    for a, sa in sets.items():
+        containers = [
+            b
+            for b, sb in sets.items()
+            if a != b
+            and (len(sa) < len(sb) or (len(sa) == len(sb) and a < b))
+            and len(sa & sb) / len(sa) >= 0.9
+        ]
+        if containers:
+            want[a] = (len(containers), min(containers))
+    assert got == want
