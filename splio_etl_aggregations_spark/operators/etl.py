@@ -857,3 +857,63 @@ def dq_chi2_independence(spark, t):
             "n",
         )
     )
+
+
+@register(
+    "dq_benford_test",
+    oracle="""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS d
+      FROM orders
+    ),
+    obs AS (SELECT d, COUNT(*) AS n_obs FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n_obs)::DOUBLE AS n FROM obs)
+    SELECT o.d AS digit, o.n_obs,
+           round(o.n_obs / t.n, 6) AS p_obs,
+           round(log10(1.0 + 1.0 / CAST(o.d AS BIGINT)), 6) AS p_benford,
+           round((o.n_obs - t.n * log10(1.0 + 1.0 / CAST(o.d AS BIGINT)))
+                 * (o.n_obs - t.n * log10(1.0 + 1.0 / CAST(o.d AS BIGINT)))
+                 / (t.n * log10(1.0 + 1.0 / CAST(o.d AS BIGINT))), 6)
+             AS chi2_term
+    FROM obs o, tot t
+    """,
+    tier="P2",
+)
+def dq_benford_test(spark, t):
+    """Benford's-law audit of the order amounts: observed first-digit
+    frequencies against the log10(1+1/d) expectation, with each digit's
+    chi-square contribution — the classic forensic screen for fabricated
+    or systematically generated monetary data (synthetic uniform prices,
+    like these fixtures', fail it loudly; that non-conformance report is
+    the point).
+
+    Only digits that occur appear (TPC-H prices start at ~1k, so no
+    leading zeros issue); the expectation is computed, not hardcoded,
+    with the same log10 on both engines. Shape: one map-side digit
+    projection, one ≤9-row aggregate, one 1-row total crossJoin —
+    constant-size everything after a single pruned-column pass.
+    """
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    obs = (
+        t["orders"]
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("double").alias("n"))
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("bigint"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("p_obs"),
+        F.round(p_exp, 6).alias("p_benford"),
+        F.round(
+            (F.col("n_obs") - F.col("n") * p_exp)
+            * (F.col("n_obs") - F.col("n") * p_exp)
+            / (F.col("n") * p_exp),
+            6,
+        ).alias("chi2_term"),
+    )

@@ -235,3 +235,44 @@ def udf_map_in_arrow(spark, t):
             / F.lit(10000.0)
         ).alias("fee"),
     )
+
+
+@register(
+    "udf_rolling_median",
+    oracle="""
+    SELECT event_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_median
+    FROM events
+    """,
+    tier="P2",
+)
+def udf_rolling_median(spark, t):
+    """Rolling 5-event median of each user's event values — the window
+    aggregate Spark's built-in surface CANNOT express (percentile-family
+    functions are not supported as window functions), making it the
+    canonical applyInPandas extension case: per-user Arrow batches, a
+    pandas ``rolling(5).median()`` inside, outputs keyed back by
+    event_id. DuckDB CAN run median as a windowed aggregate, which is
+    what makes this UDx hash-checkable end-to-end.
+
+    Determinism: median is order-statistic selection (plus an exact
+    (a+b)/2 midpoint for even frames) — no accumulation order to drift;
+    rows are sorted (ts, event_id) inside each group before rolling.
+    Scale: one shuffle on user_id; per-group memory is the group's rows
+    (bounded by per-user history, the same bound every per-user window
+    carries); the rolling buffer itself is 5 values.
+    """
+    ev = t["events"].select("event_id", "user_id", "ts", "value")
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        med = pdf["value"].rolling(5, min_periods=1).median()
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "roll_median": med.round(4)}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        roll, "event_id long, roll_median double"
+    )

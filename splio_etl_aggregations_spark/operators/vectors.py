@@ -553,3 +553,62 @@ def vec_quantize_int8(spark, t):
         r6("max_abs_raw").alias("max_abs"),
         r6(F.sqrt(err_sq)).alias("quant_err_l2"),
     )
+
+
+#: thresholds probed by ``sim_threshold_sweep`` (the semantic-dedup τ
+#: calibration grid)
+SWEEP_TAUS = (0.30, 0.35, 0.40, 0.45)
+
+
+@register(
+    "sim_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT round(
+               list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({tau} AS DOUBLE) AS tau, "
+        f"COALESCE(SUM(CASE WHEN cos_sim >= {tau} THEN 1 ELSE 0 END), 0)"
+        f"::BIGINT AS n_pairs FROM pairs"
+        for tau in SWEEP_TAUS)}
+    """,
+    tier="P2",
+)
+def sim_threshold_sweep(spark, t):
+    """Semantic-dedup threshold calibration: how many near-duplicate
+    pairs each candidate cosine cutoff would declare (τ ∈ {SWEEP_TAUS}).
+    This is the sweep a curation team runs BEFORE committing a semantic
+    dedup pass — the knee of this curve separates "removing real
+    near-dups" from "deleting the corpus", and running it as one job
+    instead of |τ| jobs is the operational win.
+
+    One pass of the blocked-matmul kernel at the LOOSEST threshold
+    yields every pair any τ would keep; the per-τ counts are conditional
+    aggregates over that pair stream (map-side combined — the answer
+    frame is |τ| rows). Comparisons use the 6-dp-rounded similarity on
+    both engines so boundary pairs land identically. Scale: kernel cost
+    is one thresholded block-pair sweep (see ``dedup_embedding_cosine``);
+    the sweep adds only constant-size counting on top.
+    """
+    pairs = _cosine_pairs(spark, t, SWEEP_TAUS[0]).select(
+        r6(F.col("cos_sim")).alias("cos_sim")
+    )
+    counts = pairs.agg(
+        *[
+            F.count_if(F.col("cos_sim") >= F.lit(tau)).alias(f"n{i}")
+            for i, tau in enumerate(SWEEP_TAUS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({tau} AS DOUBLE), n{i}" for i, tau in enumerate(SWEEP_TAUS)
+    )
+    return counts.select(
+        F.expr(f"stack({len(SWEEP_TAUS)}, {stack_args})").alias(
+            "tau", "n_pairs"
+        )
+    )

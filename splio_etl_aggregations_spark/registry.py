@@ -250,6 +250,10 @@ DRIVER_ORDER: list[str] = [
     "sql_large_volume_customer",
     "sql_customer_distribution",
     "sql_top_supplier",
+    "udf_rolling_median",
+    "dq_benford_test",
+    "sim_threshold_sweep",
+    "graph_link_prediction",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -99,6 +99,10 @@ SINGLE_PARTITION_OK = {
     # |brands|-bounded: the scalar node-count fold appears once per
     # iteration lineage (fixed 5 iterations + init)
     "graph_pagerank": (6, "scalar |nodes| fold ×(iters+1)"),
+    # ≤9-row digit frame folded to the 1-row total
+    "dq_benford_test": (1, "scalar digit-total fold"),
+    # the |τ|-count conditional aggregate's 1-row merge
+    "sim_threshold_sweep": (1, "scalar sweep-count fold"),
 }
 
 BNLJ_OK = {
@@ -126,6 +130,8 @@ BNLJ_OK = {
     "dq_chi2_independence": (6, "1-row total/dim-count crossJoins ×2"),
     # 1-row |nodes| crossJoin per fixed iteration (×2 explain sections)
     "graph_pagerank": (12, "1-row node-count crossJoins ×(iters+1)"),
+    # 1-row digit-total crossJoin (×2 explain sections)
+    "dq_benford_test": (2, "1-row digit-total crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
