@@ -254,6 +254,9 @@ DRIVER_ORDER: list[str] = [
     "dq_benford_test",
     "sim_threshold_sweep",
     "graph_link_prediction",
+    "attribution_linear_multi_touch",
+    "ml_auc_eval",
+    "clv_cohort_ltv",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -103,6 +103,8 @@ SINGLE_PARTITION_OK = {
     "dq_benford_test": (1, "scalar digit-total fold"),
     # the |τ|-count conditional aggregate's 1-row merge
     "sim_threshold_sweep": (1, "scalar sweep-count fold"),
+    # cumsum offsets frame (≤16 rows) + the 1-row totals fold
+    "ml_auc_eval": (2, "offsets frame + scalar totals fold"),
 }
 
 BNLJ_OK = {
@@ -132,6 +134,8 @@ BNLJ_OK = {
     "graph_pagerank": (12, "1-row node-count crossJoins ×(iters+1)"),
     # 1-row digit-total crossJoin (×2 explain sections)
     "dq_benford_test": (2, "1-row digit-total crossJoin"),
+    # 1-row pos/neg-totals crossJoin (×2 explain sections)
+    "ml_auc_eval": (2, "1-row totals crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
