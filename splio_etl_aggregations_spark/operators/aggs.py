@@ -1995,3 +1995,105 @@ def clv_cohort_ltv(spark, t):
         F.round(cum, 4).alias("cum_revenue"),
         F.round(cum / F.col("n_cohort_users"), 4).alias("ltv_per_user"),
     )
+
+
+@register(
+    "pipeline_marketing_mix",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_ts
+      FROM events
+    ),
+    attributed AS (
+      SELECT c.c_mktsegment AS segment,
+             COALESCE(CASE WHEN w.touch_ts >= w.ts - INTERVAL 7 DAY
+                           THEN w.touch_type END, 'direct') AS channel,
+             w.value
+      FROM w JOIN customer c ON w.user_id = c.c_custkey
+      WHERE w.event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT segment, channel,
+             COUNT(*) AS n_purchases, SUM(value) AS rev
+      FROM attributed GROUP BY segment, channel
+    )
+    SELECT segment, channel, n_purchases, round(rev, 4) AS revenue,
+           round(rev / SUM(rev) OVER (PARTITION BY segment), 6)
+             AS segment_share
+    FROM cells
+    """,
+    tier="P1",
+)
+def pipeline_marketing_mix(spark, t):
+    """Composite marketing-mix report — the third hash-checked
+    end-to-end composition (beside ``pipeline_clean_corpus`` and
+    ``pipeline_training_set``), this one over the marketing surface:
+    last-touch attribution (per-user as-of window) → customer-segment
+    join → segment × channel revenue matrix with each channel's share
+    of its segment. The deliverable a CMO dashboard reads: which
+    channels drive which segments.
+
+    Shape: one user-sorted window pass for attribution, one broadcast
+    join to the customer dimension, one |segments|×|channels| aggregate,
+    and the share window runs over that bounded grid (≤ 25 rows) — the
+    fact table is touched once.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = e.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    cells = (
+        touched.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce(
+                F.when(in_window, F.col("touch_type")), F.lit("direct")
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("segment", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").alias("rev"),
+        )
+    )
+    share_w = Window.partitionBy("segment")
+    return cells.select(
+        "segment",
+        "channel",
+        "n_purchases",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(share_w), 6).alias(
+            "segment_share"
+        ),
+    )

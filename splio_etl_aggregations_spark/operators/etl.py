@@ -917,3 +917,88 @@ def dq_benford_test(spark, t):
             6,
         ).alias("chi2_term"),
     )
+
+
+@register(
+    "etl_gdpr_erasure",
+    oracle=f"""
+    WITH erased_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE {ph60_sql("o_custkey", "gdpr")} % 20 = 0
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS n_before,
+           (SELECT COUNT(*) FROM customer
+            WHERE {ph60_sql("c_custkey", "gdpr")} % 20 = 0) AS n_erased,
+           (SELECT COUNT(*) FROM customer
+            WHERE {ph60_sql("c_custkey", "gdpr")} % 20 <> 0) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE {ph60_sql("o_custkey", "gdpr")} % 20 = 0),
+           (SELECT COUNT(*) FROM orders
+            WHERE {ph60_sql("o_custkey", "gdpr")} % 20 <> 0)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM erased_orders)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_orders))
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events
+            WHERE {ph60_sql("user_id", "gdpr")} % 20 = 0),
+           (SELECT COUNT(*) FROM events
+            WHERE {ph60_sql("user_id", "gdpr")} % 20 <> 0)
+    """,
+    tier="P2",
+)
+def etl_gdpr_erasure(spark, t):
+    """Right-to-be-forgotten erasure audit: for a deterministic erasure
+    cohort (≈5 % of subjects, selected by ``ph60(key) % 20 = 0`` so the
+    same subjects erase identically on every engine and run), the
+    before/erased/after row counts across every table holding their
+    data — INCLUDING the cascade (lineitems die with their erased
+    orders, which carry no direct customer key). This count audit is
+    the verification artifact a GDPR/CCPA deletion job must produce;
+    the deletion itself is the same predicates applied as filters.
+
+    Shape: direct-key tables audit with one conditional aggregate each
+    (the predicate is a pure column expression — no erasure list is
+    materialized or shuffled); the cascade table audits via a semi-join
+    against the erased-order keys (broadcastable at 5 %; a key-bucketed
+    layout makes it exchange-free at 100 TB). Report is |tables| rows.
+    """
+    erased = lambda c: ph60(c, "gdpr") % 20 == 0  # noqa: E731
+
+    def direct(name, df, key):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count_if(erased(key)).alias("n_erased"),
+            F.count_if(~erased(key)).alias("n_after"),
+        ).select("table_name", "n_before", "n_erased", "n_after")
+
+    erased_orders = (
+        t["orders"].filter(erased("o_custkey")).select("o_orderkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(erased_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    cascade = li.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_before"),
+        F.count_if(F.col("o_orderkey").isNotNull()).alias("n_erased"),
+        F.count_if(F.col("o_orderkey").isNull()).alias("n_after"),
+    ).select("table_name", "n_before", "n_erased", "n_after")
+    return (
+        direct("customer", t["customer"], "c_custkey")
+        .unionByName(direct("orders", t["orders"], "o_custkey"))
+        .unionByName(cascade)
+        .unionByName(direct("events", t["events"], "user_id"))
+    )

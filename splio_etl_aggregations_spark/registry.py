@@ -257,6 +257,8 @@ DRIVER_ORDER: list[str] = [
     "attribution_linear_multi_touch",
     "ml_auc_eval",
     "clv_cohort_ltv",
+    "etl_gdpr_erasure",
+    "pipeline_marketing_mix",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

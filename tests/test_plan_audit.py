@@ -105,6 +105,8 @@ SINGLE_PARTITION_OK = {
     "sim_threshold_sweep": (1, "scalar sweep-count fold"),
     # cumsum offsets frame (≤16 rows) + the 1-row totals fold
     "ml_auc_eval": (2, "offsets frame + scalar totals fold"),
+    # one scalar audit fold per table (4 tables)
+    "etl_gdpr_erasure": (4, "per-table scalar audit folds"),
 }
 
 BNLJ_OK = {
