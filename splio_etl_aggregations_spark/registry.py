@@ -259,6 +259,7 @@ DRIVER_ORDER: list[str] = [
     "clv_cohort_ltv",
     "etl_gdpr_erasure",
     "pipeline_marketing_mix",
+    "stream_static_join",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

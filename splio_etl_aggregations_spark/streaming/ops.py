@@ -434,3 +434,50 @@ def stream_upsert_materialize(spark, t):
         F.col("event_type").alias("last_type"),
         r4("value").alias("last_value"),
     )
+
+
+def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment transform: purchase events joined to the
+    (static, broadcast) customer dimension, folded to per-segment
+    revenue. Pure DataFrame → DataFrame so the same function runs under
+    batch (oracle-hashed) and readStream (replay-tested)."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            r4(F.sum("value")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           round(SUM(e.value), 4) AS revenue
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+    tier="P2",
+)
+def stream_static_join(spark, t):
+    """Stream-static dimension join — the enrichment pattern every
+    production stream runs (events arrive, dimensions sit in a table):
+    purchases joined to the customer dimension per micro-batch, rolled
+    up to per-segment revenue. Under ``readStream`` Spark re-binds the
+    static side each micro-batch (a snapshot join — no watermark or
+    state needed on the static side, unlike stream-stream joins);
+    tests/test_streaming.py replays this transform and asserts the
+    final state equals this batch form.
+
+    Scale: the dimension projection broadcasts (two columns); the
+    streaming aggregate's state is |segments| rows.
+    """
+    return enrich_with_segment(t["events"], t["customer"])

@@ -321,3 +321,17 @@ def test_stream_stream_join_replay_equals_batch(spark):
     got = _rows(spark.table(sink))
     assert got == _rows(batch)
     assert len(got) > 0
+
+
+def test_static_join_replay_equals_batch(spark):
+    """Stream-static enrichment: the per-micro-batch dimension join over
+    a 4-file replay converges to the batch join's state."""
+    from splio_etl_aggregations_spark.streaming.ops import enrich_with_segment
+
+    tables = load(spark, SF_SMALL)
+    customer = tables["customer"]
+    batch = enrich_with_segment(tables["events"], customer)
+    stream = _replay(
+        spark, lambda df: enrich_with_segment(df, customer), mode="complete"
+    )
+    assert _rows(stream) == _rows(batch)
