@@ -704,3 +704,82 @@ def ml_target_encoding(spark, t):
             F.round(enc, 4).alias("priority_enc"),
         )
     )
+
+
+#: score thresholds for the classification report (value ≥ τ ⇒ predict
+#: positive); the grid a threshold-tuning sweep would evaluate
+CONF_TAUS = (5.0, 10.0, 15.0)
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({tau} AS DOUBLE) AS tau,
+           SUM(CASE WHEN v >= {tau} AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN v >= {tau} AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+           SUM(CASE WHEN v < {tau} AND pos = 1 THEN 1 ELSE 0 END) AS fn,
+           SUM(CASE WHEN v < {tau} AND pos = 0 THEN 1 ELSE 0 END) AS tn,
+           round(SUM(CASE WHEN v >= {tau} AND pos = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN v >= {tau} THEN 1 ELSE 0 END), 0), 6)
+             AS precision,
+           round(SUM(CASE WHEN v >= {tau} AND pos = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(pos), 0), 6) AS recall
+        FROM labeled'''
+        for tau in CONF_TAUS)}
+    """,
+    tier="P2",
+)
+def ml_confusion_matrix(spark, t):
+    """Thresholded classification report for the same score/label pair
+    as ``ml_auc_eval`` (event value predicting purchase): TP/FP/FN/TN
+    plus precision and recall at each candidate threshold — AUC says
+    whether the score ranks well; this says what you actually get at
+    the operating points you could deploy.
+
+    All |τ| confusion matrices come from ONE pass: each is four
+    conditional-count partials, map-side combined, so the scan cost is
+    independent of the grid size and the answer frame is |τ| rows.
+    NULLIF guards the degenerate all-negative-predictions threshold.
+    """
+    labeled = t["events"].select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    aggs = []
+    for i, tau in enumerate(CONF_TAUS):
+        pred = F.col("v") >= F.lit(tau)
+        pos = F.col("pos") == 1
+        aggs += [
+            F.count_if(pred & pos).alias(f"tp{i}"),
+            F.count_if(pred & ~pos).alias(f"fp{i}"),
+            F.count_if(~pred & pos).alias(f"fn{i}"),
+            F.count_if(~pred & ~pos).alias(f"tn{i}"),
+        ]
+    folded = labeled.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({tau} AS DOUBLE), tp{i}, fp{i}, fn{i}, tn{i}"
+        for i, tau in enumerate(CONF_TAUS)
+    )
+    return folded.select(
+        F.expr(f"stack({len(CONF_TAUS)}, {stack})").alias(
+            "tau", "tp", "fp", "fn", "tn"
+        )
+    ).select(
+        "tau",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+        ).alias("recall"),
+    )

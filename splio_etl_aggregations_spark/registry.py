@@ -260,6 +260,7 @@ DRIVER_ORDER: list[str] = [
     "etl_gdpr_erasure",
     "pipeline_marketing_mix",
     "stream_static_join",
+    "ml_confusion_matrix",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -107,6 +107,8 @@ SINGLE_PARTITION_OK = {
     "ml_auc_eval": (2, "offsets frame + scalar totals fold"),
     # one scalar audit fold per table (4 tables)
     "etl_gdpr_erasure": (4, "per-table scalar audit folds"),
+    # the |τ|×4 conditional-count aggregate's 1-row merge
+    "ml_confusion_matrix": (1, "scalar confusion-count fold"),
 }
 
 BNLJ_OK = {

@@ -149,6 +149,15 @@ def shapes(spark, t):
         "hll_set_algebra": lambda: get("agg_hll_set_algebra").builder(spark, t),
         "pagerank": lambda: get("graph_pagerank").builder(spark, t),
         "psi_drift": lambda: get("dq_psi_drift").builder(spark, t),
+        # r2 fourth wave: the double-RANGE-window attribution (per-user
+        # depth stress like asof), the two-phase-cumsum AUC, the KS
+        # drift CDF pass, and the attribution→segment composite
+        "attr_linear": lambda: get("attribution_linear_multi_touch").builder(
+            spark, t
+        ),
+        "auc_eval": lambda: get("ml_auc_eval").builder(spark, t),
+        "ks_drift": lambda: get("dq_ks_drift").builder(spark, t),
+        "marketing_mix": lambda: get("pipeline_marketing_mix").builder(spark, t),
     }
 
 
