@@ -2097,3 +2097,125 @@ def pipeline_marketing_mix(spark, t):
             "segment_share"
         ),
     )
+
+
+@register(
+    "agg_moments_skew_kurt",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, AVG(value) AS m, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, ANY_VALUE(u.n) AS n,
+           round(AVG((e.value - u.m) * (e.value - u.m)
+                     * (e.value - u.m))
+                 / POW(AVG((e.value - u.m) * (e.value - u.m)), 1.5), 6)
+             AS skewness,
+           round(AVG((e.value - u.m) * (e.value - u.m)
+                     * (e.value - u.m) * (e.value - u.m))
+                 / POW(AVG((e.value - u.m) * (e.value - u.m)), 2) - 3, 6)
+             AS excess_kurtosis
+    FROM events e JOIN mu u USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tier="P2",
+)
+def agg_moments_skew_kurt(spark, t):
+    """Population skewness and excess kurtosis of event values per type
+    — the distribution-shape moments behind outlier policy and
+    normality screens. Spark's builtin ``skewness``/``kurtosis`` and
+    DuckDB's disagree on bias correction (population vs sample), so
+    both engines compute the SAME population definition from explicit
+    centered moments: skew = m₃/m₂^1.5, excess kurt = m₄/m₂² − 3.
+
+    Centered two-pass on purpose: the one-pass E[x⁴]-expansion form
+    loses ~8 significant digits to catastrophic cancellation at these
+    magnitudes (μ ≈ 10⁴ ⇒ μ⁴ ≈ 10¹⁶ vs m₄ ≈ 10²) — a 6-dp cross-engine
+    hash would not survive it. Pass 1 is a |types|-row mean frame
+    broadcast back; pass 2 folds the centered powers map-side. 100 TB
+    cost: two scans of one pruned column.
+    """
+    mu = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    d = F.col("value") - F.col("m")
+    return (
+        t["events"]
+        .join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.round(
+                F.avg(d * d * d) / F.pow(F.avg(d * d), 1.5), 6
+            ).alias("skewness"),
+            F.round(
+                F.avg(d * d * d * d) / F.pow(F.avg(d * d), 2.0) - 3, 6
+            ).alias("excess_kurtosis"),
+        )
+    )
+
+
+@register(
+    "path_analysis_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+    tier="P2",
+)
+def path_analysis_topk(spark, t):
+    """Top user journeys: each user's first five events as an ordered
+    ``type>type>…`` path, ranked by how many users share it — the
+    product-analytics "common paths" report that funnel analysis
+    (fixed-order) cannot answer.
+
+    The ordered concatenation is built JVM-side: collect the (ts,
+    event_id, type) structs per user, ``array_sort`` (struct ordering =
+    lexicographic on the fields, i.e. exactly the per-user timeline),
+    project the type field out, join with '>' — no UDF, and the
+    intermediate array is bounded by the first-5 cut BEFORE the
+    aggregate, so per-group state is ≤5 structs. Top-10 cuts on
+    (count desc, path asc) via TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )

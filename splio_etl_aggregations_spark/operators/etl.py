@@ -1002,3 +1002,91 @@ def etl_gdpr_erasure(spark, t):
         .unionByName(cascade)
         .unionByName(direct("events", t["events"], "user_id"))
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    eras AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM ch WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT e.priority AS era_priority,
+           COUNT(DISTINCT e.custkey || '#' || CAST(e.valid_from AS VARCHAR))
+             AS n_eras,
+           COUNT(*) AS n_orders,
+           round(SUM(o.o_totalprice), 4) AS era_revenue
+    FROM eras e
+    JOIN orders o
+      ON o.o_custkey = e.custkey
+     AND o.o_orderdate >= e.valid_from
+     AND (e.valid_to IS NULL OR o.o_orderdate < e.valid_to)
+    GROUP BY e.priority
+    """,
+    tier="P2",
+)
+def join_scd2_point_in_time(spark, t):
+    """Point-in-time fact lookup against SCD2 dimension versions — the
+    query historization exists FOR: every order joins the customer's
+    priority-era that was valid AT its order date (half-open
+    [valid_from, valid_to) containment, NULL = current), then revenue
+    rolls up per era priority. Joining facts to today's dimension
+    instead of the valid-at version is the classic silent-corruption
+    bug in warehouse reporting; this operator is the correct pattern,
+    hash-proved.
+
+    The era build is the ``etl_scd2_history`` lag/lead construction
+    inline; the containment join co-partitions both sides on custkey
+    (one exchange each — per-customer fan-out is |eras/customer| ×
+    |orders in era|, bounded by history, never cross-customer). The
+    half-open boundary sends an order landing exactly on a change date
+    to the NEW era, and zero-length eras (same-day changes) match
+    nothing — both asserted by the oracle's identical predicates.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+        )
+    )
+    eras = chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    o = t["orders"].select(
+        F.col("o_custkey").alias("f_custkey"), "o_orderdate", "o_totalprice"
+    )
+    joined = eras.join(
+        o,
+        (F.col("custkey") == F.col("f_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    era_key = F.concat_ws(
+        "#", F.col("custkey"), F.col("valid_from").cast("string")
+    )
+    return joined.groupBy(F.col("priority").alias("era_priority")).agg(
+        F.countDistinct(era_key).alias("n_eras"),
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("era_revenue"),
+    )

@@ -261,6 +261,9 @@ DRIVER_ORDER: list[str] = [
     "pipeline_marketing_mix",
     "stream_static_join",
     "ml_confusion_matrix",
+    "agg_moments_skew_kurt",
+    "path_analysis_topk",
+    "join_scd2_point_in_time",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
