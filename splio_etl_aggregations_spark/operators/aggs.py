@@ -2219,3 +2219,142 @@ def path_analysis_topk(spark, t):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "agg_ab_test_welch",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS grp,
+             value
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    stats AS (
+      SELECT grp, COUNT(*) AS n, AVG(value) AS mean,
+             var_samp(value) AS var
+      FROM g GROUP BY grp
+    ),
+    ab AS (
+      SELECT
+        (SELECT n FROM stats WHERE grp = 'A') AS na,
+        (SELECT mean FROM stats WHERE grp = 'A') AS ma,
+        (SELECT var FROM stats WHERE grp = 'A') AS va,
+        (SELECT n FROM stats WHERE grp = 'B') AS nb,
+        (SELECT mean FROM stats WHERE grp = 'B') AS mb,
+        (SELECT var FROM stats WHERE grp = 'B') AS vb
+    )
+    SELECT na, nb,
+           round(ma - mb, 6) AS mean_diff,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           round(POW(va / na + vb / nb, 2)
+                 / (POW(va / na, 2) / (na - 1)
+                    + POW(vb / nb, 2) / (nb - 1)), 4) AS welch_df
+    FROM ab
+    """,
+    tier="P2",
+)
+def agg_ab_test_welch(spark, t):
+    """Welch's unequal-variance t-test between two event populations
+    (click = A vs view = B on value): mean difference, t statistic, and
+    the Welch–Satterthwaite degrees of freedom — the A/B-test readout
+    every experimentation platform computes, here as two aggregates and
+    closed-form arithmetic (compare |t| to the t(df) quantile).
+
+    Welch rather than Student on purpose: it never assumes equal
+    variances, so it is the safe default for production metrics. Both
+    engines use the SAME sample-variance definition (var_samp /
+    variance with n−1), checked at 6 dp. Shape: one conditional scan →
+    a 2-row stats frame → scalar arithmetic; constant-size after the
+    single pass.
+    """
+    g = t["events"].filter(F.col("event_type").isin("click", "view"))
+    stats = (
+        g.select(
+            F.when(F.col("event_type") == "click", "A").otherwise("B").alias(
+                "grp"
+            ),
+            "value",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = stats.filter(F.col("grp") == "A").select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = stats.filter(F.col("grp") == "B").select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return a.crossJoin(F.broadcast(b)).select(
+        "na",
+        "nb",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2.0)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2.0) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2.0) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "ts_seasonality_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, dayofweek(ts) AS dow,
+             SUM(value) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    dow_avg AS (
+      SELECT dow, AVG(day_value) AS dow_mean, COUNT(*) AS n_days
+      FROM daily GROUP BY dow
+    ),
+    overall AS (SELECT AVG(day_value) AS grand_mean FROM daily)
+    SELECT d.dow, d.n_days,
+           round(d.dow_mean, 4) AS dow_mean,
+           round(d.dow_mean / o.grand_mean, 6) AS seasonal_index
+    FROM dow_avg d, overall o
+    """,
+    tier="P2",
+)
+def ts_seasonality_index(spark, t):
+    """Day-of-week multiplicative seasonality indices: each weekday's
+    average daily event value relative to the grand daily mean (index
+    1.0 = no effect) — the classical decomposition step before
+    forecasting or anomaly thresholds that must not fire every weekend.
+
+    ``dayofweek`` is one of SURVEY §5.4's cross-engine traps — Spark and
+    DuckDB agree only because the oracle uses DuckDB's ``dayofweek``
+    (0=Sunday…) against Spark's ``dayofweek()-1``; the scalar-family
+    query locked this mapping and this operator reuses it. Shape: one
+    |days|-row daily rollup, a 7-row weekday fold, a 1-row grand mean —
+    constant after one pruned pass.
+    """
+    daily = (
+        t["events"]
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+        )
+        .agg(F.sum("value").alias("day_value"))
+    )
+    dow_avg = daily.groupBy("dow").agg(
+        F.avg("day_value").alias("dow_mean"), F.count(F.lit(1)).alias("n_days")
+    )
+    overall = daily.agg(F.avg("day_value").alias("grand_mean"))
+    return dow_avg.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        F.round("dow_mean", 4).alias("dow_mean"),
+        F.round(F.col("dow_mean") / F.col("grand_mean"), 6).alias(
+            "seasonal_index"
+        ),
+    )

@@ -763,3 +763,78 @@ def win_max_drawdown(spark, t):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "win_vwap",
+    oracle="""
+    WITH framed AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) OVER w AS num,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w AS den
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            round(l_extendedprice * 100), l_quantity
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_orderkey, l_linenumber,
+           ((200 * num + den) // (2 * den)) / 10000.0 AS vwap5
+    FROM framed
+    """,
+    tier="P2",
+)
+def win_vwap(spark, t):
+    """Rolling volume-weighted average price per part: over each part's
+    last five shipments (ship-date order, unique tie-break), the
+    quantity-weighted mean of the extended price — the VWAP pattern
+    from finance applied to procurement, and the WEIGHTED rolling
+    aggregate the plain moving average (``win_sliding_rows``) and the
+    unweighted envelope (``win_bollinger_bands``) don't cover.
+
+    Both frame sums share ONE window spec, so Spark evaluates them in a
+    single per-partition sort pass; the weighted mean is a map-side
+    division of the two frame aggregates. Partitioned by l_partkey —
+    never a partition-less window — with O(frame) state per group.
+
+    Determinism notes (two real traps, both hit on these fixtures):
+    frame sums run in EXACT integer cents because double frame-sums
+    accumulate in engine-specific order — Spark's running accumulation
+    vs DuckDB's segment tree landed one ulp apart exactly on a .xxxx5
+    rounding boundary and flipped the 4-dp hash; and the sort key ends
+    with (cents, quantity) because (l_orderkey, l_linenumber) is NOT
+    unique in these synthetic fixtures (unlike real TPC-H) — rows equal
+    in every sort key are interchangeable without changing any frame
+    sum, which restores determinism without assuming a row id.
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            cents,
+            "l_quantity",
+        )
+        .rowsBetween(-4, 0)
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    framed = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(cents * qty).over(w).alias("num"),
+        F.sum(qty).over(w).alias("den"),
+    )
+    # round-half-up(num·100/den) computed entirely in bigint —
+    # (2a+b) div 2b — then one exact /10⁴; the float form hit exact
+    # .xxxx5 quotients (integer inputs ⇒ small-denominator rationals)
+    # where Spark's decimal HALF_UP and DuckDB's double rounding split
+    return framed.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.expr("(200 * num + den) div (2 * den)") / 10000.0
+        ).alias("vwap5"),
+    )

@@ -264,6 +264,9 @@ DRIVER_ORDER: list[str] = [
     "agg_moments_skew_kurt",
     "path_analysis_topk",
     "join_scd2_point_in_time",
+    "agg_ab_test_welch",
+    "ts_seasonality_index",
+    "win_vwap",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -109,6 +109,8 @@ SINGLE_PARTITION_OK = {
     "etl_gdpr_erasure": (4, "per-table scalar audit folds"),
     # the |τ|×4 conditional-count aggregate's 1-row merge
     "ml_confusion_matrix": (1, "scalar confusion-count fold"),
+    # 1-row grand-mean fold over the |days| daily frame
+    "ts_seasonality_index": (1, "scalar grand-mean fold"),
 }
 
 BNLJ_OK = {
@@ -140,6 +142,10 @@ BNLJ_OK = {
     "dq_benford_test": (2, "1-row digit-total crossJoin"),
     # 1-row pos/neg-totals crossJoin (×2 explain sections)
     "ml_auc_eval": (2, "1-row totals crossJoin"),
+    # 1-row group-B stats crossJoin (×2 explain sections)
+    "agg_ab_test_welch": (2, "1-row B-stats crossJoin"),
+    # 1-row grand-mean crossJoin (×2 explain sections)
+    "ts_seasonality_index": (2, "1-row grand-mean crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
