@@ -94,8 +94,10 @@ SINGLE_PARTITION_OK = {
     "sql_promo_revenue": (1, "scalar ratio fold"),
     # the scalar MAX(total_rev) subquery's 1-row fold (Q15 shape)
     "sql_top_supplier": (1, "scalar max-revenue subquery fold"),
-    # rank offsets frame (≤16 rows) inside the cached token-set subtree
-    "dedup_containment": (1, "offsets frame in cached rank subtree"),
+    # rank offsets frame (≤16 rows) inside the cached token-set subtree;
+    # the count depends on whether the inner pid cache is already
+    # materialized when explained (1 fresh session, 2 after a prior run)
+    "dedup_containment": (2, "offsets frame in cached rank subtree"),
     # |brands|-bounded: the scalar node-count fold appears once per
     # iteration lineage (fixed 5 iterations + init)
     "graph_pagerank": (6, "scalar |nodes| fold ×(iters+1)"),
