@@ -2358,3 +2358,113 @@ def ts_seasonality_index(spark, t):
             "seasonal_index"
         ),
     )
+
+
+@register(
+    "agg_price_elasticity",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           round(regr_slope(ln(l.l_quantity),
+                            ln(l.l_extendedprice / l.l_quantity)), 6)
+             AS elasticity,
+           round(regr_r2(ln(l.l_quantity),
+                         ln(l.l_extendedprice / l.l_quantity)), 6) AS r2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tier="P2",
+)
+def agg_price_elasticity(spark, t):
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    quantity on unit price (elasticity ≈ %Δqty per %Δprice) plus the
+    fit's R² — the pricing-analytics staple, estimated per brand in one
+    pass via the same REGR_* sufficient statistics as
+    ``agg_regression`` (bit-stable at 6 dp cross-engine). R² near zero
+    here is the honest answer on synthetic data — the estimator, not
+    the economics, is what's verified.
+
+    Shape: one broadcast dim join + one |brands|-group aggregate with
+    map-side partials; ln() is IEEE-identical on both engines and unit
+    price is strictly positive by construction.
+    """
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.log(F.col("l_quantity")).alias("y"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope("y", "x"), 6).alias("elasticity"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+    )
+
+
+@register(
+    "win_rank_change",
+    oracle="""
+    WITH yearly AS (
+      SELECT p.p_brand, year(o.o_orderdate) AS yr,
+             round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, year(o.o_orderdate)
+    ),
+    ranked AS (
+      SELECT p_brand, yr, revenue,
+             CAST(rank() OVER (PARTITION BY yr
+                               ORDER BY revenue DESC, p_brand) AS BIGINT)
+               AS rnk
+      FROM yearly
+    )
+    SELECT p_brand, yr, revenue, rnk,
+           lag(rnk) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_rnk,
+           lag(rnk) OVER (PARTITION BY p_brand ORDER BY yr) - rnk
+             AS rank_gain
+    FROM ranked
+    """,
+    tier="P2",
+)
+def win_rank_change(spark, t):
+    """Leaderboard movement: each brand's revenue rank within every
+    year, plus how many places it moved since the previous year
+    (positive = climbed) — the rank-delta report behind market-share
+    and bestseller-list tracking, combining two window axes: rank
+    WITHIN year, lag ACROSS years.
+
+    Ranks compare the ROUNDED revenue with a brand tie-break, so rank
+    edges are deterministic cross-engine. The year partition is
+    |brands| rows (fact table pre-aggregated first) and the brand
+    partition is |years| rows — both windows run over bounded frames,
+    never the fact table.
+    """
+    from pyspark.sql import Window
+
+    yearly = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.year("o_orderdate").alias("yr"))
+        .agg(r4(F.sum(net_price())).alias("revenue"))
+    )
+    w_rank = Window.partitionBy("yr").orderBy(
+        F.desc("revenue"), F.asc("p_brand")
+    )
+    w_lag = Window.partitionBy("p_brand").orderBy("yr")
+    ranked = yearly.withColumn(
+        "rnk", F.rank().over(w_rank).cast("bigint")
+    )
+    return ranked.select(
+        "p_brand",
+        "yr",
+        "revenue",
+        "rnk",
+        F.lag("rnk").over(w_lag).alias("prev_rnk"),
+        (F.lag("rnk").over(w_lag) - F.col("rnk")).alias("rank_gain"),
+    )

@@ -1037,3 +1037,96 @@ def graph_link_prediction(spark, t):
         .orderBy(F.desc("jaccard_score"), "brand_a", "brand_b")
         .limit(10)
     )
+
+
+@register(
+    "rec_item_item_cf",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY brand),
+    co AS (
+      SELECT a.brand AS ba, b.brand AS bb, COUNT(*) AS co_cnt
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    scored AS (
+      SELECT co.ba AS brand, co.bb AS similar_brand,
+             round(co.co_cnt / sqrt(na.cnt * nb.cnt), 6) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY co.ba
+               ORDER BY round(co.co_cnt / sqrt(na.cnt * nb.cnt), 6) DESC,
+                        co.bb) AS rn
+      FROM co
+      JOIN n na ON na.brand = co.ba
+      JOIN n nb ON nb.brand = co.bb
+    )
+    SELECT brand, similar_brand, cosine_sim, CAST(rn AS BIGINT) AS rank
+    FROM scored WHERE rn <= 5
+    """,
+    tier="P2",
+)
+def rec_item_item_cf(spark, t):
+    """Item-item collaborative filtering over the order×brand incidence
+    matrix: cosine similarity between brand columns
+    (co(a,b)/√(n(a)·n(b))) and each brand's top-5 most-similar brands —
+    the "customers who bought X also bought" primitive, computed the
+    way production recommenders do it (co-occurrence join, never the
+    dense matrix).
+
+    Scale shape: the co-occurrence self-join is keyed on the order
+    (per-order fan-out = basket width², bounded by basket size, never
+    catalog size); the per-brand counts table is catalog-sized and
+    broadcasts; top-5 ranks inside |brand| partitions on the ROUNDED
+    score with a brand tie-break, so the cut is deterministic
+    cross-engine. At 100 TB co-occurrence pairs also get a min-support
+    floor (see ``basket_brand_affinity``) to keep the pair table sparse.
+    """
+    from pyspark.sql import Window
+
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = ob.alias("a"), ob.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+    )
+    na = n.select(F.col("brand").alias("ba"), F.col("cnt").alias("na"))
+    nb = n.select(F.col("brand").alias("bb"), F.col("cnt").alias("nb"))
+    sim = F.round(
+        F.col("co_cnt") / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
+    return (
+        co.join(F.broadcast(na), "ba")
+        .join(F.broadcast(nb), "bb")
+        .select(
+            F.col("ba").alias("brand"),
+            F.col("bb").alias("similar_brand"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("brand").orderBy(
+                    F.desc("cosine_sim"), F.asc("similar_brand")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 5)
+    )

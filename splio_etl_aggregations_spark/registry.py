@@ -267,6 +267,9 @@ DRIVER_ORDER: list[str] = [
     "agg_ab_test_welch",
     "ts_seasonality_index",
     "win_vwap",
+    "rec_item_item_cf",
+    "agg_price_elasticity",
+    "win_rank_change",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
