@@ -1130,3 +1130,71 @@ def rec_item_item_cf(spark, t):
         )
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "join_fuzzy_name",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_lo, b.p_name AS name_hi,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_lo, b.n_parts AS n_parts_hi
+    FROM names a
+    JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tier="P2",
+)
+def join_fuzzy_name(spark, t):
+    """Fuzzy entity-resolution join: near-identical part names
+    (Levenshtein ≤ 3) found WITHOUT the all-pairs cross join — the
+    master-data-management dedup primitive ("old bolt" vs "red bolt"
+    are one typo apart; are they the same product?).
+
+    The blocked-join shape production MDM uses: candidates must share a
+    blocking key (here the head noun — the name's last token) before
+    the quadratic edit-distance runs, so comparisons are
+    |block-bucket|² instead of |catalog|²; the name table is first
+    collapsed to DISTINCT names with usage counts, bounding everything
+    by vocabulary rather than row count. Levenshtein is exact integer
+    arithmetic — identically defined on both engines, no rounding
+    policy needed.
+    """
+    names = (
+        t["part"]
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn(
+            "block", F.element_at(F.split("p_name", " "), -1)
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_lo"),
+        F.col("n_parts").alias("n_parts_lo"),
+        F.col("block").alias("block_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_hi"),
+        F.col("n_parts").alias("n_parts_hi"),
+        F.col("block").alias("block_b"),
+    )
+    dist = F.levenshtein("name_lo", "name_hi")
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("name_lo") < F.col("name_hi")),
+        )
+        .filter(dist <= 3)
+        .select(
+            "name_lo",
+            "name_hi",
+            dist.cast("bigint").alias("edit_dist"),
+            "n_parts_lo",
+            "n_parts_hi",
+        )
+    )

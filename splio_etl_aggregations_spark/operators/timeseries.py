@@ -548,3 +548,126 @@ def ts_ewma10(spark, t):
         .filter(F.col("n_win") == EWMA_N)
         .select("event_id", F.round("raw", 4).alias("ewma"))
     )
+
+
+@register(
+    "ts_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    counts AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur AS cur_state, nxt AS next_state, n AS n_transitions,
+           round(n * 1.0 / SUM(n) OVER (PARTITION BY cur), 6) AS prob
+    FROM counts
+    """,
+    tier="P2",
+)
+def ts_markov_transitions(spark, t):
+    """First-order Markov transition matrix of user behavior:
+    P(next event type | current), estimated from each user's adjacent
+    event pairs — the behavioral model behind next-action prediction,
+    absorbing-state detection (what follows 'error'?), and simulated
+    journey generation. The |types|×|types| probability grid is the
+    compact summary of millions of journeys.
+
+    One lead window per user (single user_id exchange), a 25-cell
+    aggregate, and the row-normalization window runs over the bounded
+    grid — never the event stream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    counts = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("cur")
+    return counts.select(
+        F.col("cur").alias("cur_state"),
+        F.col("nxt").alias("next_state"),
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("prob"),
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS x
+      FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT AVG(x) AS mean_x, COUNT(*) AS n_days FROM daily),
+    cusum AS (
+      SELECT day,
+             round(abs(SUM(x - (SELECT mean_x FROM mu))
+                       OVER (ORDER BY day)), 4) AS dev
+      FROM daily
+    ),
+    best AS (SELECT dev, day FROM cusum ORDER BY dev DESC, day LIMIT 1)
+    SELECT best.day AS change_day, best.dev AS cusum_stat,
+           round((SELECT mean_x FROM mu), 4) AS daily_mean,
+           (SELECT n_days FROM mu) AS n_days
+    FROM best
+    """,
+    tier="P2",
+)
+def ts_cusum_changepoint(spark, t):
+    """CUSUM change-point locator on the daily revenue series: the day
+    where the cumulative deviation from the overall daily mean peaks —
+    the classical single-change-point estimate (a level shift before/
+    after day d maximizes |Σ(x−μ)| at d), and the monitoring statistic
+    behind drift alarms that a fixed threshold can't express.
+
+    The running deviation uses the two-phase distributed prefix sum
+    (day-keyed — bounded by calendar, but the policy is no
+    partition-less windows, period), the argmax folds max-then-tiebreak
+    in ONE lexicographic struct-max (the ``dq_ks_drift`` mechanism,
+    negated day epoch for the earliest-day tie), and deviations round
+    BEFORE the argmax so both engines pick the same day.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+        .cache()
+    )
+    mu = daily.agg(
+        F.avg("x").alias("mean_x"), F.count(F.lit(1)).alias("n_days")
+    )
+    from .windows import two_phase_cumsum
+
+    dev_in = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("x") - F.col("mean_x")).alias("d")
+    )
+    cum = two_phase_cumsum(dev_in, [F.asc("day")], ["d"])
+    scored = cum.select(
+        "day", F.round(F.abs("cum_d"), 4).alias("dev")
+    )
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("dev"),
+                (-F.unix_date(F.col("day"))).alias("nd"),
+            )
+        ).alias("b")
+    )
+    return best.crossJoin(F.broadcast(mu)).select(
+        F.date_from_unix_date(-F.col("b.nd")).alias("change_day"),
+        F.col("b.dev").alias("cusum_stat"),
+        F.round("mean_x", 4).alias("daily_mean"),
+        "n_days",
+    )

@@ -270,6 +270,9 @@ DRIVER_ORDER: list[str] = [
     "rec_item_item_cf",
     "agg_price_elasticity",
     "win_rank_change",
+    "join_fuzzy_name",
+    "ts_markov_transitions",
+    "ts_cusum_changepoint",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -113,6 +113,9 @@ SINGLE_PARTITION_OK = {
     "ml_confusion_matrix": (1, "scalar confusion-count fold"),
     # 1-row grand-mean fold over the |days| daily frame
     "ts_seasonality_index": (1, "scalar grand-mean fold"),
+    # cumsum offsets frame (≤16 rows) + scalar mean/argmax folds over
+    # the cached |days| daily frame
+    "ts_cusum_changepoint": (4, "offsets frame + scalar daily folds"),
 }
 
 BNLJ_OK = {
@@ -148,6 +151,8 @@ BNLJ_OK = {
     "agg_ab_test_welch": (2, "1-row B-stats crossJoin"),
     # 1-row grand-mean crossJoin (×2 explain sections)
     "ts_seasonality_index": (2, "1-row grand-mean crossJoin"),
+    # 1-row daily-mean crossJoins (dev input + final report sections)
+    "ts_cusum_changepoint": (5, "1-row daily-mean crossJoins"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
