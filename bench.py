@@ -91,6 +91,12 @@ EXTRA_SHAPES = [
     "text_zipf_fit",
     "corpus_quality_ablation",
     "win_max_drawdown",
+    "attribution_linear_multi_touch",
+    "ml_auc_eval",
+    "pipeline_marketing_mix",
+    "rec_item_item_cf",
+    "ts_markov_transitions",
+    "udf_rolling_median",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

@@ -1086,6 +1086,8 @@ def rec_item_item_cf(spark, t):
     """
     from pyspark.sql import Window
 
+    # cached: the self-join below re-instantiates this subtree twice
+    # (plus the counts consumer) — cache computes the fact reduction once
     ob = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -1093,6 +1095,7 @@ def rec_item_item_cf(spark, t):
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
         .distinct()
+        .cache()
     )
     n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = ob.alias("a"), ob.alias("b")
