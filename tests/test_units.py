@@ -695,3 +695,79 @@ def test_containment_keeper_is_a_container(spark):
         a, b = docs[cid], docs[r["keeper_id"]]
         assert len(a & b) / len(a) >= 0.9
         assert len(b) >= len(a)
+
+
+def test_markov_rows_are_distributions(spark):
+    """Each current-state's outgoing transition probabilities sum to 1."""
+    rows = Q["ts_markov_transitions"].run(spark, SF_SMALL).collect()
+    from collections import defaultdict
+    by_cur = defaultdict(float)
+    for r in rows:
+        assert 0.0 <= r["prob"] <= 1.0
+        by_cur[r["cur_state"]] += r["prob"]
+    assert by_cur and all(abs(s - 1.0) < 1e-4 for s in by_cur.values())
+
+
+def test_item_cf_scores_are_bounded_topk(spark):
+    """Cosine similarities live in (0, 1] and no brand exceeds 5 recs."""
+    rows = Q["rec_item_item_cf"].run(spark, SF_SMALL).collect()
+    from collections import Counter
+    per_brand = Counter(r["brand"] for r in rows)
+    assert rows and max(per_brand.values()) <= 5
+    assert all(0.0 < r["cosine_sim"] <= 1.0 for r in rows)
+
+
+def test_welch_df_within_classical_bounds(spark):
+    """Welch–Satterthwaite df lies between min(n)-1 and n_a+n_b-2."""
+    r = Q["agg_ab_test_welch"].run(spark, SF_SMALL).collect()[0]
+    assert min(r["na"], r["nb"]) - 1 <= r["welch_df"] <= r["na"] + r["nb"] - 2
+
+
+def test_gdpr_erasure_counts_are_conserved(spark):
+    """Every table's erased + surviving rows equal its total, and the
+    events/customer/orders cohorts agree on the hash predicate."""
+    rows = {r["table_name"]: r for r in
+            Q["etl_gdpr_erasure"].run(spark, SF_SMALL).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert r["n_erased"] + r["n_after"] == r["n_before"]
+    # the ~5% cohort can miss a tiny table at sf0.001, but not all four
+    assert sum(r["n_erased"] for r in rows.values()) > 0
+
+
+def test_auc_and_confusion_are_consistent(spark):
+    """AUC lies in [0,1]; every confusion matrix partitions the events."""
+    auc = Q["ml_auc_eval"].run(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= auc["auc"] <= 1.0
+    total = auc["n_pos"] + auc["n_neg"]
+    for r in Q["ml_confusion_matrix"].run(spark, SF_SMALL).collect():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == total
+
+
+def test_marketing_mix_shares_sum_to_one(spark):
+    """Channel shares within each segment form a distribution."""
+    from collections import defaultdict
+    seg = defaultdict(float)
+    for r in Q["pipeline_marketing_mix"].run(spark, SF_SMALL).collect():
+        seg[r["segment"]] += r["segment_share"]
+    assert seg and all(abs(s - 1.0) < 1e-3 for s in seg.values())
+
+
+def test_cusum_peak_dominates_series(spark):
+    """The reported CUSUM statistic is the series' true maximum
+    deviation (recomputed directly from the daily frame)."""
+    r = Q["ts_cusum_changepoint"].run(spark, SF_SMALL).collect()[0]
+    orders = load(spark, SF_SMALL)["orders"]
+    import itertools
+    daily = sorted(
+        (row["day"], row["x"])
+        for row in orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+        .collect()
+    )
+    mean = sum(x for _, x in daily) / len(daily)
+    best, cum = 0.0, 0.0
+    for _, x in daily:
+        cum += x - mean
+        best = max(best, abs(cum))
+    assert abs(round(best, 4) - r["cusum_stat"]) < 1e-2
