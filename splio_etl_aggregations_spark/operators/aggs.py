@@ -2468,3 +2468,44 @@ def win_rank_change(spark, t):
         F.lag("rnk").over(w_lag).alias("prev_rnk"),
         (F.lag("rnk").over(w_lag) - F.col("rnk")).alias("rank_gain"),
     )
+
+
+@register(
+    "agg_robust_means",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(AVG(value), 4) AS arithmetic_mean,
+           round(exp(AVG(ln(value))), 4) AS geometric_mean,
+           round(COUNT(*) / SUM(1.0 / value), 4) AS harmonic_mean
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def agg_robust_means(spark, t):
+    """The three Pythagorean means of event value per type — arithmetic,
+    geometric (exp∘mean∘ln, the right average for multiplicative
+    quantities like growth rates), harmonic (the right average for
+    rates like price-per-unit) — with AM ≥ GM ≥ HM as the built-in
+    sanity invariant. Positive values only (the geometric/harmonic
+    domain), filtered identically on both engines.
+
+    All three are one-pass commutative aggregates with map-side
+    partials — the geometric mean via the log-sum identity rather than
+    a product (which overflows immediately at scale).
+    """
+    return (
+        t["events"]
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("arithmetic_mean"),
+            F.round(F.exp(F.avg(F.log("value"))), 4).alias("geometric_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("value")), 4
+            ).alias("harmonic_mean"),
+        )
+    )

@@ -1090,3 +1090,88 @@ def join_scd2_point_in_time(spark, t):
         F.count(F.lit(1)).alias("n_orders"),
         r4(F.sum("o_totalprice")).alias("era_revenue"),
     )
+
+
+@register(
+    "etl_reconcile_sources",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, round(SUM(o_totalprice), 4) AS order_total
+      FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id AS k, round(SUM(value), 4) AS event_total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+      SELECT COALESCE(o.k, e.k) AS custkey, o.order_total, e.event_total
+      FROM o FULL JOIN e ON o.k = e.k
+    )
+    SELECT CASE
+             WHEN order_total IS NULL THEN 'events_only'
+             WHEN event_total IS NULL THEN 'orders_only'
+             WHEN abs(order_total - event_total)
+                  <= 0.01 * greatest(order_total, event_total)
+               THEN 'reconciled'
+             ELSE 'drifted'
+           END AS status,
+           COUNT(*) AS n_customers,
+           round(SUM(COALESCE(order_total, 0)), 4) AS orders_sum,
+           round(SUM(COALESCE(event_total, 0)), 4) AS events_sum
+    FROM j GROUP BY status
+    """,
+    tier="P2",
+)
+def etl_reconcile_sources(spark, t):
+    """Cross-system reconciliation report: per customer, the order
+    system's revenue vs the event system's purchase revenue, classified
+    as reconciled (within 1 %), drifted, or present in only one system —
+    the month-end control every finance/data team runs between a
+    warehouse and its upstream, collapsed to a |status|-row summary
+    with both systems' totals per class.
+
+    One keyed aggregate per source, a full outer join on the entity
+    key (preserving single-sided entities — the rows a plain inner
+    join would silently hide), and a codegen CASE classifier. The 1 %
+    band compares 4-dp-rounded totals so the class boundary is
+    deterministic cross-engine.
+    """
+    o = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(r4(F.sum("o_totalprice")).alias("order_total"))
+    )
+    e = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("ek"))
+        .agg(r4(F.sum("value")).alias("event_total"))
+    )
+    j = o.join(e, F.col("k") == F.col("ek"), "full")
+    status = (
+        F.when(F.col("order_total").isNull(), "events_only")
+        .when(F.col("event_total").isNull(), "orders_only")
+        .when(
+            F.abs(F.col("order_total") - F.col("event_total"))
+            <= 0.01 * F.greatest("order_total", "event_total"),
+            "reconciled",
+        )
+        .otherwise("drifted")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            "order_total",
+            "event_total",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r4(F.sum(F.coalesce("order_total", F.lit(0.0)))).alias(
+                "orders_sum"
+            ),
+            r4(F.sum(F.coalesce("event_total", F.lit(0.0)))).alias(
+                "events_sum"
+            ),
+        )
+    )

@@ -671,3 +671,57 @@ def ts_cusum_changepoint(spark, t):
         F.round("mean_x", 4).alias("daily_mean"),
         "n_days",
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS x
+      FROM orders GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_pairs,
+           round(corr(a.x, b.x), 6) AS acf1,
+           round(corr(a.x, c.x), 6) AS acf7
+    FROM daily a
+    JOIN daily b ON b.day = a.day + 1
+    JOIN daily c ON c.day = a.day + 7
+    """,
+    tier="P2",
+)
+def ts_autocorrelation(spark, t):
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series —
+    the two numbers that say whether yesterday predicts today (momentum)
+    and whether the series has weekly structure (seasonality), i.e.
+    whether a forecaster needs AR terms and weekly dummies at all.
+
+    Computed as self-JOINS on exact date arithmetic (day+1 / day+7)
+    rather than a lag window: the joins express the lag alignment
+    declaratively, drop calendar gaps pairwise (the statistically
+    correct treatment — a lag across a gap is not a lag-1 pair), and
+    need no ordered pass at all. Both engines use the same sample
+    Pearson definition; the daily frame is date-bounded so the joins
+    broadcast.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+        .cache()
+    )
+    a = daily.select(F.col("day").alias("d0"), F.col("x").alias("x0"))
+    b = daily.select(
+        F.date_sub(F.col("day"), 1).alias("d0"), F.col("x").alias("x1")
+    )
+    c = daily.select(
+        F.date_sub(F.col("day"), 7).alias("d0"), F.col("x").alias("x7")
+    )
+    return (
+        a.join(b, "d0")
+        .join(c, "d0")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("x0", "x1"), 6).alias("acf1"),
+            F.round(F.corr("x0", "x7"), 6).alias("acf7"),
+        )
+    )

@@ -273,6 +273,9 @@ DRIVER_ORDER: list[str] = [
     "join_fuzzy_name",
     "ts_markov_transitions",
     "ts_cusum_changepoint",
+    "ts_autocorrelation",
+    "etl_reconcile_sources",
+    "agg_robust_means",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

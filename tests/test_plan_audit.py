@@ -116,6 +116,8 @@ SINGLE_PARTITION_OK = {
     # cumsum offsets frame (≤16 rows) + scalar mean/argmax folds over
     # the cached |days| daily frame
     "ts_cusum_changepoint": (4, "offsets frame + scalar daily folds"),
+    # 1-row corr fold over the date-bounded lag-pair frame
+    "ts_autocorrelation": (1, "scalar correlation fold"),
 }
 
 BNLJ_OK = {
