@@ -2509,3 +2509,298 @@ def agg_robust_means(spark, t):
             ).alias("harmonic_mean"),
         )
     )
+
+
+@register(
+    "agg_stickiness_dau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    mau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM (SELECT DISTINCT day FROM du) d
+      JOIN du u ON u.day > d.day - 28 AND u.day <= d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau USING (day)
+    """,
+    tier="P2",
+)
+def agg_stickiness_dau_mau(spark, t):
+    """DAU/MAU stickiness per day: daily actives over trailing-28-day
+    actives — the engagement ratio every growth dashboard leads with
+    (1.0 = everyone daily, ~0.03 = monthly-only).
+
+    The trailing distinct count is the hard part at scale: COUNT
+    (DISTINCT) over a sliding window has no partial form. This plan
+    reduces events to the DISTINCT (day, user) grid FIRST (one shuffle,
+    the only data-proportional step), then the 28-day rolling distinct
+    runs on that grid via a date-range join — |days| × 28 × daily-users
+    pairs, calendar-bounded, never the raw event stream. (The
+    first-seen decomposition in ``agg_cumulative_unique_users`` handles
+    the unbounded variant; a bounded trailing window genuinely needs
+    the grid.)
+    """
+    du = (
+        t["events"]
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .cache()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct()
+    mau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") > F.date_sub(F.col("d.day"), 28))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "win_time_in_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT event_type AS state,
+           COUNT(next_ts) AS n_stays,
+           round(SUM(epoch_us(next_ts) - epoch_us(ts)) / 1000000.0, 4)
+             AS total_seconds,
+           round(AVG(epoch_us(next_ts) - epoch_us(ts)) / 1000000.0, 4)
+             AS avg_seconds
+    FROM seq WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def win_time_in_state(spark, t):
+    """Time-in-state analysis: treating each user's current event type
+    as a state until their next event, the total and average dwell time
+    per state — "how long do users sit in 'error' before anything else
+    happens" is the UX/SRE question this answers, and it complements
+    the transition PROBABILITIES in ``ts_markov_transitions`` with the
+    holding-time dimension (together: a semi-Markov model).
+
+    One lead window per user, exact integer-µs dwell arithmetic,
+    |types|-row aggregate. Open-ended final states (no next event) are
+    excluded, not imputed — an imputed horizon would be a policy choice
+    the report shouldn't hide.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_us"),
+    )
+    dwell = F.col("next_us") - F.col("us")
+    return (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_stays"),
+            F.round(F.sum(dwell) / 1_000_000.0, 4).alias("total_seconds"),
+            F.round(F.avg(dwell) / 1_000_000.0, 4).alias("avg_seconds"),
+        )
+    )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+             user_id
+      FROM events
+    )
+    SELECT w.week,
+           SUM(CASE WHEN f.first_day >= w.week THEN 1 ELSE 0 END) AS n_new,
+           SUM(CASE WHEN f.first_day < w.week THEN 1 ELSE 0 END)
+             AS n_returning,
+           round(SUM(CASE WHEN f.first_day < w.week THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS returning_share
+    FROM weekly w JOIN first_seen f USING (user_id)
+    GROUP BY w.week
+    """,
+    tier="P2",
+)
+def agg_new_vs_returning(spark, t):
+    """Weekly new-vs-returning active users: each week's actives split
+    by whether their first-ever activity falls in that week — the
+    growth-accounting decomposition (is usage growth acquisition or
+    retention?) that a plain active-user count conflates.
+
+    The first-seen table is one user-keyed aggregate broadcast back
+    onto the distinct weekly-active grid; a user is 'new' in exactly
+    one week by construction, which the classifier's >= week boundary
+    encodes (first day always lands inside its own ISO week).
+    """
+    first_seen = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    )
+    weekly = (
+        t["events"]
+        .select(
+            F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+        )
+        .distinct()
+    )
+    is_new = F.col("first_day") >= F.col("week")
+    return (
+        weekly.join(F.broadcast(first_seen), "user_id")
+        .groupBy("week")
+        .agg(
+            F.count_if(is_new).alias("n_new"),
+            F.count_if(~is_new).alias("n_returning"),
+            F.round(
+                F.count_if(~is_new) / F.count(F.lit(1)), 6
+            ).alias("returning_share"),
+        )
+    )
+
+
+@register(
+    "agg_topk_with_others",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    ranked AS (
+      SELECT p_brand, revenue,
+             row_number() OVER (ORDER BY revenue DESC, p_brand) AS rn
+      FROM rev
+    )
+    SELECT CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END AS brand,
+           COUNT(*) AS n_brands,
+           round(SUM(revenue), 4) AS revenue
+    FROM ranked
+    GROUP BY CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END
+    """,
+    tier="P2",
+)
+def agg_topk_with_others(spark, t):
+    """Top-5 brands by revenue plus an aggregated OTHER bucket — the
+    dashboard-pie pattern done right: the long tail is REPRESENTED
+    (with its member count and combined mass), not silently dropped the
+    way a bare LIMIT does, so the chart's parts still sum to the total.
+
+    Rank runs on the ROUNDED revenue with a brand tie-break over the
+    |brands|-row pre-aggregated frame (bounded partition — a window
+    here is fine precisely because the fact table was reduced first);
+    the OTHER fold is one more |brands|-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(r4(F.sum(net_price())).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("p_brand"))
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    bucket = F.when(F.col("rn") <= 5, F.col("p_brand")).otherwise("OTHER")
+    return (
+        ranked.select(bucket.alias("brand"), "revenue")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            r4(F.sum("revenue")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "agg_conversion_wilson",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(purchased) AS k
+      FROM per_user WHERE clicked = 1
+    )
+    SELECT n AS n_clickers, k AS n_converted,
+           round(k * 1.0 / n, 6) AS rate,
+           round((k * 1.0 / n + 1.9208 / n
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           round((k * 1.0 / n + 1.9208 / n
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM s
+    """,
+    tier="P2",
+)
+def agg_conversion_wilson(spark, t):
+    """Click→purchase conversion rate with a Wilson 95 % confidence
+    interval — the statistically honest way to report a proportion
+    (the naive ±1.96·√(p(1−p)/n) Wald interval collapses or escapes
+    [0,1] at extreme rates and small n; Wilson stays valid, which is
+    why every serious A/B platform uses it).
+
+    The z constants enter as exact literals (1.96, 1.96²=3.8416,
+    1.96²/2=1.9208, (1.96/2)²·4=0.9604 — identical digits both
+    engines). One per-user fold to click/purchase flags, one scalar
+    aggregate, closed-form arithmetic.
+    """
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias(
+                "clicked"
+            ),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "purchased"
+            ),
+        )
+    )
+    s = per_user.filter(F.col("clicked") == 1).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("purchased").alias("k")
+    )
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return s.select(
+        F.col("n").alias("n_clickers"),
+        F.col("k").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -276,6 +276,11 @@ DRIVER_ORDER: list[str] = [
     "ts_autocorrelation",
     "etl_reconcile_sources",
     "agg_robust_means",
+    "agg_stickiness_dau_mau",
+    "win_time_in_state",
+    "agg_new_vs_returning",
+    "agg_topk_with_others",
+    "agg_conversion_wilson",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -118,6 +118,10 @@ SINGLE_PARTITION_OK = {
     "ts_cusum_changepoint": (4, "offsets frame + scalar daily folds"),
     # 1-row corr fold over the date-bounded lag-pair frame
     "ts_autocorrelation": (1, "scalar correlation fold"),
+    # |brands|-row ranked frame (fact pre-aggregated before the window)
+    "agg_topk_with_others": (1, "|brands|-row ranked frame"),
+    # 1-row clicker-cohort fold
+    "agg_conversion_wilson": (1, "scalar conversion fold"),
 }
 
 BNLJ_OK = {
@@ -155,6 +159,9 @@ BNLJ_OK = {
     "ts_seasonality_index": (2, "1-row grand-mean crossJoin"),
     # 1-row daily-mean crossJoins (dev input + final report sections)
     "ts_cusum_changepoint": (5, "1-row daily-mean crossJoins"),
+    # trailing-28-day date-range join over the calendar-bounded
+    # distinct (day,user) grid — the non-equi condition plans as BNLJ
+    "agg_stickiness_dau_mau": (2, "date-bounded 28-day range join"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
