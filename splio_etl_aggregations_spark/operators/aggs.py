@@ -2804,3 +2804,226 @@ def agg_conversion_wilson(spark, t):
         F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
         F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "agg_survival_km",
+    oracle="""
+    WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS fp
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT CASE WHEN fp IS NOT NULL THEN fp - t0
+                  ELSE (SELECT horizon FROM bounds) - t0 END AS t_days,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM per_user
+    ),
+    grid AS (
+      SELECT t_days, SUM(event) AS d,
+             SUM(1 - event) AS c
+      FROM durations GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, d, c,
+             (SELECT COUNT(*) FROM durations)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n_risk
+      FROM grid
+    )
+    SELECT t_days, n_risk, d AS n_events, c AS n_censored,
+           CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_days) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d < n_risk
+                                        THEN ln(1.0 - d * 1.0 / n_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY t_days)), 6) END AS survival
+    FROM risk WHERE d > 0
+    """,
+    tier="P2",
+)
+def agg_survival_km(spark, t):
+    """Kaplan–Meier survival curve of time-to-first-purchase with RIGHT
+    CENSORING: users who never purchase contribute risk time up to the
+    observation horizon instead of being dropped — the estimator
+    conversion-latency analysis needs, because discarding non-converters
+    (as ``funnel_time_to_convert`` legitimately does for its latency
+    histogram) biases survival toward the fast converters.
+
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) computed as exp of the running sum of
+    ln(1 − d/n) — the product form underflows and has no distributed
+    order; the log form is an ordered prefix sum over the
+    |distinct-duration| grid (calendar-bounded, ≤ observation window in
+    days). At-risk counts come from the same grid's exclusive prefix of
+    (events + censored). Both prefix passes run per-day on a bounded
+    frame; the per-user fold is the only data-proportional step.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+        ).alias("fp"),
+    )
+    durations = (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("fp").isNotNull(), F.datediff("fp", "t0")
+            )
+            .otherwise(F.datediff("horizon", "t0"))
+            .alias("t_days"),
+            F.col("fp").isNotNull().cast("int").alias("event"),
+        )
+        .cache()
+    )
+    grid = durations.groupBy("t_days").agg(
+        F.sum("event").alias("d"), F.sum(F.lit(1) - F.col("event")).alias("c")
+    )
+    n_total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    w_excl = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.crossJoin(F.broadcast(n_total)).select(
+        "t_days",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_excl), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # the final event time can have d == n_risk (everyone remaining
+    # converts): the factor is exactly 0, ln(0) is an error in DuckDB
+    # and null in Spark — model the absorbing zero explicitly instead
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        (F.col("d") == F.col("n_risk")).cast("int")
+    ).over(w_incl)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_incl)), 6)
+    )
+    return risk.withColumn("survival", surv).filter(
+        F.col("d") > 0
+    ).select(
+        "t_days",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "survival",
+    )
+
+
+@register(
+    "ml_lift_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT purchased,
+             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM per_user
+    ),
+    cells AS (
+      SELECT decile, COUNT(*) AS n_users, SUM(purchased) AS n_purchasers
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n_purchasers)::DOUBLE AS total_p,
+                   SUM(n_users)::DOUBLE AS total_u FROM cells)
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_purchasers,
+           round(n_purchasers / t.total_p, 6) AS capture_share,
+           round(SUM(n_purchasers) OVER (ORDER BY decile) / t.total_p, 6)
+             AS cum_capture,
+           round((n_purchasers * 1.0 / n_users)
+                 / (t.total_p / t.total_u), 6) AS lift
+    FROM cells, tot t
+    """,
+    tier="P2",
+)
+def ml_lift_deciles(spark, t):
+    """Model lift/gains table: users deciled by a score (click count as
+    the stand-in model), each decile's share of all purchasers, the
+    cumulative gains curve, and lift over the base rate — the
+    campaign-targeting readout ("mail the top 3 deciles, capture X % of
+    buyers") that AUC summarizes but operators act on.
+
+    Deciling rides the two-phase global rank (ntile arithmetic over
+    rn/n_total, the ``win_ntile`` mechanism — never a partition-less
+    window over users); the cumulative-gains window runs over the
+    10-row decile frame.
+    """
+    from pyspark.sql import Window
+
+    from .windows import two_phase_global_rank
+
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("score"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("purchased"),
+        )
+    )
+    k = 10
+    ranked = two_phase_global_rank(
+        per_user, [F.desc("score"), F.asc("user_id")]
+    ).withColumns(
+        {"base": F.expr(f"n_total div {k}"), "rem": F.col("n_total") % k}
+    )
+    decile = F.when(
+        F.col("rn") <= F.col("rem") * (F.col("base") + 1),
+        F.expr("(rn + base) div (base + 1)"),
+    ).otherwise(
+        F.col("rem") + F.expr("(rn - rem * (base + 1) + base - 1) div base")
+    )
+    cells = (
+        ranked.select(decile.cast("bigint").alias("decile"), "purchased")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("purchased").alias("n_purchasers"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_purchasers").cast("double").alias("total_p"),
+        F.sum("n_users").cast("double").alias("total_u"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_purchasers",
+        F.round(F.col("n_purchasers") / F.col("total_p"), 6).alias(
+            "capture_share"
+        ),
+        F.round(
+            F.sum("n_purchasers").over(w) / F.col("total_p"), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("n_purchasers") / F.col("n_users"))
+            / (F.col("total_p") / F.col("total_u")),
+            6,
+        ).alias("lift"),
+    )

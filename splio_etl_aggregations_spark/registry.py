@@ -281,6 +281,8 @@ DRIVER_ORDER: list[str] = [
     "agg_new_vs_returning",
     "agg_topk_with_others",
     "agg_conversion_wilson",
+    "agg_survival_km",
+    "ml_lift_deciles",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

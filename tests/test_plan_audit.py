@@ -122,6 +122,11 @@ SINGLE_PARTITION_OK = {
     "agg_topk_with_others": (1, "|brands|-row ranked frame"),
     # 1-row clicker-cohort fold
     "agg_conversion_wilson": (1, "scalar conversion fold"),
+    # scalar horizon/total folds + KM windows over the calendar-bounded
+    # duration grid (≤ observation-window days)
+    "agg_survival_km": (3, "scalar folds + day-grid KM windows"),
+    # rank offsets frame + scalar totals fold + 10-row gains window
+    "ml_lift_deciles": (4, "offsets frame + decile-frame folds"),
 }
 
 BNLJ_OK = {
@@ -162,6 +167,10 @@ BNLJ_OK = {
     # trailing-28-day date-range join over the calendar-bounded
     # distinct (day,user) grid — the non-equi condition plans as BNLJ
     "agg_stickiness_dau_mau": (2, "date-bounded 28-day range join"),
+    # 1-row horizon/total crossJoins (×2 explain sections + grid)
+    "agg_survival_km": (5, "1-row horizon/total crossJoins"),
+    # 1-row totals crossJoin (×2 explain sections)
+    "ml_lift_deciles": (2, "1-row totals crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}
