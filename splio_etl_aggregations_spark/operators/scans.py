@@ -288,3 +288,49 @@ def scan_csv_malformed_permissive(spark, t):
         .alias("n_good"),
         F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders,
+           round(SUM(CASE WHEN year(o_orderdate) = 1997
+                          THEN o_totalprice * 0.9
+                          ELSE o_totalprice END), 4) AS total
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+    tier="P2",
+)
+def sink_dynamic_partition_overwrite(spark, t):
+    """Dynamic partition overwrite — the warehouse backfill primitive:
+    rewrite ONLY the partitions present in the incoming frame (here a
+    repriced 1997) while every other partition survives untouched. In
+    static mode (Spark's default) the same overwrite DELETES all other
+    partitions first — the classic footgun this operator demonstrates
+    avoiding via the writer-level ``partitionOverwriteMode=dynamic``
+    option (writer-scoped, so the session default stays static).
+
+    The hash-check proves both halves of the contract at once: the
+    read-back per-year totals match a SQL reconstruction where ONLY
+    1997 is repriced — wrong mode would lose every other year (row
+    counts collapse), a failed overwrite would leave 1997 unpriced.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="pq_dyn_"), "orders_by_year")
+    base = t["orders"].withColumn("o_year", F.year("o_orderdate"))
+    base.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    patch = (
+        base.filter(F.col("o_year") == 1997)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -290,3 +290,102 @@ def udf_rolling_median(spark, t):
     ).groupBy("bucket").applyInPandas(
         roll, "event_id long, roll_median double"
     )
+
+
+@register(
+    "udtf_table_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tier="P3",
+)
+def udtf_table_sessionize(spark, t):
+    """Sessionization as a POLYMORPHIC TABLE FUNCTION — Spark 4's
+    ``TABLE(...) PARTITION BY ... ORDER BY`` UDTF surface: the engine
+    hands the Python class one user's rows in timestamp order, the
+    class carries the 30-minute-gap state machine across rows and emits
+    one row per closed session from ``terminate()``. The same semantics
+    as ``etl_sessionize``'s window composition, proved equal through a
+    completely different execution surface — this is the extension
+    point for session logic too gnarly for window algebra (bounded
+    replays, per-session ML featurization).
+
+    Scale: PARTITION BY ships each user's rows to one UDTF instance —
+    the same user_id exchange a window would make — and state is O(1)
+    per instance (the open session's accumulators only).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id bigint, session_id bigint, session_start timestamp, "
+        "n_events bigint, sum_value double"
+    ))
+    class Sessionize:
+        def __init__(self):
+            self.user = None
+            self.sid = 0
+            self.start = None
+            self.last_us = None
+            self.n = 0
+            self.total = 0.0
+
+        def _emit(self):
+            return (
+                self.user,
+                self.sid,
+                self.start,
+                self.n,
+                round(self.total, 4),
+            )
+
+        def eval(self, row):
+            us = int(row["ts"].timestamp() * 1_000_000)
+            if self.user is None:
+                self.user = row["user_id"]
+            if self.last_us is not None and us - self.last_us > 1_800_000_000:
+                yield self._emit()
+                self.sid += 1
+                self.start, self.n, self.total = None, 0, 0.0
+            if self.n == 0:
+                self.start = row["ts"]
+                if self.sid == 0:
+                    self.sid = 1
+            self.last_us = us
+            self.n += 1
+            self.total += row["value"]
+
+        def terminate(self):
+            if self.n:
+                yield self._emit()
+
+    spark.udtf.register("sessionize_tf", Sessionize)
+    return spark.sql(
+        """
+        SELECT * FROM sessionize_tf(
+          TABLE(SELECT user_id, ts, event_id, value FROM events)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )

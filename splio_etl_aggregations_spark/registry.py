@@ -283,6 +283,8 @@ DRIVER_ORDER: list[str] = [
     "agg_conversion_wilson",
     "agg_survival_km",
     "ml_lift_deciles",
+    "udtf_table_sessionize",
+    "sink_dynamic_partition_overwrite",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
