@@ -97,6 +97,12 @@ EXTRA_SHAPES = [
     "rec_item_item_cf",
     "ts_markov_transitions",
     "udf_rolling_median",
+    "agg_survival_km",
+    "ml_lift_deciles",
+    "agg_stickiness_dau_mau",
+    "win_time_in_state",
+    "udtf_table_sessionize",
+    "etl_reconcile_sources",
 ]
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 

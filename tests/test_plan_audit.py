@@ -28,7 +28,10 @@ from splio_etl_aggregations_spark.registry import all_queries
 
 from .conftest import SF_SMALL
 
-# name -> (max occurrences, why the exchange input is bounded)
+# name -> (max occurrences, why the exchange input is bounded).
+# Counts for queries with cached subtrees vary with session cache state
+# (a materialized InMemoryRelation prints its stored plan too) — caps
+# are the worst case observed across fresh and warmed sessions.
 SINGLE_PARTITION_OK = {
     # final merge of a global (no-group-key) aggregate: input rows are
     # one partial-agg row per upstream partition
@@ -115,7 +118,7 @@ SINGLE_PARTITION_OK = {
     "ts_seasonality_index": (1, "scalar grand-mean fold"),
     # cumsum offsets frame (≤16 rows) + scalar mean/argmax folds over
     # the cached |days| daily frame
-    "ts_cusum_changepoint": (4, "offsets frame + scalar daily folds"),
+    "ts_cusum_changepoint": (5, "offsets frame + scalar daily folds"),
     # 1-row corr fold over the date-bounded lag-pair frame
     "ts_autocorrelation": (1, "scalar correlation fold"),
     # |brands|-row ranked frame (fact pre-aggregated before the window)
@@ -124,7 +127,7 @@ SINGLE_PARTITION_OK = {
     "agg_conversion_wilson": (1, "scalar conversion fold"),
     # scalar horizon/total folds + KM windows over the calendar-bounded
     # duration grid (≤ observation-window days)
-    "agg_survival_km": (3, "scalar folds + day-grid KM windows"),
+    "agg_survival_km": (4, "scalar folds + day-grid KM windows"),
     # rank offsets frame + scalar totals fold + 10-row gains window
     "ml_lift_deciles": (4, "offsets frame + decile-frame folds"),
 }
@@ -163,12 +166,12 @@ BNLJ_OK = {
     # 1-row grand-mean crossJoin (×2 explain sections)
     "ts_seasonality_index": (2, "1-row grand-mean crossJoin"),
     # 1-row daily-mean crossJoins (dev input + final report sections)
-    "ts_cusum_changepoint": (5, "1-row daily-mean crossJoins"),
+    "ts_cusum_changepoint": (8, "1-row daily-mean crossJoins"),
     # trailing-28-day date-range join over the calendar-bounded
     # distinct (day,user) grid — the non-equi condition plans as BNLJ
     "agg_stickiness_dau_mau": (2, "date-bounded 28-day range join"),
     # 1-row horizon/total crossJoins (×2 explain sections + grid)
-    "agg_survival_km": (5, "1-row horizon/total crossJoins"),
+    "agg_survival_km": (8, "1-row horizon/total crossJoins"),
     # 1-row totals crossJoin (×2 explain sections)
     "ml_lift_deciles": (2, "1-row totals crossJoin"),
 }
