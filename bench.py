@@ -101,9 +101,13 @@ EXTRA_SHAPES = [
     "ml_lift_deciles",
     "agg_stickiness_dau_mau",
     "win_time_in_state",
-    "udtf_table_sessionize",
     "etl_reconcile_sources",
 ]
+# udtf_table_sessionize is deliberately NOT tracked here, matching
+# udf_python_scalar: both are required row-at-a-time Python surface
+# demonstrations (3.6 s at sf0.1 vs 0.43 s for the window-composition
+# etl_sessionize that computes the same sessions) — the registry carries
+# the fast form; the UDTF proves the extension surface, not a hot path.
 HEADLINE = BASELINE_SHAPES + EXTRA_SHAPES
 
 
