@@ -3027,3 +3027,107 @@ def ml_lift_deciles(spark, t):
             6,
         ).alias("lift"),
     )
+
+
+@register(
+    "agg_basket_size_hist",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, COUNT(*) AS n_items,
+             round(SUM(l_extendedprice * (1 - l_discount)), 4) AS basket_value
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_items,
+           COUNT(*) AS n_orders,
+           round(AVG(basket_value), 4) AS avg_basket_value
+    FROM sizes GROUP BY n_items
+    """,
+    tier="P2",
+)
+def agg_basket_size_hist(spark, t):
+    """Basket-size distribution: how many orders carry k line items and
+    what a k-item basket is worth on average — the merchandising
+    baseline behind bundle pricing and free-shipping thresholds, and
+    the two-level count-of-counts aggregation shape (rows → per-key
+    counts → distribution of counts) that also powers Q13.
+
+    Two keyed aggregates back to back: the first shuffles on the order
+    key with map-side combine, the second folds |orders| rows to the
+    |distinct sizes| histogram. The per-basket value is rounded before
+    averaging so the distribution row values are cross-engine stable.
+    """
+    sizes = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r4(F.sum(net_price())).alias("basket_value"),
+        )
+    )
+    return sizes.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("basket_value"), 4).alias("avg_basket_value"),
+    )
+
+
+@register(
+    "agg_repeat_purchase",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(k) AS n_purchases,
+             MIN(CASE WHEN k = 1 THEN ts END) AS first_ts,
+             MIN(CASE WHEN k = 2 THEN ts END) AS second_ts
+      FROM ranked GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_buyers,
+           SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)
+             AS n_repeat_buyers,
+           round(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS repeat_rate,
+           round(AVG((epoch_us(second_ts) - epoch_us(first_ts))
+                     / 86400000000.0), 4) AS avg_days_to_second
+    FROM per_user
+    """,
+    tier="P2",
+)
+def agg_repeat_purchase(spark, t):
+    """Repeat-purchase economics: the share of buyers who come back for
+    a second purchase and how long the second one takes on average —
+    the two numbers (with LTV) that decide whether acquisition spend
+    amortizes. First/second purchase times come from one per-user rank
+    window; the latency is exact-µs arithmetic converted to days only
+    at the output edge; AVG skips one-time buyers' NULL latency on
+    both engines by SQL semantics.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.row_number().over(w).alias("k"))
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.max("k").alias("n_purchases"),
+        F.min(F.when(F.col("k") == 1, F.col("ts"))).alias("first_ts"),
+        F.min(F.when(F.col("k") == 2, F.col("ts"))).alias("second_ts"),
+    )
+    repeat = F.col("n_purchases") >= 2
+    latency_days = (
+        F.unix_micros("second_ts") - F.unix_micros("first_ts")
+    ) / 86_400_000_000.0
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.count_if(repeat).alias("n_repeat_buyers"),
+        F.round(F.count_if(repeat) / F.count(F.lit(1)), 6).alias(
+            "repeat_rate"
+        ),
+        F.round(F.avg(latency_days), 4).alias("avg_days_to_second"),
+    )

@@ -285,6 +285,8 @@ DRIVER_ORDER: list[str] = [
     "ml_lift_deciles",
     "udtf_table_sessionize",
     "sink_dynamic_partition_overwrite",
+    "agg_basket_size_hist",
+    "agg_repeat_purchase",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

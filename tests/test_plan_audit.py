@@ -130,6 +130,8 @@ SINGLE_PARTITION_OK = {
     "agg_survival_km": (4, "scalar folds + day-grid KM windows"),
     # rank offsets frame + scalar totals fold + 10-row gains window
     "ml_lift_deciles": (4, "offsets frame + decile-frame folds"),
+    # 1-row buyer-cohort fold
+    "agg_repeat_purchase": (1, "scalar buyer-cohort fold"),
 }
 
 BNLJ_OK = {
