@@ -3131,3 +3131,210 @@ def agg_repeat_purchase(spark, t):
         ),
         F.round(F.avg(latency_days), 4).alias("avg_days_to_second"),
     )
+
+
+@register(
+    "rfm_score_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                      DATE '2002-01-01') AS recency_days,
+             COUNT(*) AS frequency,
+             round(SUM(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             6 - ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_raw,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT CASE
+             WHEN r_raw >= 4 AND f_score >= 4 THEN 'champions'
+             WHEN r_raw >= 4 THEN 'recent'
+             WHEN f_score >= 4 THEN 'loyal_lapsing'
+             WHEN r_raw <= 2 AND f_score <= 2 THEN 'at_risk'
+             ELSE 'regular'
+           END AS segment,
+           COUNT(*) AS n_customers,
+           round(SUM(monetary), 4) AS segment_revenue,
+           round(AVG(recency_days), 4) AS avg_recency_days
+    FROM scored GROUP BY 1
+    """,
+    tier="P1",
+)
+def rfm_score_segments(spark, t):
+    """RFM quintile scoring + named segments — the step AFTER the raw
+    customer-360 rollup (``rfm_customer_360``): recency/frequency/
+    monetary each scored 1–5 by quintile, customers bucketed into the
+    named segments (champions / recent / loyal-lapsing / at-risk /
+    regular) a campaign tool actually targets, reported with each
+    segment's size, revenue, and average recency.
+
+    Recency scores INVERT (recent = high score) via 6 − ntile; all
+    three ntiles ride the two-phase global rank arithmetic (the
+    ``win_ntile`` mechanism — one ranked pass per dimension over the
+    |customers| frame, never a partition-less window), with customer-key
+    tie-breaks making every quintile edge deterministic cross-engine.
+    """
+    from .windows import two_phase_global_rank
+
+    base = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            r4(F.sum("o_totalprice")).alias("monetary"),
+        )
+        .cache()
+    )
+
+    def ntile5(df, order_col, out):
+        ranked = two_phase_global_rank(
+            df, [F.asc(order_col), F.asc("o_custkey")]
+        ).withColumns(
+            {"base5": F.expr("n_total div 5"), "rem5": F.col("n_total") % 5}
+        )
+        tile = F.when(
+            F.col("rn") <= F.col("rem5") * (F.col("base5") + 1),
+            F.expr("(rn + base5) div (base5 + 1)"),
+        ).otherwise(
+            F.col("rem5")
+            + F.expr("(rn - rem5 * (base5 + 1) + base5 - 1) div base5")
+        )
+        return ranked.select(
+            "o_custkey", tile.cast("int").alias(out)
+        )
+
+    r_s = ntile5(base.select("o_custkey", "recency_days"), "recency_days", "r_raw")
+    f_s = ntile5(base.select("o_custkey", "frequency"), "frequency", "f_score")
+    m_s = ntile5(base.select("o_custkey", "monetary"), "monetary", "m_score")
+    scored = (
+        base.join(r_s, "o_custkey")
+        .join(f_s, "o_custkey")
+        .join(m_s, "o_custkey")
+        .withColumn("r_raw", F.lit(6) - F.col("r_raw"))
+    )
+    segment = (
+        F.when((F.col("r_raw") >= 4) & (F.col("f_score") >= 4), "champions")
+        .when(F.col("r_raw") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when((F.col("r_raw") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(segment.alias("segment"), "monetary", "recency_days")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r4(F.sum("monetary")).alias("segment_revenue"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+        )
+    )
+
+
+@register(
+    "agg_abc_xyz_classes",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_c,
+             SUM(cents) OVER () AS total_c
+      FROM part_rev
+    ),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN cum_c * 5 <= total_c * 4 THEN 'A'
+                  WHEN cum_c * 20 <= total_c * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ),
+    weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN stddev_samp(qty) / AVG(qty) <= 0.5 THEN 'X'
+                  WHEN stddev_samp(qty) / AVG(qty) <= 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM weekly GROUP BY l_partkey
+    )
+    SELECT a.abc_class, x.xyz_class,
+           COUNT(*) AS n_parts
+    FROM abc a JOIN xyz x USING (l_partkey)
+    GROUP BY a.abc_class, x.xyz_class
+    """,
+    tier="P2",
+)
+def agg_abc_xyz_classes(spark, t):
+    """ABC×XYZ inventory classification matrix: parts classed by revenue
+    concentration (A = the first 80 % of cumulative revenue, B to 95 %,
+    C the tail) crossed with demand variability (X/Y/Z by the
+    coefficient of variation of weekly shipped quantity) — the 9-cell
+    grid that drives stocking policy (AX: automate; CZ: make-to-order).
+
+    The cumulative-revenue cut runs on the two-phase prefix sum in
+    EXACT integer cents with integer threshold comparisons
+    (cum·5 ≤ total·4 for the 80 % line) — float cumulative sums
+    accumulate in engine-specific order and a part sitting on the
+    threshold could class differently per engine (the ``win_vwap``
+    lesson applied preemptively); the CV classifier uses the same
+    sample-stddev definition on both engines. Two part-keyed
+    aggregates + one part-keyed join; output is the constant 9-cell
+    matrix.
+    """
+    from .windows import two_phase_cumsum
+
+    part_rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(net_price()) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .cache()
+    )
+    cum = two_phase_cumsum(
+        part_rev, [F.desc("cents"), F.asc("l_partkey")], ["cents"]
+    )
+    total = part_rev.agg(F.sum("cents").alias("total_c"))
+    abc = cum.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        F.when(F.col("cum_cents") * 5 <= F.col("total_c") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_c") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    weekly = (
+        t["lineitem"]
+        .groupBy(
+            "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cv = F.stddev_samp("qty") / F.avg("qty")
+    xyz = weekly.groupBy("l_partkey").agg(
+        F.when(cv <= 0.5, "X").when(cv <= 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

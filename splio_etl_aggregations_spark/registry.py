@@ -287,6 +287,8 @@ DRIVER_ORDER: list[str] = [
     "sink_dynamic_partition_overwrite",
     "agg_basket_size_hist",
     "agg_repeat_purchase",
+    "rfm_score_segments",
+    "agg_abc_xyz_classes",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -132,6 +132,11 @@ SINGLE_PARTITION_OK = {
     "ml_lift_deciles": (4, "offsets frame + decile-frame folds"),
     # 1-row buyer-cohort fold
     "agg_repeat_purchase": (1, "scalar buyer-cohort fold"),
+    # three ntile rank passes share the cached base's offsets frames
+    # (≤16 rows each; explain shows ≤2 depending on cache state)
+    "rfm_score_segments": (4, "rank offsets frames ×3 ntile passes"),
+    # cumsum offsets frame + scalar total-cents fold
+    "agg_abc_xyz_classes": (3, "offsets frame + scalar total fold"),
 }
 
 BNLJ_OK = {
@@ -174,6 +179,8 @@ BNLJ_OK = {
     "agg_stickiness_dau_mau": (2, "date-bounded 28-day range join"),
     # 1-row horizon/total crossJoins (×2 explain sections + grid)
     "agg_survival_km": (8, "1-row horizon/total crossJoins"),
+    # 1-row total-cents crossJoin (×2 explain sections)
+    "agg_abc_xyz_classes": (3, "1-row total-cents crossJoin"),
     # 1-row totals crossJoin (×2 explain sections)
     "ml_lift_deciles": (2, "1-row totals crossJoin"),
 }
