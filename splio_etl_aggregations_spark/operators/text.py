@@ -365,3 +365,85 @@ def text_zipf_fit(spark, t):
         F.round(F.regr_r2("y", "x"), 6).alias("fit_r2"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tok),
+    df AS (SELECT w, COUNT(*) AS dfreq FROM tok GROUP BY w),
+    co AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS co_docs
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, co_docs,
+           round(ln((co_docs * n.n) / (d1.dfreq * CAST(d2.dfreq AS DOUBLE))),
+                 6) AS pmi
+    FROM co
+    JOIN df d1 ON d1.w = co.w1
+    JOIN df d2 ON d2.w = co.w2
+    CROSS JOIN n_docs n
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    tier="P2",
+)
+def text_pmi_collocations(spark, t):
+    """Top collocations by pointwise mutual information: token pairs
+    that co-occur in documents far more than their independent
+    frequencies predict — PMI = ln(p(a,b)/(p(a)·p(b))) over the
+    document-level co-occurrence, with a min-support floor (≥5 docs)
+    that kills the rare-pair PMI explosion. The corpus-linguistics
+    primitive behind phrase mining and tokenizer-merge candidates.
+
+    Co-occurrence counts come from the doc-keyed self-join of the
+    distinct (doc, token) projection — per-doc fan-out is vocabulary²
+    of the DOC (bounded by doc length), never corpus-wide; the df table
+    is vocabulary-sized and broadcasts; the ranked cut compares rounded
+    PMI with pair tie-breaks through TakeOrderedAndProject.
+    """
+    tok = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        .cache()
+    )
+    n_docs = tok.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    a, b = tok.alias("a"), tok.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("co_docs"))
+        .filter(F.col("co_docs") >= 5)
+    )
+    d1 = df.select(F.col("w").alias("w1"), F.col("dfreq").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("dfreq").alias("df2"))
+    pmi = F.round(
+        F.log(
+            (F.col("co_docs") * F.col("n"))
+            / (F.col("df1") * F.col("df2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        co.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select("w1", "w2", "co_docs", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

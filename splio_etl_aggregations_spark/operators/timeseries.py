@@ -725,3 +725,72 @@ def ts_autocorrelation(spark, t):
             F.round(F.corr("x0", "x7"), 6).alias("acf7"),
         )
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS x
+      FROM orders GROUP BY 1
+    ),
+    preds AS (
+      SELECT a.day, a.x AS actual, b.x AS naive_pred, c.x AS snaive_pred
+      FROM daily a
+      JOIN daily b ON b.day = a.day - 1
+      JOIN daily c ON c.day = a.day - 7
+    )
+    SELECT 'naive_lag1' AS model, COUNT(*) AS n_days,
+           round(AVG(abs(actual - naive_pred)), 4) AS mae,
+           round(AVG(abs(actual - naive_pred) / actual) * 100, 4) AS mape_pct
+    FROM preds
+    UNION ALL
+    SELECT 'seasonal_naive_lag7', COUNT(*),
+           round(AVG(abs(actual - snaive_pred)), 4),
+           round(AVG(abs(actual - snaive_pred) / actual) * 100, 4)
+    FROM preds
+    """,
+    tier="P2",
+)
+def ts_forecast_backtest(spark, t):
+    """Forecast-baseline backtest: MAE and MAPE of the two forecasts
+    every model must beat — yesterday's value (naive) and last week's
+    same-day value (seasonal naive) — evaluated on the daily revenue
+    series. If a trained model can't beat these two numbers it ships
+    nothing; computing them first is forecasting hygiene, and they
+    double as the demand-volatility summary.
+
+    Same gap-correct self-join alignment as ``ts_autocorrelation``
+    (exact date arithmetic, days missing a lag drop pairwise), both
+    models evaluated on the SAME aligned day set so their errors
+    compare fairly. MAPE divides by actual (always positive here) and
+    the report is two rows of scalar folds.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+        .cache()
+    )
+    a = daily.select("day", F.col("x").alias("actual"))
+    b = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"), F.col("x").alias("naive_pred")
+    )
+    c = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("x").alias("snaive_pred"),
+    )
+    preds = a.join(b, "day").join(c, "day").cache()
+
+    def row(model, pred):
+        err = F.abs(F.col("actual") - F.col(pred))
+        return preds.agg(
+            F.lit(model).alias("model"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(F.avg(err / F.col("actual")) * 100, 4).alias("mape_pct"),
+        ).select("model", "n_days", "mae", "mape_pct")
+
+    return row("naive_lag1", "naive_pred").unionByName(
+        row("seasonal_naive_lag7", "snaive_pred")
+    )

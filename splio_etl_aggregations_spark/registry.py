@@ -289,6 +289,8 @@ DRIVER_ORDER: list[str] = [
     "agg_repeat_purchase",
     "rfm_score_segments",
     "agg_abc_xyz_classes",
+    "ts_forecast_backtest",
+    "text_pmi_collocations",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -137,6 +137,10 @@ SINGLE_PARTITION_OK = {
     "rfm_score_segments": (4, "rank offsets frames ×3 ntile passes"),
     # cumsum offsets frame + scalar total-cents fold
     "agg_abc_xyz_classes": (3, "offsets frame + scalar total fold"),
+    # two scalar error folds over the cached date-aligned pair frame
+    "ts_forecast_backtest": (2, "scalar MAE/MAPE folds ×2 models"),
+    # 1-row doc-count fold over the cached token projection
+    "text_pmi_collocations": (1, "scalar doc-count fold"),
 }
 
 BNLJ_OK = {
@@ -181,6 +185,8 @@ BNLJ_OK = {
     "agg_survival_km": (8, "1-row horizon/total crossJoins"),
     # 1-row total-cents crossJoin (×2 explain sections)
     "agg_abc_xyz_classes": (3, "1-row total-cents crossJoin"),
+    # 1-row doc-count crossJoin (×2 explain sections)
+    "text_pmi_collocations": (2, "1-row doc-count crossJoin"),
     # 1-row totals crossJoin (×2 explain sections)
     "ml_lift_deciles": (2, "1-row totals crossJoin"),
 }
