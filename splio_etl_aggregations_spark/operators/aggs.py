@@ -3338,3 +3338,141 @@ def agg_abc_xyz_classes(spark, t):
         .groupBy("abc_class", "xyz_class")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+@register(
+    "agg_did_discount_effect",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             AVG(l_quantity) AS mean_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT
+      round((SELECT mean_qty FROM cells WHERE treated=1 AND post=1), 6)
+        AS treat_post,
+      round((SELECT mean_qty FROM cells WHERE treated=1 AND post=0), 6)
+        AS treat_pre,
+      round((SELECT mean_qty FROM cells WHERE treated=0 AND post=1), 6)
+        AS ctrl_post,
+      round((SELECT mean_qty FROM cells WHERE treated=0 AND post=0), 6)
+        AS ctrl_pre,
+      round(((SELECT mean_qty FROM cells WHERE treated=1 AND post=1)
+             - (SELECT mean_qty FROM cells WHERE treated=1 AND post=0))
+            - ((SELECT mean_qty FROM cells WHERE treated=0 AND post=1)
+               - (SELECT mean_qty FROM cells WHERE treated=0 AND post=0)), 6)
+        AS did_estimate,
+      (SELECT SUM(n) FROM cells) AS n_lines
+    """,
+    tier="P2",
+)
+def agg_did_discount_effect(spark, t):
+    """Difference-in-differences estimate of the deep-discount effect on
+    quantity: (treated post − treated pre) − (control post − control
+    pre), where treatment = discount > 5 % and the period split is the
+    1998 boundary — the quasi-experimental workhorse for "did the
+    policy change move the metric beyond the secular trend", reported
+    with all four cell means so the parallel-trends eyeball check is
+    right there.
+
+    One conditional scan folds the fact table into the 2×2 cell means
+    (map-side partials); the estimator is closed-form arithmetic over
+    the 4-row frame. (On synthetic data the estimate ≈ 0 — the verified
+    machinery, not the economics, is the deliverable.)
+    """
+    treated = (F.col("l_discount") > 0.05).cast("int")
+    post = (
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ).cast("int")
+    cells = (
+        t["lineitem"]
+        .groupBy(treated.alias("treated"), post.alias("post"))
+        .agg(F.avg("l_quantity").alias("mean_qty"), F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+
+    def cell(tr, po, name):
+        return cells.filter(
+            (F.col("treated") == tr) & (F.col("post") == po)
+        ).select(F.col("mean_qty").alias(name))
+
+    n_lines = cells.agg(F.sum("n").alias("n_lines"))
+    out = (
+        cell(1, 1, "tp")
+        .crossJoin(F.broadcast(cell(1, 0, "tr")))
+        .crossJoin(F.broadcast(cell(0, 1, "cp")))
+        .crossJoin(F.broadcast(cell(0, 0, "cr")))
+        .crossJoin(F.broadcast(n_lines))
+    )
+    return out.select(
+        F.round("tp", 6).alias("treat_post"),
+        F.round("tr", 6).alias("treat_pre"),
+        F.round("cp", 6).alias("ctrl_post"),
+        F.round("cr", 6).alias("ctrl_pre"),
+        F.round(
+            (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")), 6
+        ).alias("did_estimate"),
+        "n_lines",
+    )
+
+
+@register(
+    "ts_purchase_cycle",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(CAST(o_orderdate AS DATE))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                      CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, AVG(gap_days) AS avg_gap
+      FROM gaps WHERE gap_days IS NOT NULL
+      GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_repeat_customers,
+           round(AVG(avg_gap), 4) AS mean_cycle_days,
+           round(MIN(avg_gap), 4) AS fastest_cycle_days,
+           round(MAX(avg_gap), 4) AS slowest_cycle_days
+    FROM per_cust
+    """,
+    tier="P2",
+)
+def ts_purchase_cycle(spark, t):
+    """Purchase-cycle length: each repeat customer's average days
+    between consecutive orders, summarized across the base — the
+    replenishment-cadence number behind reorder reminders and
+    churn-risk clocks ("2× their cycle with no order" is the classic
+    trigger; see ``agg_repeat_purchase`` for the first→second special
+    case).
+
+    One lag window per customer over exact DATE arithmetic, a
+    customer-keyed mean of gaps (first orders drop via NULL-lag), and
+    one scalar summary fold.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+    per_cust = (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.avg("gap_days").alias("avg_gap"))
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).alias("n_repeat_customers"),
+        F.round(F.avg("avg_gap"), 4).alias("mean_cycle_days"),
+        F.round(F.min("avg_gap"), 4).alias("fastest_cycle_days"),
+        F.round(F.max("avg_gap"), 4).alias("slowest_cycle_days"),
+    )

@@ -291,6 +291,8 @@ DRIVER_ORDER: list[str] = [
     "agg_abc_xyz_classes",
     "ts_forecast_backtest",
     "text_pmi_collocations",
+    "agg_did_discount_effect",
+    "ts_purchase_cycle",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -141,6 +141,10 @@ SINGLE_PARTITION_OK = {
     "ts_forecast_backtest": (2, "scalar MAE/MAPE folds ×2 models"),
     # 1-row doc-count fold over the cached token projection
     "text_pmi_collocations": (1, "scalar doc-count fold"),
+    # scalar n_lines fold over the cached 2×2 cell frame
+    "agg_did_discount_effect": (2, "scalar cell-count fold"),
+    # 1-row cycle-summary fold
+    "ts_purchase_cycle": (1, "scalar cycle-summary fold"),
 }
 
 BNLJ_OK = {
@@ -187,6 +191,8 @@ BNLJ_OK = {
     "agg_abc_xyz_classes": (3, "1-row total-cents crossJoin"),
     # 1-row doc-count crossJoin (×2 explain sections)
     "text_pmi_collocations": (2, "1-row doc-count crossJoin"),
+    # four 1-row cell crossJoins + n_lines (all over the cached 2×2)
+    "agg_did_discount_effect": (8, "1-row 2×2-cell crossJoins"),
     # 1-row totals crossJoin (×2 explain sections)
     "ml_lift_deciles": (2, "1-row totals crossJoin"),
 }
