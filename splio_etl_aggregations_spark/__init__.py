@@ -48,6 +48,7 @@ def register_all() -> None:
         setops,
         sorts,
         sqlshapes,
+        sqlsuite,
         text,
         timeseries,
         udx,

@@ -2,9 +2,10 @@
 
 The reference's users run ad-hoc SQL against the warehouse tables; these
 operators prove the ``spark.sql`` entry point end-to-end on the seven
-classic TPC-H plan shapes the fixture schema supports (no partsupp /
-commitdate / shipmode columns exist, so Q2/Q4/Q11/Q12/Q16/Q20-class
-queries are out of scope by data model, not by engine capability):
+classic TPC-H plan shapes the fixture schema supports verbatim (the
+remaining queries touch columns this warehouse doesn't carry — partsupp,
+commit/receipt dates, shipmode, phone — and live as shape-preserving
+adaptations in ``sqlsuite.py``, completing the 22-query sweep):
 
 - Q5  local-supplier volume: the 6-table snowflake join with a
   same-nation equality between two different dimension paths,

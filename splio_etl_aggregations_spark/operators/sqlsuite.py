@@ -1,0 +1,784 @@
+"""TPC-H completion wave — the remaining classic plan shapes, adapted.
+
+``sqlshapes.py`` covers Q1/Q3/Q5/Q6/Q10/Q13/Q14/Q15/Q18 (the shapes the
+fixture schema supports verbatim).  This module completes the sweep: the
+remaining TPC-H queries rely on columns this warehouse doesn't carry
+(``partsupp``, ``l_commitdate``/``l_receiptdate``, ``l_shipmode``,
+``c_phone``), so each is *adapted* — the plan shape (the part the engine
+has to get right: correlated scalar subqueries, EXISTS/NOT EXISTS
+semi/anti joins, disjunctive multi-column predicates, CTE reuse,
+fraction-of-total thresholds) is preserved exactly, while the predicate
+constants are re-derived from columns that exist:
+
+- Q2  min-cost supplier     → cheapest *observed* unit price per part
+  (lineitem-derived supply table + correlated MIN subquery)
+- Q4  order-priority check  → EXISTS "a line shipped >60 days late"
+- Q7  volume shipping       → verbatim (all columns exist)
+- Q8  market share          → verbatim (all columns exist)
+- Q9  product-type profit   → cost proxy 0.6·p_retailprice·l_quantity
+- Q11 important stock       → part value share from shipped quantities
+- Q12 shipmode priority     → shipping-delay buckets replace l_shipmode
+- Q16 supplier count        → exclusion list from s_acctbal, not comments
+- Q17 small-quantity rev    → verbatim (correlated 0.2·AVG subquery)
+- Q19 disjunctive revenue   → brand/size/quantity triples (no container)
+- Q21 suppliers kept waiting→ returnflag 'R' replaces late receipt
+- Q20 excess inventory      → dominant-supplier share replaces availqty
+- Q22 sales opportunity     → dormant-since-1999 anti join, nationkey
+  buckets replace phone country codes
+
+Every statement is ANSI enough to run near-verbatim in DuckDB (timestamp
+literal + datediff syntax aside), so the oracle is the same SQL and the
+hash check exercises both engines' full SQL stacks on these shapes.
+"""
+
+from __future__ import annotations
+
+from ..registry import register
+
+
+# --------------------------------------------------------------------- Q7
+@register(
+    "sql_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(SUM(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tier="P1",
+)
+def sql_volume_shipping(spark, t):
+    """TPC-H Q7 (verbatim shape): bilateral trade volume between two
+    nations by ship year — the double-dimension-path join (supplier→
+    nation₁, customer→nation₂) with a symmetric pair predicate that
+    Catalyst must keep inside the join to avoid a 25×25 nation fan-out.
+
+    Plan: both nation copies + supplier broadcast; the orders⋈lineitem
+    chain shuffles once on the order key; the date range pushes to the
+    lineitem scan.
+    """
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year, round(SUM(volume), 4) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+            AND l.l_shipdate <  CAST('1998-01-01' AS TIMESTAMP_NTZ)
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+# --------------------------------------------------------------------- Q8
+@register(
+    "sql_market_share",
+    oracle="""
+    SELECT o_year,
+           round(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tier="P1",
+)
+def sql_market_share(spark, t):
+    """TPC-H Q8 (verbatim shape): one supplier nation's share of ECONOMY-
+    part revenue sold into ASIA, per order year — the 7-table join where
+    the numerator is a conditional slice of the denominator, so a single
+    aggregation computes both (no second scan, no self-join).
+
+    Plan: part/supplier/nation×2/region broadcast; one shuffle on the
+    fact chain; the share is SUM(CASE)/SUM over the same groups.
+    """
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+          JOIN region r   ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+# --------------------------------------------------------------------- Q9
+@register(
+    "sql_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(SUM(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tier="P1",
+)
+def sql_product_profit(spark, t):
+    """TPC-H Q9 shape (adapted): profit on widget-family parts per
+    supplier nation and order year.  The warehouse has no ``partsupp``,
+    so supply cost is proxied as 0.6·p_retailprice·l_quantity — the join
+    tree (part-name LIKE filter driving a 5-table chain grouped by a
+    dimension attribute × a derived year) is unchanged, which is what
+    the optimizer is being tested on.
+
+    Plan: the LIKE filter prunes part before the join (broadcast);
+    supplier/nation broadcast; one fact shuffle on the order key.
+    """
+    return spark.sql(
+        """
+        SELECT nation, o_year, round(SUM(amount), 4) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6 * p.p_retailprice * l.l_quantity AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%widget%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+# --------------------------------------------------------------------- Q4
+@register(
+    "sql_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tier="P1",
+)
+def sql_order_priority_check(spark, t):
+    """TPC-H Q4 shape (adapted): orders in a half-year window with at
+    least one line shipped more than 60 days after the order date,
+    counted by priority.  The original's ``l_commitdate <
+    l_receiptdate`` lateness test doesn't exist in this schema; the
+    shipped-60-days-late predicate keeps the defining feature — a
+    *correlated* EXISTS that Catalyst must decorrelate into a left-semi
+    join (RewritePredicateSubquery) rather than a per-row probe.
+
+    Plan: the date window pushes to the orders scan; the semi join
+    shuffles both sides on the order key and keeps each order once no
+    matter how many late lines it has.
+    """
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+          AND o.o_orderdate <  CAST('1997-07-01' AS TIMESTAMP_NTZ)
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q12
+@register(
+    "sql_shipping_delay_priority",
+    oracle="""
+    SELECT ship_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT o.o_orderpriority,
+             CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                    THEN 'FAST'
+                  WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                    THEN 'NORMAL'
+                  ELSE 'SLOW' END AS ship_bucket
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) lines
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+    tier="P1",
+)
+def sql_shipping_delay_priority(spark, t):
+    """TPC-H Q12 shape (adapted): urgent-vs-other order counts per
+    shipping bucket.  The schema has no ``l_shipmode``, so the buckets
+    are derived from the shipping delay (≤30 d FAST, ≤90 d NORMAL, else
+    SLOW) — the tested shape is the same fact⋈fact join whose aggregate
+    splits one COUNT into priority classes with dual CASE sums.
+
+    Plan: the ship-year filter pushes to the lineitem scan; one shuffle
+    on the order key; a 3-group hash aggregate.
+    """
+    return spark.sql(
+        """
+        SELECT ship_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM (
+          SELECT o.o_orderpriority,
+                 CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                        THEN 'FAST'
+                      WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                        THEN 'NORMAL'
+                      ELSE 'SLOW' END AS ship_bucket
+          FROM orders o
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+            AND l.l_shipdate <  CAST('1998-01-01' AS TIMESTAMP_NTZ)
+        ) lines
+        GROUP BY ship_bucket
+        ORDER BY ship_bucket
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q17
+@register(
+    "sql_small_quantity_revenue",
+    oracle="""
+    SELECT round(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    tier="P1",
+)
+def sql_small_quantity_revenue(spark, t):
+    """TPC-H Q17 (verbatim shape): yearly revenue lost if small-quantity
+    orders of one brand were dropped — the canonical *correlated scalar
+    subquery* (0.2·AVG per part) that the optimizer must decorrelate
+    into an aggregate + join rather than re-scanning lineitem per row
+    (RewriteCorrelatedScalarSubquery).
+
+    Plan: the per-part AVG becomes a grouped aggregate joined back on
+    the part key; the brand filter prunes part before both joins.
+    """
+    return spark.sql(
+        """
+        SELECT round(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q19
+@register(
+    "sql_disjunctive_revenue",
+    oracle="""
+    SELECT round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tier="P1",
+)
+def sql_disjunctive_revenue(spark, t):
+    """TPC-H Q19 shape (adapted): revenue from three disjunctive
+    brand/size/quantity bands (container and shipmode predicates dropped
+    with their columns).  The tested behavior is predicate handling: the
+    OR spans *both* join sides, so the optimizer must split it — the
+    part-only disjunction (brand ∨ brand ∨ brand) is inferred and pushed
+    to the part scan while the mixed residual stays on the join.
+
+    Plan: part filters to three brands before broadcast; lineitem scans
+    with quantity range 1-30 inferred; residual OR evaluated post-join.
+    """
+    return spark.sql(
+        """
+        SELECT round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q21
+@register(
+    "sql_suppliers_kept_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_regionkey = 2
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tier="P2",
+)
+def sql_suppliers_kept_waiting(spark, t):
+    """TPC-H Q21 shape (adapted): suppliers who were the *sole* at-fault
+    party on finished multi-supplier orders.  No commit/receipt dates
+    exist, so "kept waiting" is re-expressed as "this supplier's line
+    was returned (flag R) while no co-supplier's was" — preserving the
+    query's defining structure: a fact self-join with BOTH a correlated
+    EXISTS and a correlated NOT EXISTS against the same table under
+    different residual predicates (left-semi + left-anti join pair on
+    the same key, which a naive planner would collapse incorrectly).
+
+    Plan: two shuffles of lineitem on the order key (semi + anti),
+    supplier/nation broadcast, then a 20-row TakeOrderedAndProject.
+    """
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND n.n_regionkey = 2
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q22
+@register(
+    "sql_sales_opportunity",
+    oracle="""
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           round(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_acctbal > 0
+          AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+    """,
+    tier="P2",
+)
+def sql_sales_opportunity(spark, t):
+    """TPC-H Q22 shape (adapted): well-funded but dormant customers per
+    country bucket.  ``c_phone`` doesn't exist, so country codes become
+    nation keys, and (because every fixture customer has *some* order)
+    "never ordered" becomes "no order since 1999" — keeping all three
+    structural features: an *uncorrelated* scalar AVG subquery used as a
+    filter threshold, a correlated NOT EXISTS anti join against the fact
+    table, and a small-group aggregate over the survivors.
+
+    Plan: the AVG computes once (1-row broadcast); the anti join
+    shuffles the date-filtered orders slice on the customer key.
+    """
+    return spark.sql(
+        """
+        SELECT c.c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               round(SUM(c.c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c.c_acctbal > (
+            SELECT AVG(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_acctbal > 0
+              AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= CAST('1999-01-01' AS TIMESTAMP_NTZ)
+          )
+        GROUP BY c.c_nationkey
+        ORDER BY cntrycode
+        """
+    )
+
+
+# --------------------------------------------------------------------- Q2
+@register(
+    "sql_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+           round(sp.unit_cost, 4) AS unit_cost
+    FROM part p
+    JOIN supply sp  ON sp.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20
+      AND p.p_type = 'LARGE'
+      AND r.r_name = 'EUROPE'
+      AND sp.unit_cost = (
+        SELECT MIN(sp2.unit_cost)
+        FROM supply sp2
+        JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE sp2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_name DESC, n.n_name, p.p_partkey
+    LIMIT 100
+    """,
+    tier="P2",
+)
+def sql_min_cost_supplier(spark, t):
+    """TPC-H Q2 shape (adapted): for each mid-size LARGE part, the
+    EUROPE supplier offering the cheapest observed unit price.  There is
+    no ``partsupp``, so the supply relation is *derived* — per
+    (part, supplier) MIN(l_extendedprice/l_quantity) from lineitem —
+    and then the original's structure runs unchanged: a correlated MIN
+    subquery over the same derived relation restricted to the region,
+    with the outer row kept only when it achieves that minimum.
+
+    The float equality is safe cross-engine because both sides of the
+    comparison are computed *within* each engine from identical doubles
+    (MIN is order-independent); only the rounded output is compared.
+
+    Plan: supply aggregates lineitem once and is self-joined via the
+    decorrelated per-part MIN; dimension chain broadcasts.
+    """
+    return spark.sql(
+        """
+        WITH supply AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+          FROM lineitem l
+          GROUP BY l.l_partkey, l.l_suppkey
+        )
+        SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+               round(sp.unit_cost, 4) AS unit_cost
+        FROM part p
+        JOIN supply sp  ON sp.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size BETWEEN 10 AND 20
+          AND p.p_type = 'LARGE'
+          AND r.r_name = 'EUROPE'
+          AND sp.unit_cost = (
+            SELECT MIN(sp2.unit_cost)
+            FROM supply sp2
+            JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+            JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+            WHERE sp2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s.s_name DESC, n.n_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q11
+@register(
+    "sql_important_parts",
+    oracle="""
+    WITH partvalue AS (
+      SELECT l.l_partkey,
+             SUM(l.l_quantity * p.p_retailprice) AS value
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(value, 4) AS part_value
+    FROM partvalue
+    WHERE value > (SELECT 0.005 * SUM(value) FROM partvalue)
+    ORDER BY part_value DESC, p_partkey
+    LIMIT 100
+    """,
+    tier="P2",
+)
+def sql_important_parts(spark, t):
+    """TPC-H Q11 shape (adapted): parts whose shipped value through one
+    region's suppliers exceeds 0.5 % of the total.  ``partsupp`` value
+    becomes shipped-quantity × retail price; the structure under test is
+    unchanged — the same grouped relation consumed twice, once grouped
+    and once re-aggregated to a scalar threshold (a fraction-of-total
+    filter that must NOT recompute the CTE per row).
+
+    Plan: one lineitem aggregation; the scalar total reduces the same
+    result and broadcasts as a 1-row subquery.
+    """
+    return spark.sql(
+        """
+        WITH partvalue AS (
+          SELECT l.l_partkey,
+                 SUM(l.l_quantity * p.p_retailprice) AS value
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = 2
+          GROUP BY l.l_partkey
+        )
+        SELECT l_partkey AS p_partkey, round(value, 4) AS part_value
+        FROM partvalue
+        WHERE value > (SELECT 0.005 * SUM(value) FROM partvalue)
+        ORDER BY part_value DESC, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q16
+@register(
+    "sql_parts_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tier="P2",
+)
+def sql_parts_supplier_count(spark, t):
+    """TPC-H Q16 shape (adapted): how many qualified suppliers have
+    shipped each (brand, type, size) combination.  With no ``partsupp``
+    the part↔supplier relation is observed from lineitem, and the
+    original's complaint-comment exclusion becomes a low-balance
+    exclusion — keeping the structure: a NOT IN subquery (null-aware
+    anti join) feeding a COUNT(DISTINCT) over a three-attribute group.
+
+    Plan: the supplier blacklist is tiny and broadcast as an anti join;
+    distinct-supplier counting expands then merges on the group keys.
+    """
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+# -------------------------------------------------------------------- Q20
+@register(
+    "sql_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty
+      FROM shipped
+      GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    JOIN tot tt     ON tt.l_partkey = sh.l_partkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sh.qty > 0.5 * tt.total_qty
+    ORDER BY s.s_name
+    """,
+    tier="P2",
+)
+def sql_dominant_suppliers(spark, t):
+    """TPC-H Q20 shape (adapted): suppliers who dominated (>50 % of the
+    shipped quantity of) some red part in 1997.  The original compares
+    ``ps_availqty`` to half the shipped volume; with no partsupp the
+    comparison becomes supplier-share vs part-total over the same
+    derived aggregate — keeping the nested structure: a filtered
+    aggregate consumed at two granularities joined back on the part key,
+    collapsed to DISTINCT suppliers (the original's IN semi join).
+
+    Plan: one lineitem aggregation feeds both granularities (Spark
+    reuses the exchange); DISTINCT dedups after the share filter.
+    """
+    return spark.sql(
+        """
+        WITH shipped AS (
+          SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'red%'
+            AND l.l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+            AND l.l_shipdate <  CAST('1998-01-01' AS TIMESTAMP_NTZ)
+          GROUP BY l.l_suppkey, l.l_partkey
+        ),
+        tot AS (
+          SELECT l_partkey, SUM(qty) AS total_qty
+          FROM shipped
+          GROUP BY l_partkey
+        )
+        SELECT DISTINCT s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+        JOIN tot tt     ON tt.l_partkey = sh.l_partkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE sh.qty > 0.5 * tt.total_qty
+        ORDER BY s.s_name
+        """
+    )

@@ -250,6 +250,19 @@ DRIVER_ORDER: list[str] = [
     "sql_large_volume_customer",
     "sql_customer_distribution",
     "sql_top_supplier",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_order_priority_check",
+    "sql_shipping_delay_priority",
+    "sql_small_quantity_revenue",
+    "sql_disjunctive_revenue",
+    "sql_suppliers_kept_waiting",
+    "sql_sales_opportunity",
+    "sql_min_cost_supplier",
+    "sql_important_parts",
+    "sql_parts_supplier_count",
+    "sql_dominant_suppliers",
     "udf_rolling_median",
     "dq_benford_test",
     "sim_threshold_sweep",

@@ -68,6 +68,14 @@ SINGLE_PARTITION_OK = {
     "sim_ann_lsh_knn": (1, "capped probe-budget limit"),
     # 1-row reference-timestamp scalar aggregate (text_tfidf shape)
     "agg_decay_weighted": (1, "scalar max-ts agg"),
+    # TPC-H completion wave: each is the 1-row merge of a scalar
+    # aggregate (Q17/Q19 final revenue fold; Q22's uncorrelated AVG
+    # threshold; Q11's fraction-of-total SUM subquery) — input is one
+    # partial-agg row per upstream partition, never table rows
+    "sql_small_quantity_revenue": (1, "scalar revenue fold"),
+    "sql_disjunctive_revenue": (1, "scalar revenue fold"),
+    "sql_sales_opportunity": (1, "scalar AVG-threshold subquery"),
+    "sql_important_parts": (1, "scalar fraction-of-total subquery"),
     # two-phase cumulative sum: the only partition-less window runs over
     # the 16-row per-partition-total frame (win_ntile shape)
     "corpus_pack_sequences": (1, "pack offsets frame (≤16 rows)"),
