@@ -3476,3 +3476,58 @@ def ts_purchase_cycle(spark, t):
         F.round(F.min("avg_gap"), 4).alias("fastest_cycle_days"),
         F.round(F.max("avg_gap"), 4).alias("slowest_cycle_days"),
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH custrev AS (
+      SELECT c.c_mktsegment, o.o_custkey, SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           round(10000 * SUM(rev * rev) / (SUM(rev) * SUM(rev)), 4) AS hhi
+    FROM custrev
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tier="P2",
+)
+def agg_hhi_concentration(spark, t):
+    """Herfindahl-Hirschman revenue-concentration index per market
+    segment — the antitrust-style "is this segment dominated by a few
+    customers" screen (10,000 = monopoly, → 0 = atomized).
+
+    HHI = Σ shareᵢ² ×10⁴ needs no per-row share column: with
+    S = Σ revᵢ it equals 10⁴·Σ revᵢ²/S², so one two-level aggregate
+    computes it — per-(segment, customer) revenue, then per-segment
+    SUM(rev²)/SUM(rev)². Both levels are map-side-combinable hash
+    aggregates; the second input is bounded by the customer count, and
+    no window, self-join, or share materialization appears at any
+    scale.
+    """
+    custrev = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return (
+        custrev.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.lit(10000)
+                * F.sum(F.col("rev") * F.col("rev"))
+                / (F.sum("rev") * F.sum("rev")),
+                4,
+            ).alias("hhi"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -498,3 +498,74 @@ def corpus_quality_ablation(spark, t):
         "n_sole_fail",
         F.round(F.col("n_fail") / F.col("n_docs"), 4).alias("pct_fail"),
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM tok
+    ),
+    bigd AS (SELECT doc_id, bigram FROM big WHERE bigram IS NOT NULL),
+    firsts AS (SELECT bigram, MIN(doc_id) AS first_doc FROM bigd GROUP BY bigram)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           round(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS novelty
+    FROM bigd b JOIN firsts f ON f.bigram = b.bigram
+    GROUP BY b.doc_id
+    """,
+    tier="P2",
+)
+def corpus_ngram_novelty(spark, t):
+    """Per-document bigram novelty against everything earlier in the
+    corpus (doc_id order): what fraction of this document's distinct
+    bigrams has no occurrence in any lower doc_id. The curve of this
+    metric over ingestion order is the standard "is new data still
+    adding information" saturation diagnostic for corpus growth.
+
+    Ownership of "first occurrence" is a MIN(doc_id) per bigram — an
+    inverted-index aggregate like the dedup family, never a doc×doc
+    comparison. The per-bigram frame is bounded by the distinct-bigram
+    vocabulary, and the join back to per-doc bigram sets is on the
+    bigram key, so both exchanges are vocabulary- not corpus-sized.
+    A deterministic total order (doc_id) makes the result exact and
+    reproducible — no dependence on partition layout.
+    """
+    docs = t["documents"]
+    toks = _toks()
+    bigd = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("bigram"))
+        .distinct()
+    )
+    firsts = bigd.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        bigd.join(firsts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -1201,3 +1201,63 @@ def join_fuzzy_name(spark, t):
             "n_parts_hi",
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    deg AS (
+      SELECT a, COUNT(*) AS degree FROM pairs GROUP BY a
+    )
+    SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_bucket,
+           COUNT(*) AS n_parts,
+           MIN(degree) AS min_degree,
+           MAX(degree) AS max_degree
+    FROM deg
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tier="P3",
+)
+def graph_degree_distribution(spark, t):
+    """Degree distribution of the co-purchase graph (parts are nodes,
+    an edge = the two parts appear on the same order) in log2 buckets —
+    the first thing to look at before running any graph algorithm on
+    purchase data: a heavy-tailed degree histogram says "salt the hub
+    nodes" for everything downstream (cf. ``join_salted_skew``).
+
+    The self-join is keyed on the order, so its blow-up is bounded by
+    lines-per-order² (TPC-H ≤ 7 lines ⇒ ≤ 42 directed pairs per order)
+    — never all-pairs over parts. Bucket ids use bit-length arithmetic
+    (``length(bin(d)) - 1``), not ``floor(log2(d))``: ln(8)/ln(2) is
+    2.999… in binary floating point and floors to the wrong bucket on
+    exact powers of two, and the two engines need not err identically.
+    """
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(
+            (F.length(F.bin("degree")) - 1).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )

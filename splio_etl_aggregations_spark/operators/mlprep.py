@@ -783,3 +783,65 @@ def ml_confusion_matrix(spark, t):
             F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
         ).alias("recall"),
     )
+
+
+@register(
+    "ml_woe_iv",
+    oracle="""
+    WITH buckets AS (
+      SELECT o_orderpriority AS bucket,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_event,
+             SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_nonevent
+      FROM orders
+      GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT SUM(n_event) AS te, SUM(n_nonevent) AS tn FROM buckets
+    )
+    SELECT b.bucket, b.n_event, b.n_nonevent,
+           round(ln((b.n_event / t.te) / (b.n_nonevent / t.tn)), 6) AS woe,
+           round((b.n_event / t.te - b.n_nonevent / t.tn)
+                 * ln((b.n_event / t.te) / (b.n_nonevent / t.tn)), 6) AS iv_term
+    FROM buckets b CROSS JOIN tot t
+    ORDER BY bucket
+    """,
+    tier="P2",
+)
+def ml_woe_iv(spark, t):
+    """Weight-of-evidence / information-value profile of a categorical
+    feature against a binary target — the credit-scoring-style
+    predictiveness screen run before encoding a feature (|IV| < 0.02 ⇒
+    drop it). Target: order finished ('F'); feature: order priority.
+
+    WOE_b = ln((event_b/Σevent)/(nonevent_b/Σnonevent)); the IV is the
+    sum of the per-bucket terms emitted here. One hash aggregate bounded
+    by the bucket cardinality, then a 1-row totals frame cross-joined
+    back (broadcast by construction) — the full table is scanned once
+    and nothing data-proportional ever meets a single task.
+    """
+    o = t["orders"]
+    buckets = o.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_event"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias(
+            "n_nonevent"
+        ),
+    )
+    tot = buckets.agg(
+        F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")
+    )
+    ev_rate = F.col("n_event") / F.col("te")
+    ne_rate = F.col("n_nonevent") / F.col("tn")
+    woe = F.ln(ev_rate / ne_rate)
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_event",
+            "n_nonevent",
+            F.round(woe, 6).alias("woe"),
+            F.round((ev_rate - ne_rate) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("bucket")
+    )

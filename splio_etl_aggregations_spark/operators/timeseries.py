@@ -794,3 +794,56 @@ def ts_forecast_backtest(spark, t):
     return row("naive_lag1", "naive_pred").unionByName(
         row("seasonal_naive_lag7", "snaive_pred")
     )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+      FROM events
+      GROUP BY 1
+    )
+    SELECT day, purchases, clicks,
+           round(corr(purchases, clicks) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS corr7
+    FROM daily
+    ORDER BY day
+    """,
+    tier="P2",
+)
+def ts_rolling_corr(spark, t):
+    """7-day rolling Pearson correlation between the daily purchase and
+    click series — the co-movement monitor behind "did the click→buy
+    relationship break this week" alerts.
+
+    The raw event stream folds to one row per day FIRST (map-side
+    combinable hash aggregate), and only then does the partition-less
+    window run — over the |days| frame, which is calendar-bounded
+    (365 rows/year), not data-proportional; same bounded-frame argument
+    as ``agg_cumulative_unique_users``. ``corr`` is a native window
+    aggregate on both engines, and the first 6 days correlate over
+    their shorter prefix frames identically.
+    """
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicks"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "purchases",
+        "clicks",
+        r4(F.corr("purchases", "clicks").over(w)).alias("corr7"),
+    ).orderBy("day")

@@ -306,6 +306,11 @@ DRIVER_ORDER: list[str] = [
     "text_pmi_collocations",
     "agg_did_discount_effect",
     "ts_purchase_cycle",
+    "agg_hhi_concentration",
+    "ml_woe_iv",
+    "graph_degree_distribution",
+    "corpus_ngram_novelty",
+    "ts_rolling_corr",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
