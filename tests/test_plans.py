@@ -240,3 +240,68 @@ def test_q6_pushes_all_filters_and_prunes(spark):
 def test_q10_top20_uses_take_ordered(spark):
     df = Q["sql_returned_item_ranking"].run(spark, SF_SMALL)
     assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """Q4's correlated EXISTS must become a left-semi join, not a
+    per-row subquery probe."""
+    df = Q["sql_order_priority_check"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "LeftSemi" in text
+    assert "date" in " ".join(pushed_filters(df)).lower() or any(
+        "o_orderdate" in f for f in pushed_filters(df)
+    )
+
+
+def test_q21_plans_semi_and_anti_pair(spark):
+    """Q21's EXISTS + NOT EXISTS pair must plan as one left-semi and one
+    left-anti join on the order key — two bounded shuffles, not nested
+    per-row probes."""
+    text = explain_str(Q["sql_suppliers_kept_waiting"].run(spark, SF_SMALL))
+    assert "LeftSemi" in text
+    assert "LeftAnti" in text
+
+
+def test_q22_anti_join_and_scalar_threshold(spark):
+    """Q22: the NOT EXISTS anti join and the single uncorrelated AVG
+    subquery (no recompute per row)."""
+    text = explain_str(Q["sql_sales_opportunity"].run(spark, SF_SMALL))
+    assert "LeftAnti" in text
+    assert text.count("Subquery") >= 1
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """Q17's 0.2*AVG correlated subquery must become an aggregate joined
+    on the part key (no re-scan of lineitem per outer row)."""
+    text = explain_str(Q["sql_small_quantity_revenue"].run(spark, SF_SMALL))
+    assert "partial_avg" in text or "avg(" in text
+    # decorrelation yields a plain join of the aggregated side
+    assert "SortMergeJoin" in text or "BroadcastHashJoin" in text or "ShuffledHashJoin" in text
+
+
+def test_q19_pushes_part_disjunction(spark):
+    """Q19: the brand-only disjunction is inferred and pushed to the part
+    scan (Or(EqualTo(p_brand...))), so the scan does not read every part."""
+    df = Q["sql_disjunctive_revenue"].run(spark, SF_SMALL)
+    assert any("p_brand" in f for f in pushed_filters(df))
+
+
+def test_q7_nation_pair_predicate_stays_in_join(spark):
+    """Q7 must broadcast both nation dimension copies; the pair predicate
+    evaluates during the join, not as a post-join filter of a 25x fan-out."""
+    text = explain_str(Q["sql_volume_shipping"].run(spark, SF_SMALL))
+    assert text.count("BroadcastHashJoin") >= 3  # n1, n2, supplier at least
+
+
+def test_degree_distribution_joins_on_order_key(spark):
+    """The co-purchase self-join must key on l_orderkey (bounded fan-out),
+    never plan a cartesian."""
+    text = explain_str(Q["graph_degree_distribution"].run(spark, SF_SMALL))
+    assert "CartesianProduct" not in text
+    assert "l_orderkey" in text
+
+
+def test_woe_iv_totals_frame_broadcasts(spark):
+    """ml_woe_iv's totals frame is 1 row and must broadcast."""
+    text = explain_str(Q["ml_woe_iv"].run(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
