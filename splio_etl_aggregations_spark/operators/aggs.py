@@ -3531,3 +3531,89 @@ def agg_hhi_concentration(spark, t):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_pvm_decomposition",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1997
+                      THEN l.l_quantity ELSE 0 END) AS q97,
+             SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1997
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END) AS rev97,
+             SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1998
+                      THEN l.l_quantity ELSE 0 END) AS q98,
+             SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1998
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END) AS rev98
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation,
+           round(rev98 - rev97, 4) AS rev_change,
+           round((q98 - q97) * (rev97 / q97), 4) AS volume_effect,
+           round((rev98 / q98 - rev97 / q97) * q98, 4) AS price_effect
+    FROM yearly
+    WHERE q97 > 0 AND q98 > 0
+    ORDER BY nation
+    """,
+    tier="P2",
+)
+def agg_pvm_decomposition(spark, t):
+    """Price-volume decomposition of the 1997→1998 revenue change per
+    supplier nation: Δrev splits exactly into a volume effect
+    (Δq · p₉₇) and a price effect (Δp · q₉₈) — the finance-style
+    "why did revenue move" waterfall, where the two effects sum to the
+    change by construction (using the old price for volume and the new
+    quantity for price leaves no mix residual in a one-level grouping).
+
+    Both years fold in ONE scan via conditional aggregation — no
+    self-join of the fact table to itself per year, which is the naive
+    formulation and doubles the shuffle. Dimension chain broadcasts;
+    the effects are arithmetic over the |nations|-row aggregate.
+    """
+    yr = F.year("o_orderdate")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    yearly = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.when(yr == 1997, F.col("l_quantity")).otherwise(0)).alias("q97"),
+            F.sum(F.when(yr == 1997, net).otherwise(0)).alias("rev97"),
+            F.sum(F.when(yr == 1998, F.col("l_quantity")).otherwise(0)).alias("q98"),
+            F.sum(F.when(yr == 1998, net).otherwise(0)).alias("rev98"),
+        )
+    )
+    return (
+        yearly.filter((F.col("q97") > 0) & (F.col("q98") > 0))
+        .select(
+            "nation",
+            F.round(F.col("rev98") - F.col("rev97"), 4).alias("rev_change"),
+            F.round(
+                (F.col("q98") - F.col("q97")) * (F.col("rev97") / F.col("q97")), 4
+            ).alias("volume_effect"),
+            F.round(
+                (F.col("rev98") / F.col("q98") - F.col("rev97") / F.col("q97"))
+                * F.col("q98"),
+                4,
+            ).alias("price_effect"),
+        )
+        .orderBy("nation")
+    )

@@ -845,3 +845,58 @@ def ml_woe_iv(spark, t):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT LEAST(CAST(floor(value / 50) AS INT), 9) AS bin,
+             value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    tot AS (SELECT AVG(y * 1.0) AS base_rate FROM scored)
+    SELECT s.bin,
+           COUNT(*) AS n,
+           round(AVG(s.score), 4) AS mean_score,
+           round(AVG(s.y * 1.0), 6) AS event_rate,
+           round(AVG(s.y * 1.0) - t.base_rate, 6) AS lift_vs_base
+    FROM scored s CROSS JOIN tot t
+    GROUP BY s.bin, t.base_rate
+    ORDER BY s.bin
+    """,
+    tier="P2",
+)
+def ml_calibration_bins(spark, t):
+    """Reliability / calibration curve of a score against a binary
+    outcome — the companion to ``ml_auc_eval`` (discrimination) and
+    ``ml_lift_deciles`` (ranking yield): per score bin, observed event
+    rate vs the base rate, which is what a calibration plot draws.
+
+    Bins are FIXED-WIDTH on the score (⌊v/50⌋ capped at 9), not
+    ntile-based: no stats pass, no ordered pass, perfectly deterministic
+    across engines, and at 100 TB the whole query is one map-side
+    bucket projection + a ≤10-group aggregate with a broadcast 1-row
+    base-rate frame.
+    """
+    scored = t["events"].select(
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bin"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    tot = scored.agg(F.avg(F.col("y") * 1.0).alias("base_rate"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .groupBy("bin", "base_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg(F.col("y") * 1.0), 6).alias("event_rate"),
+            F.round(
+                F.avg(F.col("y") * 1.0) - F.first("base_rate"), 6
+            ).alias("lift_vs_base"),
+        )
+        .select("bin", "n", "mean_score", "event_rate", "lift_vs_base")
+        .orderBy("bin")
+    )

@@ -447,3 +447,64 @@ def text_pmi_collocations(spark, t):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, COUNT(*) AS freq
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           SUM(freq) AS n_tokens,
+           COUNT(*) AS vocab_size,
+           SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           round(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS hapax_ratio,
+           round(COUNT(*) * 1.0 / SUM(freq), 4) AS type_token_ratio
+    FROM tf
+    GROUP BY source
+    ORDER BY source
+    """,
+    tier="P2",
+)
+def text_hapax_ratio(spark, t):
+    """Lexical-richness profile per source: vocabulary size, hapax
+    legomena (terms occurring exactly once), hapax ratio, and type-token
+    ratio. In corpus QC a collapsing hapax ratio across crawl snapshots
+    is the classic early signal of template/boilerplate contamination —
+    complementing ``text_zipf_fit`` (distribution shape) and
+    ``text_vocab_coverage`` (OOV mass).
+
+    One token explode into a (source, token) hash aggregate, folded to a
+    |sources|-row report — the second level's input is bounded by
+    sources × vocabulary, so nothing downstream of the first aggregate
+    is corpus-sized.
+    """
+    tf = (
+        t["documents"]
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    hapax = F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            hapax.alias("n_hapax"),
+            F.round(hapax * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "hapax_ratio"
+            ),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.sum("freq"), 4
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )

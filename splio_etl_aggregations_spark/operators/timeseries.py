@@ -847,3 +847,75 @@ def ts_rolling_corr(spark, t):
         "clicks",
         r4(F.corr("purchases", "clicks").over(w)).alias("corr7"),
     ).orderBy("day")
+
+
+@register(
+    "ts_outlier_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value < c.p5 THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS n_clipped_high,
+           round(AVG(e.value), 4) AS mean_raw,
+           round(AVG(LEAST(GREATEST(e.value, c.p5), c.p95)), 4)
+             AS mean_winsorized,
+           round(c.p5, 4) AS p5,
+           round(c.p95, 4) AS p95
+    FROM events e
+    JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.p5, c.p95
+    ORDER BY e.event_type
+    """,
+    tier="P2",
+)
+def ts_outlier_winsorize(spark, t):
+    """Per-stratum 5/95-percentile winsorization report: how many values
+    each tail clips and what it does to the mean — the robust-metric
+    pre-step for revenue/latency series where a handful of outliers move
+    the average (cf. ``agg_robust_means`` for the trimmed/winsorized
+    global means and ``ts_anomaly_mad`` for pointwise flags).
+
+    Two-pass fit/apply like ``ml_standardize_features``: an exact
+    interpolated-percentile aggregate per event_type (|strata| rows,
+    broadcast), then one full scan applying LEAST/GREATEST — the clip is
+    a pure map-side projection, and exact percentile agreement between
+    the engines is already proven by ``agg_percentile``.
+    """
+    e = t["events"]
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p5"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "p5", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p5"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped_low",
+            "n_clipped_high",
+            "mean_raw",
+            "mean_winsorized",
+            F.round("p5", 4).alias("p5"),
+            F.round("p95", 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )

@@ -311,6 +311,10 @@ DRIVER_ORDER: list[str] = [
     "graph_degree_distribution",
     "corpus_ngram_novelty",
     "ts_rolling_corr",
+    "ml_calibration_bins",
+    "text_hapax_ratio",
+    "ts_outlier_winsorize",
+    "agg_pvm_decomposition",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -158,6 +158,16 @@ def shapes(spark, t):
         "auc_eval": lambda: get("ml_auc_eval").builder(spark, t),
         "ks_drift": lambda: get("dq_ks_drift").builder(spark, t),
         "marketing_mix": lambda: get("pipeline_marketing_mix").builder(spark, t),
+        # r2 fifth wave: the 7-table Q8 snowflake (fact chain grows K×,
+        # dims fixed — expect join-bound linear like Q5), the Q21 dual
+        # semi+anti lineitem self-join (both sides grow K×, keyed on the
+        # order key so the self-join stays per-order bounded), the
+        # bigram-novelty inverted index (vocabulary-bounded exchanges),
+        # and the co-purchase degree histogram (per-order bounded pairs)
+        "market_share": lambda: get("sql_market_share").builder(spark, t),
+        "kept_waiting": lambda: get("sql_suppliers_kept_waiting").builder(spark, t),
+        "ngram_novelty": lambda: get("corpus_ngram_novelty").builder(spark, t),
+        "degree_dist": lambda: get("graph_degree_distribution").builder(spark, t),
     }
 
 
