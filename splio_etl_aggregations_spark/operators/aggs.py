@@ -3617,3 +3617,91 @@ def agg_pvm_decomposition(spark, t):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "agg_customer_migration_matrix",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                      THEN o_totalprice ELSE 0 END) AS h1,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                      THEN o_totalprice ELSE 0 END) AS h2
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    tiered AS (
+      SELECT CASE WHEN h1 = 0 THEN 'none'
+                  WHEN h1 < 800000 THEN 'low'
+                  WHEN h1 < 1500000 THEN 'mid'
+                  ELSE 'high' END AS tier_from,
+             CASE WHEN h2 = 0 THEN 'none'
+                  WHEN h2 < 800000 THEN 'low'
+                  WHEN h2 < 1500000 THEN 'mid'
+                  ELSE 'high' END AS tier_to
+      FROM spend
+    )
+    SELECT tier_from, tier_to, COUNT(*) AS n_customers,
+           round(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY tier_from), 4)
+             AS row_share
+    FROM tiered
+    GROUP BY tier_from, tier_to
+    ORDER BY tier_from, tier_to
+    """,
+    tier="P2",
+)
+def agg_customer_migration_matrix(spark, t):
+    """Customer value-tier migration matrix between two periods (orders
+    before vs from 1998): how many low/mid/high/none-spend customers
+    moved to each tier, with each cell's share of its origin row — the
+    churn/upgrade chord diagram behind every retention program (the
+    marketing twin of ``ts_markov_transitions``, which tracks event
+    types; segment cuts are fixed absolute thresholds so the matrix is
+    comparable across runs, unlike quantile tiers that move with the
+    population).
+
+    Both periods aggregate in ONE scan (conditional sums per customer) —
+    no per-period self-join — and everything after the per-customer
+    fold is arithmetic over a ≤16-row matrix; the row-share window runs
+    on that matrix, not on data.
+    """
+    spend = t["orders"].groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"),
+                F.col("o_totalprice"),
+            ).otherwise(0)
+        ).alias("h1"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"),
+                F.col("o_totalprice"),
+            ).otherwise(0)
+        ).alias("h2"),
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) == 0, "none")
+            .when(F.col(c) < 800000, "low")
+            .when(F.col(c) < 1500000, "mid")
+            .otherwise("high")
+        )
+
+    from pyspark.sql import Window
+
+    cells = (
+        spend.select(tier("h1").alias("tier_from"), tier("h2").alias("tier_to"))
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("tier_from")
+    return cells.select(
+        "tier_from",
+        "tier_to",
+        "n_customers",
+        F.round(
+            F.col("n_customers") * F.lit(1.0) / F.sum("n_customers").over(w), 4
+        ).alias("row_share"),
+    ).orderBy("tier_from", "tier_to")

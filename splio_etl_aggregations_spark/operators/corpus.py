@@ -569,3 +569,83 @@ def corpus_ngram_novelty(spark, t):
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    ng AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                    i -> array_to_string(t[i:i+{DECON_N - 1}], ' '))) AS g
+      FROM tok WHERE len(t) >= {DECON_N}
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM ng GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM ng a JOIN ng b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           round(i.n_common * 1.0
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+    tier="P2",
+)
+def corpus_source_overlap(spark, t):
+    """Pairwise source-overlap matrix: 8-gram Jaccard between every pair
+    of sources — the "which crawls/feeds duplicate each other" heatmap
+    that decides dedup priority and mix weights BEFORE any doc-level
+    dedup runs (``corpus_decontaminate`` answers the benchmark-vs-corpus
+    question; this answers corpus-vs-corpus).
+
+    Inverted-index shape end to end: distinct (source, gram), per-gram
+    source pairs (≤ |sources|² per gram, never doc×doc), per-source set
+    sizes broadcast back onto the ≤ C(|sources|,2)-row pair frame. At
+    100 TB the only corpus-sized exchange is the initial distinct.
+    """
+    docs = t["documents"]
+    ng = (
+        docs.filter(F.size(_toks()) >= DECON_N)
+        .select(
+            "source",
+            F.explode(_zip_grams(_toks(), DECON_N)).alias("t"),
+        )
+        .select("source", _gram_str(DECON_N).alias("g"))
+        .distinct()
+    )
+    sz = ng.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ng.alias("a")
+    b = ng.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

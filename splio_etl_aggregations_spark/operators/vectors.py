@@ -612,3 +612,91 @@ def sim_threshold_sweep(spark, t):
             "tau", "n_pairs"
         )
     )
+
+
+@register(
+    "vec_embedding_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, sqrt(SUM(v * v)) AS nrm
+      FROM e GROUP BY vec_id, label
+    ),
+    lcent AS (SELECT label, pos, AVG(v) AS lv FROM e GROUP BY label, pos),
+    gcent AS (SELECT pos, AVG(v) AS gv FROM e GROUP BY pos),
+    cosv AS (
+      SELECT l.label,
+             SUM(l.lv * g.gv)
+               / (sqrt(SUM(l.lv * l.lv)) * sqrt(SUM(g.gv * g.gv)))
+               AS cos_to_global
+      FROM lcent l JOIN gcent g ON l.pos = g.pos
+      GROUP BY l.label
+    )
+    SELECT n.label,
+           COUNT(*) AS n_vectors,
+           round(AVG(n.nrm), 4) AS mean_norm,
+           round(stddev_samp(n.nrm), 4) AS sd_norm,
+           round(MAX(c.cos_to_global), 6) AS cos_to_global
+    FROM norms n
+    JOIN cosv c ON c.label = n.label
+    GROUP BY n.label
+    ORDER BY n.label
+    """,
+    tier="P2",
+)
+def vec_embedding_drift(spark, t):
+    """Embedding-space health per label: vector-norm distribution and the
+    cosine between each label's centroid and the global centroid — the
+    collapse/drift monitor run on every re-embedding (norms shrinking ⇒
+    representation collapse; a label centroid swinging toward the global
+    mean ⇒ that class lost separability; cf. ``sim_centroid_by_label``
+    for the per-vector dispersion view).
+
+    One posexplode feeds all three aggregates — per-vector norms, the
+    |labels|×d label centroids, and the d-row global centroid — so the
+    table is scanned once and every post-explode exchange is bounded by
+    |labels|·d, never by the corpus. Fully JVM-side: no UDF, no
+    higher-order lambdas, no driver materialization.
+    """
+    e = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast(_EMB_D)).alias("pos", "v"),
+        )
+    )
+    norms = e.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    lcent = e.groupBy("label", "pos").agg(F.avg("v").alias("lv"))
+    gcent = e.groupBy("pos").agg(F.avg("v").alias("gv"))
+    cosv = (
+        lcent.join(F.broadcast(gcent), "pos")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("lv") * F.col("gv"))
+                / (
+                    F.sqrt(F.sum(F.col("lv") * F.col("lv")))
+                    * F.sqrt(F.sum(F.col("gv") * F.col("gv")))
+                )
+            ).alias("cos_to_global")
+        )
+    )
+    return (
+        norms.join(F.broadcast(cosv), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("mean_norm"),
+            F.round(F.stddev_samp("nrm"), 4).alias("sd_norm"),
+            F.round(F.max("cos_to_global"), 6).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

@@ -315,6 +315,9 @@ DRIVER_ORDER: list[str] = [
     "text_hapax_ratio",
     "ts_outlier_winsorize",
     "agg_pvm_decomposition",
+    "corpus_source_overlap",
+    "agg_customer_migration_matrix",
+    "vec_embedding_drift",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
