@@ -3705,3 +3705,100 @@ def agg_customer_migration_matrix(spark, t):
             F.col("n_customers") * F.lit(1.0) / F.sum("n_customers").over(w), 4
         ).alias("row_share"),
     ).orderBy("tier_from", "tier_to")
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+    ),
+    based AS (
+      SELECT *,
+             (us - MIN(us) OVER (PARTITION BY user_id)) / 86400000000.0
+               AS t_days
+      FROM ev
+    ),
+    weighted AS (
+      SELECT *,
+             CASE WHEN event_type <> 'purchase'
+                  THEN exp(0.6931471805599453 * t_days) END AS x
+      FROM based
+    ),
+    w1 AS (
+      SELECT *, SUM(x) OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN {_LOOKBACK_US} PRECEDING
+                                   AND 1 PRECEDING) AS s
+      FROM weighted
+    ),
+    w2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' AND s > 0
+                     THEN value / s END AS q
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, x * SUM(q) OVER (PARTITION BY user_id ORDER BY us
+                                 RANGE BETWEEN 1 FOLLOWING
+                                       AND {_LOOKBACK_US} FOLLOWING) AS credit
+      FROM w2
+    )
+    SELECT event_type AS channel,
+           round(SUM(COALESCE(credit, 0)), 4) AS credited_revenue,
+           SUM(CASE WHEN credit IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_credited_touches
+    FROM w3 WHERE event_type <> 'purchase'
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def attribution_time_decay(spark, t):
+    """Time-decay multi-touch attribution (1-day half-life): each
+    purchase's value splits over its 7-day-lookback touches with weight
+    ∝ 2^(−Δdays), so the touch an hour before the purchase earns ~2×
+    the credit of one a day before — completing the attribution family
+    (last-touch / linear / decay).
+
+    The decay NORMALIZATION usually forces a purchase×touch join; the
+    exponential factors it away: 2^(−λ(p−t)) / Σ 2^(−λ(p−t')) =
+    2^(λt) / Σ 2^(λt') — the purchase term cancels, so the same
+    two-mirror-RANGE-window plan as ``attribution_linear_multi_touch``
+    works: a backward window sums touch weights x=2^(λt) into each
+    purchase's normalizer, a forward window hands value/Σx back to the
+    touches, and each touch multiplies by its own x. Exponents are
+    anchored to the per-user MIN timestamp (the anchor cancels in the
+    ratio) so 30 days of span costs e^21, comfortably inside double
+    range. One user shuffle, one per-user sort, zero joins.
+    """
+    from pyspark.sql import Window
+
+    ln2 = 0.6931471805599453
+    ev = t["events"].select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    part = Window.partitionBy("user_id")
+    spec = part.orderBy("us")
+    w_back = spec.rangeBetween(-_LOOKBACK_US, -1)
+    w_fwd = spec.rangeBetween(1, _LOOKBACK_US)
+    is_touch = F.col("event_type") != "purchase"
+    t_days = (F.col("us") - F.min("us").over(part)) / F.lit(86400000000.0)
+    x = F.when(is_touch, F.exp(F.lit(ln2) * t_days))
+    w1 = ev.withColumn("x", x).withColumn("s", F.sum("x").over(w_back))
+    q = F.when(
+        (F.col("event_type") == "purchase") & (F.col("s") > 0),
+        F.col("value") / F.col("s"),
+    )
+    w2 = w1.withColumn("q", q)
+    credit = F.col("x") * F.sum("q").over(w_fwd)
+    return (
+        w2.withColumn("credit", credit)
+        .filter(is_touch)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            r4(F.sum(F.coalesce("credit", F.lit(0.0)))).alias(
+                "credited_revenue"
+            ),
+            F.sum(F.col("credit").isNotNull().cast("bigint")).alias(
+                "n_credited_touches"
+            ),
+        )
+    )

@@ -900,3 +900,105 @@ def ml_calibration_bins(spark, t):
         .select("bin", "n", "mean_score", "event_rate", "lift_vs_base")
         .orderBy("bin")
     )
+
+
+@register(
+    "corpus_bigram_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM tok WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    ucnt AS (SELECT token, COUNT(*)::DOUBLE AS cu FROM uni GROUP BY token),
+    utot AS (SELECT COUNT(*)::DOUBLE AS n FROM uni),
+    bcnt AS (SELECT w1, w2, COUNT(*)::DOUBLE AS cb FROM big GROUP BY w1, w2),
+    pcnt AS (SELECT w1, SUM(cb) AS cp FROM bcnt GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             ln(0.7 * (bc.cb / pc.cp) + 0.3 * (uc.cu / ut.n)) AS lp
+      FROM big b
+      JOIN bcnt bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN pcnt pc ON pc.w1 = b.w1
+      JOIN ucnt uc ON uc.token = b.w2
+      CROSS JOIN utot ut
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(-AVG(lp), 4) AS cross_entropy,
+           round(exp(-AVG(lp)), 4) AS perplexity
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tier="P2",
+)
+def corpus_bigram_perplexity(spark, t):
+    """Interpolated bigram-LM perplexity per document — the step up from
+    ``corpus_lm_quality``'s unigram proxy: score each document's mean
+    −ln P(w₂|w₁) under P = 0.7·P_bigram + 0.3·P_unigram trained on the
+    corpus itself. Repetitive or formulaic docs score low perplexity,
+    token soup scores high; both tails get cut in real pipelines.
+
+    The model is three vocabulary-bounded tables — bigram counts,
+    bigram-prefix totals (c(w₁·), the correct conditional denominator —
+    NOT the unigram count, which differs at document boundaries), and
+    unigram counts — folded into ONE probability table keyed on the
+    bigram and broadcast. The corpus then streams through a single
+    bigram explode + broadcast join + per-doc average; every wide
+    exchange is vocabulary-sized. Interpolation (not backoff) keeps the
+    score a pure closed-form join — no per-row branching on unseen
+    bigrams, which cannot occur anyway when scoring the training corpus.
+    """
+    from .corpus import _toks, _zip_grams
+
+    toks = _toks()
+    big = (
+        t["documents"]
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.w0").alias("w1"),
+            F.col("g.w1").alias("w2"),
+        )
+    )
+    uni = t["documents"].select(
+        F.explode(toks).alias("token")
+    )
+    ucnt = uni.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("cu")
+    )
+    utot = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    bcnt = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    pcnt = bcnt.groupBy("w1").agg(F.sum("cb").alias("cp"))
+    model = (
+        bcnt.join(pcnt, "w1")
+        .join(ucnt.withColumnRenamed("token", "w2"), "w2")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(0.7) * (F.col("cb") / F.col("cp"))
+                + F.lit(0.3) * (F.col("cu") / F.col("n"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        big.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("lp"), 4).alias("cross_entropy"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+        )
+    )

@@ -838,3 +838,73 @@ def win_vwap(spark, t):
             F.expr("(200 * num + den) div (2 * den)") / 10000.0
         ).alias("vwap5"),
     )
+
+
+@register(
+    "win_debounce_consecutive",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id < 100
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY us, event_id)
+                  THEN 1 ELSE 0 END AS is_edge
+      FROM ev
+    ),
+    runs AS (
+      SELECT *,
+             SUM(is_edge) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, run_id, event_type,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS run_len
+    FROM runs
+    GROUP BY user_id, run_id, event_type
+    """,
+    tier="P2",
+)
+def win_debounce_consecutive(spark, t):
+    """Debounce: collapse each user's runs of consecutive identical
+    event types to one row (run representative + length) — the telemetry
+    clean-up for chatty sources that re-emit the same state (double
+    clicks, sensor bounce, retry storms). Distinct from
+    ``stream_dedup_watermark`` (exact-key dedup) and
+    ``win_streak_islands`` (day-level activity runs): runs here are
+    VALUE-change delimited within the ordered event stream.
+
+    Classic gaps-and-islands: a lag-based change flag, a running sum of
+    flags as the run id, then one aggregate per (user, run). Every
+    window partitions by user_id — one shuffle end to end, frame width
+    bounded by a user's history. Restricted to user_id < 100 to bound
+    the compare payload; the plan is user-partitioned so the filter is
+    a knob, not a design limit.
+    """
+    ev = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "is_edge",
+        (
+            ~F.col("event_type").eqNullSafe(
+                F.lag("event_type").over(w)
+            )
+        ).cast("int"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_edge").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("run_len"),
+    )

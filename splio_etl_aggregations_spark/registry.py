@@ -318,6 +318,9 @@ DRIVER_ORDER: list[str] = [
     "corpus_source_overlap",
     "agg_customer_migration_matrix",
     "vec_embedding_drift",
+    "attribution_time_decay",
+    "corpus_bigram_perplexity",
+    "win_debounce_consecutive",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
