@@ -771,3 +771,116 @@ def test_cusum_peak_dominates_series(spark):
         cum += x - mean
         best = max(best, abs(cum))
     assert abs(round(best, 4) - r["cusum_stat"]) < 1e-2
+
+
+def test_pvm_effects_sum_to_change(spark):
+    """Volume effect + price effect exactly reconstruct the revenue
+    change (the decomposition identity, up to the 4-dp rounding)."""
+    rows = Q["agg_pvm_decomposition"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["volume_effect"] + r["price_effect"] - r["rev_change"]) < 2e-3
+
+
+def test_hhi_bounds_and_monotone_floor(spark):
+    """HHI in (0, 10000]; with n customers the floor is 10000/n."""
+    rows = Q["agg_hhi_concentration"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["hhi"] <= 10000
+        assert r["hhi"] >= 10000.0 / r["n_customers"] - 1e-6
+
+
+def test_migration_row_shares_sum_to_one(spark):
+    """Each origin tier's outgoing shares form a distribution."""
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    for r in Q["agg_customer_migration_matrix"].run(spark, SF_SMALL).collect():
+        shares[r["tier_from"]] += r["row_share"]
+    assert shares and all(abs(s - 1.0) < 1e-3 for s in shares.values())
+
+
+def test_woe_iv_terms_nonnegative_and_woe_signs(spark):
+    """Each IV term (g-b)*ln(g/b) is >= 0 by construction, and WOE is
+    positive exactly when the bucket over-indexes on events."""
+    rows = Q["ml_woe_iv"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["iv_term"] >= -1e-9
+        g = r["n_event"]
+        b = r["n_nonevent"]
+        # sign(woe) == sign(event-rate ratio vs nonevent-rate ratio)
+        assert (r["woe"] > 0) == (g * sum(x["n_nonevent"] for x in rows)
+                                  > b * sum(x["n_event"] for x in rows)) or r["woe"] == 0
+
+
+def test_calibration_bins_rates_and_counts(spark):
+    """Bin event rates live in [0,1], counts cover all events, and the
+    count-weighted mean of bin rates reproduces the base rate."""
+    rows = Q["ml_calibration_bins"].run(spark, SF_SMALL).collect()
+    total = sum(r["n"] for r in rows)
+    events = Q["ml_calibration_bins"].run(spark, SF_SMALL)  # schema only
+    assert total > 0
+    wmean = sum(r["event_rate"] * r["n"] for r in rows) / total
+    base = rows[0]["event_rate"] - rows[0]["lift_vs_base"]
+    assert all(0.0 <= r["event_rate"] <= 1.0 for r in rows)
+    assert abs(wmean - base) < 5e-3
+
+
+def test_attribution_decay_conserves_less_than_linear_total(spark):
+    """Time-decay and linear attribution redistribute the SAME credited
+    revenue pool (every purchase with >=1 in-window touch contributes
+    its full value under both schemes) — only the split differs."""
+    lin = Q["attribution_linear_multi_touch"].run(spark, SF_SMALL).collect()
+    dec = Q["attribution_time_decay"].run(spark, SF_SMALL).collect()
+    assert abs(
+        sum(r["credited_revenue"] for r in lin)
+        - sum(r["credited_revenue"] for r in dec)
+    ) < 0.1
+
+
+def test_bigram_perplexity_bounded_below_by_one(spark):
+    """Perplexity = exp(cross-entropy) >= 1, and cross-entropy is
+    positive for any non-degenerate model."""
+    rows = Q["corpus_bigram_perplexity"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["perplexity"] >= 1.0
+        assert r["cross_entropy"] > 0
+
+
+def test_debounce_runs_partition_the_stream(spark):
+    """Run lengths sum to the (filtered) event count and every run has
+    length >= 1."""
+    rows = Q["win_debounce_consecutive"].run(spark, SF_SMALL).collect()
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    n = (
+        load(spark, SF_SMALL)["events"]
+        .filter(F.col("user_id") < 100)
+        .count()
+    )
+    assert sum(r["run_len"] for r in rows) == n
+    assert all(r["run_len"] >= 1 for r in rows)
+
+
+def test_source_overlap_jaccard_bounds_and_pair_count(spark):
+    """Jaccard in (0,1]; at most C(|sources|,2) pairs, each ordered."""
+    rows = Q["corpus_source_overlap"].run(spark, SF_SMALL).collect()
+    assert rows
+    srcs = set()
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["source_a"] < r["source_b"]
+        srcs.update((r["source_a"], r["source_b"]))
+    assert len(rows) <= len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_embedding_drift_cosine_bounds(spark):
+    """Centroid-vs-global cosine lives in [-1,1] and norms are positive."""
+    rows = Q["vec_embedding_drift"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["cos_to_global"] <= 1.0
+        assert r["mean_norm"] > 0
