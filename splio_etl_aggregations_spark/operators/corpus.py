@@ -649,3 +649,70 @@ def corpus_source_overlap(spark, t):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+#: sliding-chunk geometry: window of 32 tokens every 24 (8-token overlap
+#: so boundary-spanning context survives; small enough that the
+#: fixtures' ~60-token docs produce multi-chunk cases at every SF).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "corpus_window_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start_pos
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST((start_pos - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           start_pos,
+           CAST(len(t[start_pos:start_pos + {CHUNK_TOKENS - 1}]) AS BIGINT)
+             AS chunk_len,
+           array_to_string(t[start_pos:start_pos + {CHUNK_TOKENS - 1}], ' ')
+             AS chunk_text
+    FROM ch
+    """,
+    tier="P2",
+)
+def corpus_window_chunking(spark, t):
+    """Sliding-window document chunking: split every document into
+    32-token chunks on a 24-token stride (8-token overlap) — the
+    long-document splitter that feeds embedding models and context-
+    bounded trainers, where ``corpus_pack_sequences`` is its inverse
+    (many small docs → one sequence; this is one long doc → many
+    chunks) and the overlap preserves cross-boundary context.
+
+    One ``sequence`` + ``explode`` + ``slice`` per document — all
+    codegen expressions, no lambda higher-order functions, no shuffle
+    at all until a consumer aggregates: chunking is embarrassingly
+    row-parallel and the fan-out is ⌈n/stride⌉ per doc, proportional to
+    output size by definition.
+    """
+    toks = _toks()
+    n = F.size(toks)
+    ch = (
+        t["documents"]
+        .select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+            ).alias("start_pos"),
+        )
+    )
+    sliced = F.slice(F.col("t"), F.col("start_pos"), CHUNK_TOKENS)
+    return ch.select(
+        "doc_id",
+        F.floor((F.col("start_pos") - 1) / CHUNK_STRIDE).cast("int").alias(
+            "chunk_id"
+        ),
+        "start_pos",
+        F.size(sliced).cast("long").alias("chunk_len"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+    )

@@ -71,3 +71,77 @@ def limit_offset(spark, t):
         LIMIT 10 OFFSET 10
         """
     )
+
+
+@register(
+    "sort_skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size)
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    tier="P2",
+)
+def sort_skyline_pareto(spark, t):
+    """Skyline / Pareto frontier of parts on (price ↓ better, size ↑
+    better): the parts no other part strictly dominates — the classic
+    multi-criteria shortlist operator (cheapest-for-its-size curve).
+
+    The oracle states the O(n²) NOT-EXISTS *specification*; the engine
+    computes it in O(n log n) shuffle work with NO self-join: group to
+    per-price max sizes, take an EXCLUSIVE running max over ascending
+    price via the two-phase pattern (range partition → local exclusive
+    cummax → 16-row per-partition-max offsets frame, same skeleton as
+    ``two_phase_cumsum`` — never a partition-less window over data), and
+    join it back: a part is dominated iff the best size at a strictly
+    lower price already matches it (m< ≥ size) or a same-price part
+    strictly beats it (max_at_price > size). At 100 TB this is two hash
+    exchanges keyed on price; the quadratic form never materializes.
+    """
+    from pyspark.sql import Window
+
+    parts = t["part"].select("p_partkey", "p_retailprice", "p_size")
+    g = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+
+    n_parts = 16
+    ranged = (
+        g.repartitionByRange(n_parts, F.asc("p_retailprice"))
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("lmax", F.max("mx").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.max("mx").alias("pmax"))
+        .select("pid", F.max("pmax").over(w_off).alias("base"))
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "p_retailprice",
+            "mx",
+            F.greatest(
+                F.coalesce("lmax", F.lit(None)), F.coalesce("base", F.lit(None))
+            ).alias("m_lt"),
+        )
+    )
+    joined = parts.join(cum, "p_retailprice")
+    dominated = (F.col("m_lt") >= F.col("p_size")) | (
+        F.col("mx") > F.col("p_size")
+    )
+    return (
+        joined.filter(~F.coalesce(dominated, F.lit(False)))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

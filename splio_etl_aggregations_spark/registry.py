@@ -321,6 +321,8 @@ DRIVER_ORDER: list[str] = [
     "attribution_time_decay",
     "corpus_bigram_perplexity",
     "win_debounce_consecutive",
+    "sort_skyline_pareto",
+    "corpus_window_chunking",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -63,6 +63,9 @@ SINGLE_PARTITION_OK = {
     "agg_cumulative_unique_users": (1, "daily frame (≤|days| rows)"),
     # rolling corr over the same calendar-bounded daily frame
     "ts_rolling_corr": (1, "daily frame (≤|days| rows)"),
+    # two-phase exclusive cummax: the only partition-less window runs
+    # over the 16-row per-partition-max offsets frame (cumsum skeleton)
+    "sort_skyline_pareto": (1, "cummax offsets frame (≤16 rows)"),
     # 1-row event/nonevent totals frame cross-joined back
     "ml_woe_iv": (1, "scalar totals frame"),
     # 1-row base-rate frame cross-joined onto the binned projection
