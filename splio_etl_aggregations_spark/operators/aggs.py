@@ -3802,3 +3802,100 @@ def attribution_time_decay(spark, t):
             ),
         )
     )
+
+
+@register(
+    "agg_theil_decomposition",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    tot AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(rev) AS mu FROM x
+    ),
+    seg0 AS (
+      SELECT segment, rev,
+             AVG(rev) OVER (PARTITION BY segment) AS mug0
+      FROM x
+    ),
+    seg AS (
+      SELECT segment, COUNT(*)::DOUBLE AS ng, AVG(rev) AS mug,
+             AVG((rev / mug0) * ln(rev / mug0)) AS theil_g
+      FROM seg0
+      GROUP BY segment
+    )
+    SELECT s.segment,
+           CAST(s.ng AS BIGINT) AS n_customers,
+           round(s.mug, 4) AS mean_rev,
+           round(s.theil_g, 6) AS theil_within,
+           round((s.ng / t.n) * (s.mug / t.mu) * ln(s.mug / t.mu), 6)
+             AS between_term,
+           round((s.ng / t.n) * (s.mug / t.mu) * s.theil_g, 6)
+             AS within_contrib
+    FROM seg s CROSS JOIN tot t
+    ORDER BY s.segment
+    """,
+    tier="P2",
+)
+def agg_theil_decomposition(spark, t):
+    """Theil-T inequality of customer revenue, decomposed by market
+    segment: T = T_between + Σ weighted within-segment terms — unlike
+    Gini (``agg_gini_revenue``), Theil decomposes EXACTLY, so the
+    report says how much revenue inequality lives between segments vs
+    inside them (the additivity is asserted in tests).
+
+    Per-customer revenue folds once; each segment's own Theil needs the
+    segment mean inside the entropy term, which one window over the
+    segment partition provides (bounded by customers-per-segment); the
+    |segments|-row report then cross-joins the 1-row global frame.
+    """
+    from pyspark.sql import Window
+
+    x = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("rev").alias("mu")
+    )
+    w_seg = Window.partitionBy("segment")
+    ratio = F.col("rev") / F.avg("rev").over(w_seg)
+    seg = (
+        x.withColumn("term", ratio * F.log(ratio))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.avg("rev").alias("mug"),
+            F.avg("term").alias("theil_g"),
+        )
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("ng").cast("bigint").alias("n_customers"),
+            F.round("mug", 4).alias("mean_rev"),
+            F.round("theil_g", 6).alias("theil_within"),
+            F.round(
+                (F.col("ng") / F.col("n"))
+                * (F.col("mug") / F.col("mu"))
+                * F.log(F.col("mug") / F.col("mu")),
+                6,
+            ).alias("between_term"),
+            F.round(
+                (F.col("ng") / F.col("n"))
+                * (F.col("mug") / F.col("mu"))
+                * F.col("theil_g"),
+                6,
+            ).alias("within_contrib"),
+        )
+        .orderBy("segment")
+    )

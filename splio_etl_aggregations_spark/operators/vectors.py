@@ -700,3 +700,127 @@ def vec_embedding_drift(spark, t):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "vec_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(q.qe, x -> CAST(x AS DOUBLE))), 6) AS cos_full,
+             round(list_cosine_similarity(
+               list_transform(e.embedding[1:8], x -> CAST(x AS DOUBLE)),
+               list_transform(q.qe[1:8], x -> CAST(x AS DOUBLE))), 6) AS cos_8,
+             round(list_cosine_similarity(
+               list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE)),
+               list_transform(q.qe[1:16], x -> CAST(x AS DOUBLE))), 6) AS cos_16,
+             round(list_cosine_similarity(
+               list_transform(e.embedding[1:32], x -> CAST(x AS DOUBLE)),
+               list_transform(q.qe[1:32], x -> CAST(x AS DOUBLE))), 6) AS cos_32
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    full_top AS (
+      SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT 10
+    ),
+    pre AS (
+      SELECT 8 AS prefix_dims, vec_id
+      FROM scored ORDER BY cos_8 DESC, vec_id LIMIT 10
+    ),
+    pre16 AS (
+      SELECT 16 AS prefix_dims, vec_id
+      FROM scored ORDER BY cos_16 DESC, vec_id LIMIT 10
+    ),
+    pre32 AS (
+      SELECT 32 AS prefix_dims, vec_id
+      FROM scored ORDER BY cos_32 DESC, vec_id LIMIT 10
+    ),
+    allpre AS (
+      SELECT * FROM pre UNION ALL SELECT * FROM pre16
+      UNION ALL SELECT * FROM pre32
+    )
+    SELECT p.prefix_dims,
+           SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+           round(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 4) AS recall_at_10
+    FROM allpre p LEFT JOIN full_top f ON f.vec_id = p.vec_id
+    GROUP BY p.prefix_dims
+    ORDER BY p.prefix_dims
+    """,
+    tier="P2",
+)
+def vec_matryoshka_recall(spark, t):
+    """Matryoshka truncation evaluation: recall@10 of nearest-neighbor
+    search when the 64-dim embedding is truncated to its first 8/16/32
+    dimensions — the measurement behind "can we serve ANN from a prefix
+    slice" decisions on MRL-style embeddings (prefix search costs
+    prefix/64 of the bytes; this op says what it costs in recall).
+
+    One Arrow-batched pandas UDF computes all four cosines per vector
+    in a single pass over the corpus (the query vector and its prefix
+    norms broadcast); each variant's top-10 is a TakeOrderedAndProject
+    on (rounded cos, vec_id); overlap vs the full-dim top-10 is a
+    10-row broadcast semi-count. Nothing driver-side but the 4×10
+    result frames.
+    """
+    q = (
+        t["embeddings"]
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast(_EMB_D))
+        .toPandas()
+        .iloc[0, 0]
+    )
+    q_vec = np.asarray(q, dtype=np.float64)
+    prefixes = [8, 16, 32, 64]
+    q_norms = {p: float(np.linalg.norm(q_vec[:p])) for p in prefixes}
+
+    @F.pandas_udf("struct<c8: double, c16: double, c32: double, cf: double>")
+    def cos_all(embs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        out = {}
+        for p, name in zip(prefixes, ["c8", "c16", "c32", "cf"]):
+            sub = mat[:, :p]
+            sims = (sub @ q_vec[:p]) / (
+                np.linalg.norm(sub, axis=1) * q_norms[p]
+            )
+            out[name] = np.round(sims, 6)
+        return pd.DataFrame(out)
+
+    scored = (
+        t["embeddings"]
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", cos_all(F.col("embedding").cast(_EMB_D)).alias("c")
+        )
+        .select("vec_id", "c.c8", "c.c16", "c.c32", "c.cf")
+        .cache()
+    )
+    full_top = scored.orderBy(F.desc("cf"), F.asc("vec_id")).limit(10).select(
+        "vec_id"
+    )
+    frames = []
+    for p, col in [(8, "c8"), (16, "c16"), (32, "c32")]:
+        top = (
+            scored.orderBy(F.desc(col), F.asc("vec_id"))
+            .limit(10)
+            .select(F.lit(p).alias("prefix_dims"), "vec_id")
+        )
+        frames.append(top)
+    allpre = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    hit = full_top.withColumn("hit", F.lit(1))
+    return (
+        allpre.join(F.broadcast(hit), "vec_id", "left")
+        .groupBy("prefix_dims")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0), 4
+            ).alias("recall_at_10"),
+        )
+        .orderBy("prefix_dims")
+    )

@@ -323,6 +323,8 @@ DRIVER_ORDER: list[str] = [
     "win_debounce_consecutive",
     "sort_skyline_pareto",
     "corpus_window_chunking",
+    "agg_theil_decomposition",
+    "vec_matryoshka_recall",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -72,6 +72,8 @@ SINGLE_PARTITION_OK = {
     "ml_calibration_bins": (1, "scalar base-rate frame"),
     # 1-row corpus-token-total folded into the vocabulary-bounded model
     "corpus_bigram_perplexity": (1, "scalar token-total agg"),
+    # 1-row global (N, mu) frame cross-joined onto the |segments| report
+    "agg_theil_decomposition": (1, "scalar N/mu totals frame"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -188,6 +190,7 @@ BNLJ_OK = {
     "ml_woe_iv": (2, "1-row event/nonevent-totals crossJoin"),
     "ml_calibration_bins": (2, "1-row base-rate crossJoin"),
     "corpus_bigram_perplexity": (2, "1-row token-total crossJoin"),
+    "agg_theil_decomposition": (2, "1-row N/mu-totals crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
