@@ -3899,3 +3899,98 @@ def agg_theil_decomposition(spark, t):
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "agg_bounce_rate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ),
+    entered AS (
+      SELECT *,
+             first_value(event_type) OVER (
+               PARTITION BY user_id, session_no
+               ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS entry_type
+      FROM sess
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             max(entry_type) AS entry_type,
+             count(*) AS n_events
+      FROM entered GROUP BY user_id, session_no
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS bounce_rate
+    FROM per_session
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+    tier="P2",
+)
+def agg_bounce_rate(spark, t):
+    """Bounce rate by session entry type: of the sessions that OPEN with
+    each event type, what share end after that single event — the
+    landing-page health metric, computed on the same 30-minute-gap
+    session definition as ``etl_sessionize`` (one definition, many
+    consumers, as a real warehouse requires).
+
+    Sessionization is the standard two-window gaps-and-islands on the
+    user partition; the entry event is a ``min_by`` on the exact
+    (µs, event_id) order key — deterministic even with equal
+    timestamps — and the report is a ≤|event types|-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = t["events"].select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min_by("event_type", F.struct("ts_us", "event_id")).alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+            F.round(bounces * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )

@@ -1175,3 +1175,85 @@ def etl_reconcile_sources(spark, t):
             ),
         )
     )
+
+
+@register(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+             COUNT(*) AS n_keys,
+             SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+             MAX(d) AS max_distinct_rhs
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS d
+            FROM orders GROUP BY o_orderkey)
+    ),
+    fd2 AS (
+      SELECT 'customer: c_custkey -> c_mktsegment' AS fd,
+             COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+      FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS d
+            FROM customer GROUP BY c_custkey)
+    ),
+    fd3 AS (
+      SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
+             COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS d
+            FROM lineitem GROUP BY l_orderkey)
+    ),
+    fd4 AS (
+      SELECT 'events: user_id -> event_type' AS fd,
+             COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+      FROM (SELECT user_id, COUNT(DISTINCT event_type) AS d
+            FROM events GROUP BY user_id)
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+    UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+    ORDER BY fd
+    """,
+    tier="P2",
+)
+def dq_functional_dependency(spark, t):
+    """Functional-dependency audit: for each declared A→B rule, how many
+    A-keys map to more than one B value — the data-contract check behind
+    "is this column still derivable from that key" (two rules here hold
+    by schema design and must report zero; two are deliberately false
+    and quantify the violation mass, which is what a profiler shows a
+    data steward).
+
+    Each rule is one (key, COUNT DISTINCT) aggregate folded to a 1-row
+    summary — per-rule cost is a single hash exchange on the key, and
+    the four summaries union into the ≤|rules|-row report. Adding a
+    rule is appending a (table, lhs, rhs) triple.
+    """
+    rules = [
+        ("orders: o_orderkey -> o_custkey", "orders", "o_orderkey", "o_custkey"),
+        (
+            "customer: c_custkey -> c_mktsegment",
+            "customer",
+            "c_custkey",
+            "c_mktsegment",
+        ),
+        ("lineitem: l_orderkey -> l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+        ("events: user_id -> event_type", "events", "user_id", "event_type"),
+    ]
+    frames = []
+    for fd_name, table, lhs, rhs in rules:
+        per_key = (
+            t[table]
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(fd_name).alias("fd"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).alias(
+                    "n_violating_keys"
+                ),
+                F.max("d").alias("max_distinct_rhs"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("fd")

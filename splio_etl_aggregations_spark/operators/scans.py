@@ -334,3 +334,58 @@ def sink_dynamic_partition_overwrite(spark, t):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders,
+           round(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1997, 1998)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tier="P2",
+)
+def scan_dynamic_partition_pruning(spark, t):
+    """Dynamic partition pruning (DPP): the fact table is partitioned on
+    o_year, the filter lives on a DIMENSION (a year attribute table
+    restricted to the focus years), and Spark must push the dim's
+    surviving keys into the fact scan as a runtime partition filter —
+    the mechanism that makes star-joins over partitioned 100 TB facts
+    read only the partitions the dimension selects, without the query
+    author naming them. tests/test_plans.py asserts ``dynamicpruning``
+    appears in the fact scan's partition filters.
+
+    The join is on the partition column and the dim side is broadcast —
+    both DPP preconditions; the hash-check against a direct WHERE-IN
+    proves the pruned plan returns exactly the unpruned answer.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_year")
+    (
+        t["orders"]
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        t["orders"]
+        .select(F.year("o_orderdate").alias("dim_year"))
+        .distinct()
+        .withColumn("is_focus", F.col("dim_year").isin(1997, 1998))
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter("is_focus")),
+            fact["o_year"] == F.col("dim_year"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("o_year")
+    )

@@ -325,6 +325,9 @@ DRIVER_ORDER: list[str] = [
     "corpus_window_chunking",
     "agg_theil_decomposition",
     "vec_matryoshka_recall",
+    "scan_dynamic_partition_pruning",
+    "dq_functional_dependency",
+    "agg_bounce_rate",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

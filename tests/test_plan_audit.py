@@ -59,6 +59,8 @@ SINGLE_PARTITION_OK = {
     "graph_triangle_count": (3, "bounded-graph scalar aggs"),
     # three FK audits × (orphan count + row count) scalar aggregates
     "dq_fk_orphans": (6, "per-FK scalar audit counts"),
+    # four FD rules × one 1-row summary fold of a per-key distinct agg
+    "dq_functional_dependency": (4, "per-FD-rule scalar summary folds"),
     # running sum over the <=|days| daily frame (30 rows)
     "agg_cumulative_unique_users": (1, "daily frame (≤|days| rows)"),
     # rolling corr over the same calendar-bounded daily frame

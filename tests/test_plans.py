@@ -305,3 +305,11 @@ def test_woe_iv_totals_frame_broadcasts(spark):
     """ml_woe_iv's totals frame is 1 row and must broadcast."""
     text = explain_str(Q["ml_woe_iv"].run(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """The dim-filtered join over the year-partitioned fact must carry a
+    dynamicpruning expression in the fact scan's partition filters."""
+    df = Q["scan_dynamic_partition_pruning"].run(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "dynamicpruning" in text.lower(), text
