@@ -1257,3 +1257,91 @@ def dq_functional_dependency(spark, t):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("fd")
+
+
+@register(
+    "etl_watermark_incremental_load",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             round(SUM(o_totalprice), 4) AS revenue
+      FROM orders
+      WHERE o_orderdate <= TIMESTAMP '1998-06-30'
+      GROUP BY o_orderstatus
+    ),
+    delta AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             round(SUM(o_totalprice), 4) AS revenue
+      FROM orders
+      WHERE o_orderdate > TIMESTAMP '1998-06-30'
+        AND o_orderdate <= TIMESTAMP '1999-06-30'
+      GROUP BY o_orderstatus
+    )
+    SELECT COALESCE(s.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+           COALESCE(s.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+           round(COALESCE(s.revenue, 0) + COALESCE(d.revenue, 0), 4)
+             AS revenue,
+           COALESCE(d.n_orders, 0) AS n_new_this_load
+    FROM snap s FULL OUTER JOIN delta d USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+    tier="P2",
+)
+def etl_watermark_incremental_load(spark, t):
+    """High-watermark incremental load: the nightly pattern where only
+    rows newer than the last processed watermark are extracted and
+    merged into the standing aggregate — simulated here with two fixed
+    watermarks (≤1998-06-30 standing state, then the one-year delta),
+    so the result is deterministic and the merge algebra is the part
+    under test. The additivity merge (counts and sums add; see
+    ``agg_incremental_merge`` for the partial-aggregate generalization)
+    must reproduce exactly what a full recompute over the union window
+    gives — the invariant test asserts that equivalence.
+
+    Scale shape: the delta extract is a pushed-down range filter (only
+    the new partition(s) read, cf. the partition pruning ops); the
+    merge is a |groups|-row outer join, never a fact-table rescan of
+    the standing side.
+    """
+    orders = t["orders"]
+    lo = F.lit("1998-06-30").cast("timestamp_ntz")
+    hi = F.lit("1999-06-30").cast("timestamp_ntz")
+
+    def fold(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+
+    snap = fold(orders.filter(F.col("o_orderdate") <= lo))
+    delta = fold(
+        orders.filter(
+            (F.col("o_orderdate") > lo) & (F.col("o_orderdate") <= hi)
+        )
+    )
+    s = snap.select(
+        "o_orderstatus",
+        F.col("n_orders").alias("sn"),
+        F.col("revenue").alias("sr"),
+    )
+    d = delta.select(
+        "o_orderstatus",
+        F.col("n_orders").alias("dn"),
+        F.col("revenue").alias("dr"),
+    )
+    return (
+        s.join(d, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("sn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_orders"
+            ),
+            F.round(
+                F.coalesce("sr", F.lit(0.0)) + F.coalesce("dr", F.lit(0.0)), 4
+            ).alias("revenue"),
+            F.coalesce("dn", F.lit(0)).alias("n_new_this_load"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -919,3 +919,54 @@ def ts_outlier_winsorize(spark, t):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           round(AVG(n), 4) AS mean_daily,
+           round(var_samp(n), 4) AS var_daily,
+           round(var_samp(n) / AVG(n), 4) AS fano_factor,
+           round((stddev_samp(n) / AVG(n) - 1)
+                 / (stddev_samp(n) / AVG(n) + 1), 4) AS burstiness
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tier="P2",
+)
+def ts_burstiness_fano(spark, t):
+    """Burstiness diagnostics of each event stream's daily arrival
+    counts: the Fano factor (variance/mean — 1 for a Poisson process,
+    ≫1 for bursty traffic) and the Goh–Barabási burstiness index
+    ((σ/μ−1)/(σ/μ+1) ∈ [−1,1)) — what capacity planning reads before
+    sizing stream partitions, and the statistical cousin of
+    ``ts_anomaly_mad`` (which flags individual bursts; this scores the
+    stream's character).
+
+    One day-level fold then a |event types|-row moment aggregate —
+    nothing after the first hash exchange is data-proportional.
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cv = F.stddev_samp("n") / F.avg("n")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("n"), 4).alias("mean_daily"),
+            F.round(F.var_samp("n"), 4).alias("var_daily"),
+            F.round(F.var_samp("n") / F.avg("n"), 4).alias("fano_factor"),
+            F.round((cv - 1) / (cv + 1), 4).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

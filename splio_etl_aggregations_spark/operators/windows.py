@@ -908,3 +908,66 @@ def win_debounce_consecutive(spark, t):
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("run_len"),
     )
+
+
+@register(
+    "win_mtd_ytd_running",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             year(o_orderdate) AS y,
+             month(o_orderdate) AS m,
+             round(SUM(o_totalprice), 4) AS revenue
+      FROM orders
+      GROUP BY 1, 2, 3
+    )
+    SELECT day, revenue,
+           round(SUM(revenue) OVER (
+             PARTITION BY y, m ORDER BY day
+             ROWS UNBOUNDED PRECEDING), 4) AS mtd,
+           round(SUM(revenue) OVER (
+             PARTITION BY y ORDER BY day
+             ROWS UNBOUNDED PRECEDING), 4) AS ytd
+    FROM daily
+    ORDER BY day
+    """,
+    tier="P2",
+)
+def win_mtd_ytd_running(spark, t):
+    """Month-to-date and year-to-date running revenue per day — the
+    finance-reporting staple where the running total RESETS at each
+    period boundary, which is just a window PARTITION BY the period key
+    (no special reset logic): MTD partitions by (year, month), YTD by
+    year, both ordered by day over the same daily pre-aggregate.
+
+    The event stream folds to one row per day FIRST, so both windows
+    run over the calendar-bounded daily frame (≤366 rows per year
+    partition) — per-partition width is bounded by the calendar no
+    matter how large the fact table grows, the same argument as
+    ``ts_rolling_corr``.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w_m = (
+        Window.partitionBy("y", "m")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_y = (
+        Window.partitionBy("y")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.sum("revenue").over(w_m), 4).alias("mtd"),
+        F.round(F.sum("revenue").over(w_y), 4).alias("ytd"),
+    ).orderBy("day")

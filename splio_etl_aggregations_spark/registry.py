@@ -328,6 +328,9 @@ DRIVER_ORDER: list[str] = [
     "scan_dynamic_partition_pruning",
     "dq_functional_dependency",
     "agg_bounce_rate",
+    "win_mtd_ytd_running",
+    "ts_burstiness_fano",
+    "etl_watermark_incremental_load",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

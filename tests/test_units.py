@@ -884,3 +884,49 @@ def test_embedding_drift_cosine_bounds(spark):
     for r in rows:
         assert -1.0 <= r["cos_to_global"] <= 1.0
         assert r["mean_norm"] > 0
+
+
+def test_watermark_incremental_equals_full_recompute(spark):
+    """The standing-state + delta merge must equal one recompute over
+    the union window (the incremental-load correctness invariant)."""
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    rows = {
+        r["o_orderstatus"]: r
+        for r in Q["etl_watermark_incremental_load"].run(spark, SF_SMALL).collect()
+    }
+    full = (
+        load(spark, SF_SMALL)["orders"]
+        .filter(F.col("o_orderdate") <= F.lit("1999-06-30").cast("timestamp_ntz"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    for r in full:
+        got = rows[r["o_orderstatus"]]
+        assert got["n_orders"] == r["n"]
+        assert abs(got["revenue"] - r["rev"]) < 0.01
+
+
+def test_mtd_resets_each_month_and_ytd_accumulates(spark):
+    """MTD equals revenue on each month's first day; YTD never decreases
+    within a year."""
+    rows = Q["win_mtd_ytd_running"].run(spark, SF_SMALL).collect()
+    assert rows
+    prev_ytd, prev_key = None, None
+    for r in rows:
+        y, m = r["day"].year, r["day"].month
+        if prev_key != (y, m):
+            assert abs(r["mtd"] - r["revenue"]) < 1e-6  # month reset
+        if prev_key and prev_key[0] == y:
+            assert r["ytd"] >= prev_ytd - 1e-6
+        prev_ytd, prev_key = r["ytd"], (y, m)
+
+
+def test_burstiness_index_bounds(spark):
+    """Goh-Barabási burstiness lives in [-1, 1); Fano factor positive."""
+    rows = Q["ts_burstiness_fano"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["burstiness"] < 1.0
+        assert r["fano_factor"] > 0
