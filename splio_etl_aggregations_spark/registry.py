@@ -331,6 +331,7 @@ DRIVER_ORDER: list[str] = [
     "win_mtd_ytd_running",
     "ts_burstiness_fano",
     "etl_watermark_incremental_load",
+    "stream_windowed_topk",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -481,3 +481,67 @@ def stream_static_join(spark, t):
     streaming aggregate's state is |segments| rows.
     """
     return enrich_with_segment(t["events"], t["customer"])
+
+
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """The streamable half of windowed top-k: per (hour, type) counts.
+    Top-k ranking is NOT streamable in append mode (a rank can change
+    until the window closes), so the rank runs downstream of the sink —
+    in batch, immediately below; in streaming, on the sink table
+    (tests/test_streaming.py replays exactly that split)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+def rank_topk_per_window(counts: DataFrame, k: int = 2) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 2
+    """,
+    tier="P2",
+)
+def stream_windowed_topk(spark, t):
+    """Top-2 event types per hourly window — the trending-now /
+    leaderboard-per-window shape. The aggregation half
+    (``hourly_type_counts``) is a standard watermarked windowed count
+    that streams in append mode; the RANK half cannot (a window's
+    ranking is only final when the watermark closes the window), so it
+    runs downstream of the sink — the two-stage split every streaming
+    top-k deploys, and the replay test drives exactly that topology.
+
+    Rank windows partition by window_start (calendar-bounded per
+    partition: ≤|event types| rows), so no partition-less window and no
+    state beyond the open windows' counts.
+    """
+    return rank_topk_per_window(hourly_type_counts(t["events"]), k=2)

@@ -335,3 +335,19 @@ def test_static_join_replay_equals_batch(spark):
         spark, lambda df: enrich_with_segment(df, customer), mode="complete"
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_windowed_topk_replay_equals_batch(spark):
+    """Stream the count half (windowed counts, complete mode), rank the
+    sink in batch, and match the registered batch top-k — the two-stage
+    streaming-leaderboard topology stream_windowed_topk documents."""
+    from splio_etl_aggregations_spark.streaming.ops import (
+        hourly_type_counts,
+        rank_topk_per_window,
+    )
+
+    batch = rank_topk_per_window(
+        hourly_type_counts(load(spark, SF_SMALL)["events"]), k=2
+    )
+    sink = _replay(spark, hourly_type_counts, mode="complete")
+    assert _rows(rank_topk_per_window(sink, k=2)) == _rows(batch)
