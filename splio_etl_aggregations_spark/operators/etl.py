@@ -1345,3 +1345,85 @@ def etl_watermark_incremental_load(spark, t):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "etl_cdc_apply",
+    oracle="""
+    WITH log_d AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 7
+    ),
+    log_u AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS new_price
+      FROM orders WHERE o_orderkey % 10 IN (3, 5)
+    ),
+    log_i AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey,
+             round(o_totalprice / 2, 4) AS price,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 9
+    ),
+    surv AS (
+      SELECT b.o_orderkey, b.o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                  ELSE round(b.o_totalprice, 4) END AS final_price,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated'
+                  ELSE 'base' END AS src
+      FROM orders b
+      LEFT JOIN log_u u ON u.o_orderkey = b.o_orderkey
+      WHERE NOT EXISTS (SELECT 1 FROM log_d d
+                        WHERE d.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus, final_price, src FROM surv
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price AS final_price,
+           'inserted' AS src
+    FROM log_i
+    """,
+    tier="P2",
+)
+def etl_cdc_apply(spark, t):
+    """Apply a CDC change log (insert / update / delete op codes) onto a
+    base snapshot — the missing third of the change-management trio
+    (``etl_upsert_merge`` has no deletes; ``etl_scd2_history``
+    versions instead of applying). The log is synthesized
+    deterministically from the base (keys ≡7 mod 10 deleted, ≡3,5
+    updated with a 10 % price lift, ≡9 spawning an insert under a new
+    key) so the APPLY algebra is the part under test.
+
+    Plan shape: updates are a left join on the key (log side is the
+    small/delta side — broadcast in a real nightly), deletes a
+    left-anti join, inserts a union — one pass over the base, no
+    full-table rewrite of untouched rows beyond the scan itself, which
+    is exactly the merge-on-read execution a lakehouse MERGE compiles
+    to.
+    """
+    base = t["orders"]
+    key = F.col("o_orderkey")
+    log_d = base.filter(key % 10 == 7).select("o_orderkey")
+    log_u = base.filter((key % 10).isin(3, 5)).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price")
+    )
+    log_i = base.filter(key % 10 == 9).select(
+        (key + 100000000).alias("o_orderkey"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") / 2, 4).alias("final_price"),
+        F.lit("inserted").alias("src"),
+    )
+    surv = (
+        base.join(log_d, "o_orderkey", "left_anti")
+        .join(log_u, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("new_price").isNotNull(), F.col("new_price")
+            ).otherwise(F.round("o_totalprice", 4)).alias("final_price"),
+            F.when(F.col("new_price").isNotNull(), "updated")
+            .otherwise("base")
+            .alias("src"),
+        )
+    )
+    return surv.unionByName(
+        log_i.select("o_orderkey", "o_orderstatus", "final_price", "src")
+    )

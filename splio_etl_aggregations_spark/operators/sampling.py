@@ -162,3 +162,46 @@ def sample_topk_per_stratum(spark, t):
         .filter(F.col("rk") <= SAMPLE_K)
         .select("event_id", "event_type", "rk")
     )
+
+
+@register(
+    "sample_systematic_every_nth",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS c_acctbal
+    FROM ranked
+    WHERE rn % 10 = 1
+    ORDER BY c_custkey
+    """,
+    tier="P2",
+)
+def sample_systematic_every_nth(spark, t):
+    """Systematic (every-nth) sampling: rank the frame by a total order
+    and keep each 10th row — the auditor's sampling design (equal-
+    probability, evenly spread over the key range, trivially
+    reproducible), completing the sampling family next to hash-
+    Bernoulli (random-like), stratified top-k, and split assignment.
+
+    The oracle's partition-less ``row_number`` is exactly what this op
+    must NOT do at scale: the rank comes from
+    ``two_phase_global_rank`` (range partition → local rank → 16-row
+    offsets frame), so the plan holds at any row count and the modulo
+    filter is a map-side projection on the ranked stream.
+    """
+    from .windows import two_phase_global_rank
+
+    ranked = two_phase_global_rank(
+        t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal"),
+        [F.asc("c_custkey")],
+    )
+    return (
+        ranked.filter((F.col("rn") % 10) == 1)
+        .select(
+            "c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
+        )
+        .orderBy("c_custkey")
+    )

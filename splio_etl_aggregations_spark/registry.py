@@ -332,6 +332,8 @@ DRIVER_ORDER: list[str] = [
     "ts_burstiness_fano",
     "etl_watermark_incremental_load",
     "stream_windowed_topk",
+    "etl_cdc_apply",
+    "sample_systematic_every_nth",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

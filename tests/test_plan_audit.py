@@ -49,6 +49,7 @@ SINGLE_PARTITION_OK = {
     "win_ntile": (1, "rank offsets frame (≤16 rows)"),
     "win_percent_cume": (1, "rank offsets frame (≤16 rows)"),
     "win_global_rank_scalable": (1, "rank offsets frame (≤16 rows)"),
+    "sample_systematic_every_nth": (1, "rank offsets frame (≤16 rows)"),
     # two-phase rank offsets frame + scalar total-rev agg + 10-row
     # decile cum-share window — all bounded by construction
     "pareto_revenue_deciles": (3, "offsets frame + scalar total + 10-row deciles"),
