@@ -3994,3 +3994,102 @@ def agg_bounce_rate(spark, t):
         )
         .orderBy("entry_type")
     )
+
+
+@register(
+    "agg_growth_accounting",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+      SELECT user_id, day,
+             lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM act
+    ),
+    cls AS (
+      SELECT day,
+             SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS n_retained,
+             SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                      THEN 1 ELSE 0 END) AS n_resurrected
+      FROM marked GROUP BY day
+    ),
+    churn AS (
+      SELECT day + 1 AS day, COUNT(*) AS n_churned
+      FROM marked
+      WHERE next_day IS NULL OR next_day > day + 1
+      GROUP BY day + 1
+    )
+    SELECT COALESCE(c.day, ch.day) AS day,
+           COALESCE(c.n_new, 0) AS n_new,
+           COALESCE(c.n_retained, 0) AS n_retained,
+           COALESCE(c.n_resurrected, 0) AS n_resurrected,
+           COALESCE(ch.n_churned, 0) AS n_churned
+    FROM cls c FULL OUTER JOIN churn ch ON ch.day = c.day
+    ORDER BY day
+    """,
+    tier="P2",
+)
+def agg_growth_accounting(spark, t):
+    """DAU growth accounting: every day's active users decomposed into
+    new / retained (active yesterday) / resurrected (returning after a
+    gap), plus the users churning INTO each day (active the day before,
+    absent now; the day after the last observed activity counts as the
+    churn day, including one synthetic day past the window's end) —
+    the standard user-growth ledger where
+    DAU(d) = new + retained + resurrected and
+    DAU(d) − DAU(d−1) = new + resurrected − churned.
+
+    One distinct (user, day) fold, one lag/lead window per user (frame
+    bounded by a user's active days), then two calendar-bounded daily
+    aggregates outer-joined — nothing after the first exchange is
+    data-proportional. The ledger identities are asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    act = (
+        t["events"]
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = act.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    cls = marked.groupBy("day").agg(
+        F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_day") == F.date_sub("day", 1), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.date_sub("day", 1)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        marked.filter(
+            F.col("next_day").isNull()
+            | (F.col("next_day") > F.date_add("day", 1))
+        )
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        cls.join(churn, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )

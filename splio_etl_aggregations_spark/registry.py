@@ -334,6 +334,8 @@ DRIVER_ORDER: list[str] = [
     "stream_windowed_topk",
     "etl_cdc_apply",
     "sample_systematic_every_nth",
+    "agg_growth_accounting",
+    "ml_bootstrap_ci_hash",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

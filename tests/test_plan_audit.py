@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "corpus_bigram_perplexity": (1, "scalar token-total agg"),
     # 1-row global (N, mu) frame cross-joined onto the |segments| report
     "agg_theil_decomposition": (1, "scalar N/mu totals frame"),
+    # one 66-column scalar fold (all 32 resamples in one pass), then the
+    # 32-row bootstrap-mean frame folds to the 1-row CI
+    "ml_bootstrap_ci_hash": (1, "scalar resample fold (32-row frame)"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at

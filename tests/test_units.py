@@ -930,3 +930,35 @@ def test_burstiness_index_bounds(spark):
     for r in rows:
         assert -1.0 <= r["burstiness"] < 1.0
         assert r["fano_factor"] > 0
+
+
+def test_growth_accounting_ledger_identities(spark):
+    """DAU(d) = new + retained + resurrected, and the day-over-day DAU
+    delta equals new + resurrected - churned on every interior day."""
+    rows = sorted(
+        Q["agg_growth_accounting"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    import datetime as dt
+
+    dau = {
+        r["day"]: r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        for r in rows
+    }
+    for r in rows:
+        d = r["day"]
+        prev = d - dt.timedelta(days=1)
+        if prev in dau:
+            assert dau[d] - dau[prev] == (
+                r["n_new"] + r["n_resurrected"] - r["n_churned"]
+            ), d
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    """The double-or-nothing CI must contain the point mean and have
+    positive width on non-degenerate data."""
+    r = Q["ml_bootstrap_ci_hash"].run(spark, SF_SMALL).collect()[0]
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert r["ci_hi"] > r["ci_lo"]
+    assert r["n_rows"] > 0
