@@ -4093,3 +4093,63 @@ def agg_growth_accounting(spark, t):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_whale_curve_topshares",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 4) AS total_revenue,
+           round(SUM(CASE WHEN rn <= ceil(0.01 * n) THEN o_totalprice
+                          ELSE 0 END) / SUM(o_totalprice), 6) AS share_top1pct,
+           round(SUM(CASE WHEN rn <= ceil(0.05 * n) THEN o_totalprice
+                          ELSE 0 END) / SUM(o_totalprice), 6) AS share_top5pct,
+           round(SUM(CASE WHEN rn <= ceil(0.10 * n) THEN o_totalprice
+                          ELSE 0 END) / SUM(o_totalprice), 6) AS share_top10pct
+    FROM ranked
+    """,
+    tier="P2",
+)
+def agg_whale_curve_topshares(spark, t):
+    """Whale-curve summary: the revenue share captured by the top 1 %,
+    5 %, and 10 % of orders — the concentration headline that
+    ``pareto_revenue_deciles`` (10 fixed bands) and
+    ``agg_hhi_concentration`` (a single index) bracket but don't state
+    directly.
+
+    The global revenue rank comes from ``two_phase_global_rank``
+    (n_total rides along), so the whole operator is one ranked scan +
+    one conditional-sum fold — the oracle's partition-less window is
+    again the specification the plan avoids.
+    """
+    from .windows import two_phase_global_rank
+
+    ranked = two_phase_global_rank(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+    def share(p):
+        return F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.ceil(F.lit(p) * F.col("n_total")),
+                    F.col("o_totalprice"),
+                ).otherwise(0)
+            )
+            / F.sum("o_totalprice"),
+            6,
+        )
+
+    return ranked.agg(
+        F.max("n_total").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+        share(0.01).alias("share_top1pct"),
+        share(0.05).alias("share_top5pct"),
+        share(0.10).alias("share_top10pct"),
+    )

@@ -1130,3 +1130,65 @@ def ml_bootstrap_ci_hash(spark, t):
         F.round(F.percentile("bm", F.lit(0.025)), 4).alias("ci_lo"),
         F.round(F.percentile("bm", F.lit(0.975)), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "corpus_interleave_sources_round_robin",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+             dense_rank() OVER (ORDER BY source) AS src_idx,
+             COUNT(DISTINCT source) OVER () AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((rk - 1) * n_src + (src_idx - 1) AS BIGINT) AS global_pos
+    FROM ranked
+    ORDER BY global_pos
+    """,
+    tier="P2",
+)
+def corpus_interleave_sources_round_robin(spark, t):
+    """Round-robin source interleaving for the trainer feed: document i
+    of source s lands at position (i−1)·|sources| + idx(s), so any
+    contiguous read window contains every source at its global
+    proportion cap — the deterministic complement of
+    ``corpus_shuffle_shards`` (hash-random order) when a mix CONTRACT
+    ("never more than one doc from the same source in any |sources|-
+    window") matters more than randomness.
+
+    The per-source rank partitions by source (bounded per-source
+    frames); the source index and count come from the |sources|-row
+    dimension, broadcast back — the oracle's global windows are the
+    specification, not the plan.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].select("doc_id", "source")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("source")
+            ),
+        )
+    )
+    srcs = srcs.crossJoin(
+        F.broadcast(srcs.agg(F.max("src_idx").alias("n_src")))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("rk") - 1) * F.col("n_src") + (F.col("src_idx") - 1))
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+        .orderBy("global_pos")
+    )

@@ -970,3 +970,77 @@ def ts_burstiness_fano(spark, t):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS bar, value,
+             epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    framed AS (
+      SELECT *,
+             first_value(value) OVER (
+               PARTITION BY bar ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS o,
+             last_value(value) OVER (
+               PARTITION BY bar ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+      FROM e
+    )
+    SELECT bar,
+           round(MAX(o), 4) AS open,
+           round(MAX(value), 4) AS high,
+           round(MIN(value), 4) AS low,
+           round(MAX(c), 4) AS close,
+           COUNT(*) AS n_trades
+    FROM framed
+    GROUP BY bar
+    ORDER BY bar
+    """,
+    tier="P2",
+)
+def ts_ohlc_bars(spark, t):
+    """Hourly OHLC candlestick bars over purchase values: open (first in
+    the bar by exact µs+id order), high, low, close (last), and trade
+    count — the bar-builder every financial/metrics rollup starts from,
+    complementing ``win_vwap`` (volume-weighted level) and
+    ``win_bollinger_bands`` (which consume bars like these).
+
+    First/last are window functions over the bar partition (bounded by
+    a bar's events) with the deterministic (µs, event_id) tie order —
+    NOT min/max_by on a bare timestamp, which ties would make
+    engine-dependent; the aggregate then folds each bar to one row.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("hour", "ts").alias("bar"),
+        "value",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("bar").orderBy("us", "event_id")
+    framed = e.select(
+        "bar",
+        "value",
+        F.first("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("o"),
+        F.last("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("c"),
+    )
+    return (
+        framed.groupBy("bar")
+        .agg(
+            F.round(F.max("o"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max("c"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy("bar")
+    )

@@ -336,6 +336,9 @@ DRIVER_ORDER: list[str] = [
     "sample_systematic_every_nth",
     "agg_growth_accounting",
     "ml_bootstrap_ci_hash",
+    "corpus_interleave_sources_round_robin",
+    "ts_ohlc_bars",
+    "agg_whale_curve_topshares",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -80,6 +80,10 @@ SINGLE_PARTITION_OK = {
     # one 66-column scalar fold (all 32 resamples in one pass), then the
     # 32-row bootstrap-mean frame folds to the 1-row CI
     "ml_bootstrap_ci_hash": (1, "scalar resample fold (32-row frame)"),
+    # |sources|-row src_idx window + 1-row n_src fold, both dim-bounded
+    "corpus_interleave_sources_round_robin": (2, "|sources|-row index frames"),
+    # rank offsets frame (≤16 rows) + final 1-row conditional-share fold
+    "agg_whale_curve_topshares": (2, "offsets frame + scalar share fold"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -197,6 +201,7 @@ BNLJ_OK = {
     "ml_calibration_bins": (2, "1-row base-rate crossJoin"),
     "corpus_bigram_perplexity": (2, "1-row token-total crossJoin"),
     "agg_theil_decomposition": (2, "1-row N/mu-totals crossJoin"),
+    "corpus_interleave_sources_round_robin": (2, "1-row n_src crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
