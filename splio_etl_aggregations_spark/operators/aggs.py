@@ -4153,3 +4153,59 @@ def agg_whale_curve_topshares(spark, t):
         share(0.05).alias("share_top5pct"),
         share(0.10).alias("share_top10pct"),
     )
+
+
+@register(
+    "agg_duplicate_invoice_detector",
+    oracle="""
+    SELECT a.o_orderkey AS key_lo, b.o_orderkey AS key_hi,
+           a.o_custkey, round(a.o_totalprice, 4) AS amount,
+           CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+             AS days_apart
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    ORDER BY key_lo, key_hi
+    """,
+    tier="P2",
+)
+def agg_duplicate_invoice_detector(spark, t):
+    """Potential duplicate-invoice pairs: same customer, identical
+    amount, within 7 days — the accounts-payable / order-intake fraud
+    screen. A naive formulation self-joins the fact on the customer
+    alone (quadratic in a customer's orders); this joins on the
+    (customer, exact amount) composite, so the blow-up is bounded by
+    amount-collision multiplicity — the same inverted-index discipline
+    as the dedup family, with the date band as a cheap residual.
+
+    At 100 TB the composite key keeps posting lists tiny (exact-cent
+    collisions are rare by construction); a skewed amount (gift-card
+    denominations) would surface as a hot key and take the salted-join
+    treatment (``join_salted_skew``).
+    """
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    days = F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(days <= 7)
+        .select(
+            F.col("a.o_orderkey").alias("key_lo"),
+            F.col("b.o_orderkey").alias("key_hi"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.round(F.col("a.o_totalprice"), 4).alias("amount"),
+            days.cast("bigint").alias("days_apart"),
+        )
+        .orderBy("key_lo", "key_hi")
+    )

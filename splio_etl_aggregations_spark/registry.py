@@ -339,6 +339,10 @@ DRIVER_ORDER: list[str] = [
     "corpus_interleave_sources_round_robin",
     "ts_ohlc_bars",
     "agg_whale_curve_topshares",
+    "agg_duplicate_invoice_detector",
+    "join_accumulating_snapshot",
+    "text_blocklist_filter",
+    "vec_dedup_exact",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
