@@ -1192,3 +1192,54 @@ def corpus_interleave_sources_round_robin(spark, t):
         )
         .orderBy("global_pos")
     )
+
+
+@register(
+    "corpus_tokenizer_fertility",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pieces AS (
+      SELECT source, w, CAST(ceil(len(w) / 4.0) AS BIGINT) AS n_pieces
+      FROM tok
+    )
+    SELECT source,
+           COUNT(*) AS n_words,
+           SUM(n_pieces) AS n_subwords,
+           round(SUM(n_pieces) * 1.0 / COUNT(*), 4) AS fertility,
+           round(AVG(len(w)), 4) AS avg_word_len
+    FROM pieces
+    GROUP BY source
+    ORDER BY source
+    """,
+    tier="P2",
+)
+def corpus_tokenizer_fertility(spark, t):
+    """Tokenizer fertility per source: subwords emitted per whitespace
+    word under a fixed-width subword scheme (⌈len/4⌉ pieces per word —
+    a deterministic stand-in for a BPE merge table, which would slot
+    into the same per-word expression) — the tokenizer-efficiency
+    metric that decides vocabulary budgets: fertility ≫ 1 on a source
+    means its text fragments badly and eats context length.
+
+    One token explode + per-source fold; the piece count is a pure
+    per-row expression, so the only exchange is the |sources|-row
+    aggregate.
+    """
+    tok = t["documents"].select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    pieces = F.ceil(F.length("w") / 4.0).cast("bigint")
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(pieces).alias("n_subwords"),
+            F.round(F.sum(pieces) * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "fertility"
+            ),
+            F.round(F.avg(F.length("w")), 4).alias("avg_word_len"),
+        )
+        .orderBy("source")
+    )

@@ -1044,3 +1044,73 @@ def ts_ohlc_bars(spark, t):
         )
         .orderBy("bar")
     )
+
+
+@register(
+    "ts_revenue_index_rebased",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(o.o_orderdate AS DATE) AS day,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1, 2
+    ),
+    based AS (
+      SELECT *, first_value(rev) OVER (
+               PARTITION BY segment ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS base
+      FROM daily
+    )
+    SELECT segment, day,
+           round(rev, 4) AS revenue,
+           round(100.0 * rev / base, 4) AS index_rebased
+    FROM based
+    ORDER BY segment, day
+    """,
+    tier="P2",
+)
+def ts_revenue_index_rebased(spark, t):
+    """Rebased revenue index per segment (first observed day = 100) over
+    one quarter — the BI convention for comparing growth trajectories
+    of differently-sized segments on one axis (absolute revenue hides
+    the small segment's faster growth; the index doesn't).
+
+    Daily fold first, then one first_value window per segment partition
+    (calendar-bounded frame) — the same bounded-window discipline as
+    ``win_mtd_ytd_running``, with the date range pushed to the orders
+    scan.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "segment",
+        "day",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.lit(100.0) * F.col("rev") / F.first("rev").over(w), 4).alias(
+            "index_rebased"
+        ),
+    ).orderBy("segment", "day")

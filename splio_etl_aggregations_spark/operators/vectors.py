@@ -882,3 +882,63 @@ def vec_dedup_exact(spark, t):
         .select("vec_id", "vec_fp", "n_copies")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "vec_norm_quantile_clip",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id, label
+    ),
+    cut AS (SELECT quantile_cont(nrm, 0.99) AS p99 FROM norms)
+    SELECT n.label,
+           COUNT(*) AS n_vectors,
+           SUM(CASE WHEN n.nrm > c.p99 THEN 1 ELSE 0 END) AS n_clipped,
+           round(AVG(LEAST(n.nrm, c.p99) / n.nrm), 6) AS mean_scale,
+           round(MAX(c.p99), 4) AS p99_norm
+    FROM norms n CROSS JOIN cut c
+    GROUP BY n.label
+    ORDER BY n.label
+    """,
+    tier="P2",
+)
+def vec_norm_quantile_clip(spark, t):
+    """Norm clipping at the global p99: per label, how many vectors
+    exceed the 99th-percentile norm and the mean rescale factor
+    clipping would apply — the embedding-preprocessing step that tames
+    outlier norms before cosine/IVF indexing (an unclipped hot vector
+    dominates dot products and distorts IVF centroids; cf.
+    ``vec_quantize_int8``, whose scale factor this stabilizes).
+
+    Norms come from one posexplode aggregate (as ``vec_embedding_drift``);
+    the p99 is a 1-row exact-percentile frame broadcast back; the
+    report is a |labels|-row fold. Nothing but the explode is
+    corpus-sized.
+    """
+    e = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast(_EMB_D)).alias("pos", "x"),
+    )
+    norms = e.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    cut = norms.agg(F.percentile("nrm", F.lit(0.99)).alias("p99"))
+    return (
+        norms.crossJoin(F.broadcast(cut))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("nrm") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_clipped"
+            ),
+            F.round(
+                F.avg(F.least(F.col("nrm"), F.col("p99")) / F.col("nrm")), 6
+            ).alias("mean_scale"),
+            F.round(F.max("p99"), 4).alias("p99_norm"),
+        )
+        .orderBy("label")
+    )

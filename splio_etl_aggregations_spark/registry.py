@@ -343,6 +343,9 @@ DRIVER_ORDER: list[str] = [
     "join_accumulating_snapshot",
     "text_blocklist_filter",
     "vec_dedup_exact",
+    "ts_revenue_index_rebased",
+    "corpus_tokenizer_fertility",
+    "vec_norm_quantile_clip",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -84,6 +84,8 @@ SINGLE_PARTITION_OK = {
     "corpus_interleave_sources_round_robin": (2, "|sources|-row index frames"),
     # rank offsets frame (≤16 rows) + final 1-row conditional-share fold
     "agg_whale_curve_topshares": (2, "offsets frame + scalar share fold"),
+    # 1-row p99-norm percentile frame cross-joined back onto norms
+    "vec_norm_quantile_clip": (1, "scalar p99 percentile frame"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -202,6 +204,7 @@ BNLJ_OK = {
     "corpus_bigram_perplexity": (2, "1-row token-total crossJoin"),
     "agg_theil_decomposition": (2, "1-row N/mu-totals crossJoin"),
     "corpus_interleave_sources_round_robin": (2, "1-row n_src crossJoin"),
+    "vec_norm_quantile_clip": (2, "1-row p99 crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
