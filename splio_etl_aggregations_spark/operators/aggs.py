@@ -4209,3 +4209,72 @@ def agg_duplicate_invoice_detector(spark, t):
         )
         .orderBy("key_lo", "key_hi")
     )
+
+
+@register(
+    "agg_percent_of_total_multi_level",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round(rev, 4) AS revenue,
+           round(rev / SUM(rev) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(SUM(rev) OVER (PARTITION BY region)
+                 / SUM(rev) OVER (), 6) AS region_share_of_total
+    FROM nat
+    ORDER BY region, nation
+    """,
+    tier="P2",
+)
+def agg_percent_of_total_multi_level(spark, t):
+    """Two-level percent-of-total: each nation's share of its region and
+    each region's share of the whole — the hierarchy-contribution view
+    every BI drill-down renders next to the raw numbers (and the
+    share-math complement of ``agg_rollup``, which gives the subtotal
+    rows but not the ratios).
+
+    The fact folds to the |nations|-row grid FIRST; both share windows
+    then run over that bounded grid (≤25 rows per region partition,
+    one grid-total frame) — the window-over-aggregate pattern where
+    nothing after the first exchange is data-proportional.
+    """
+    from pyspark.sql import Window
+
+    nat = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("rev").over(w_region) / F.sum("rev").over(w_all), 6
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")

@@ -1114,3 +1114,67 @@ def ts_revenue_index_rebased(spark, t):
             "index_rebased"
         ),
     ).orderBy("segment", "day")
+
+
+@register(
+    "ts_shipping_delay_trend",
+    oracle="""
+    WITH delays AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT month,
+           COUNT(*) AS n_lines,
+           round(quantile_cont(delay_days, 0.5), 4) AS p50_delay,
+           round(quantile_cont(delay_days, 0.9), 4) AS p90_delay,
+           round(AVG(delay_days), 4) AS mean_delay
+    FROM delays
+    GROUP BY month
+    ORDER BY month
+    """,
+    tier="P2",
+)
+def ts_shipping_delay_trend(spark, t):
+    """Monthly fulfillment-latency trend: p50/p90/mean order→ship delay
+    per month over one year — the operations SLO chart
+    (``sql_shipping_delay_priority`` buckets a single year's lines;
+    this tracks the latency DISTRIBUTION over time, which is where
+    degradations show first — at the p90, not the mean).
+
+    The date filter pushes to the orders scan; one fact join on the
+    order key; exact interpolated percentiles per month (12 groups) —
+    percentile state is per-group and the group count is
+    calendar-bounded.
+    """
+    delays = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("delay_days"),
+        )
+    )
+    return (
+        delays.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.percentile("delay_days", F.lit(0.5)), 4).alias("p50_delay"),
+            F.round(F.percentile("delay_days", F.lit(0.9)), 4).alias("p90_delay"),
+            F.round(F.avg("delay_days"), 4).alias("mean_delay"),
+        )
+        .orderBy("month")
+    )

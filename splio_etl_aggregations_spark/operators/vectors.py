@@ -942,3 +942,51 @@ def vec_norm_quantile_clip(spark, t):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "vec_subspace_variance",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    pervar AS (
+      SELECT pos, var_samp(x) AS v FROM e GROUP BY pos
+    )
+    SELECT CAST(pos AS INT) AS dim,
+           round(v, 6) AS variance,
+           round(v / SUM(v) OVER (), 6) AS var_share,
+           CAST(row_number() OVER (ORDER BY v DESC, pos) AS INT) AS var_rank
+    FROM pervar
+    ORDER BY dim
+    """,
+    tier="P2",
+)
+def vec_subspace_variance(spark, t):
+    """Per-dimension variance of the embedding space with each
+    dimension's share of total variance and its rank — the poor-man's
+    PCA screen (no rotation, but the same question: how concentrated is
+    the representation?) that motivates ``vec_matryoshka_recall``: if
+    variance is front-loaded, prefix truncation is cheap; if flat, it
+    isn't — and a near-zero-variance dimension is dead weight the
+    quantizer (``vec_quantize_int8``) should drop.
+
+    One posexplode → d-row variance aggregate; the share/rank windows
+    run over the d-row frame (d = 64), never over data.
+    """
+    e = t["embeddings"].select(
+        F.posexplode(F.col("embedding").cast(_EMB_D)).alias("pos0", "x")
+    ).select((F.col("pos0") + 1).alias("pos"), "x")
+    pervar = e.groupBy("pos").agg(F.var_samp("x").alias("v"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("v"), F.asc("pos"))
+    return pervar.select(
+        F.col("pos").cast("int").alias("dim"),
+        F.round("v", 6).alias("variance"),
+        F.round(F.col("v") / F.sum("v").over(w_all), 6).alias("var_share"),
+        F.row_number().over(w_rank).cast("int").alias("var_rank"),
+    ).orderBy("dim")

@@ -346,6 +346,9 @@ DRIVER_ORDER: list[str] = [
     "ts_revenue_index_rebased",
     "corpus_tokenizer_fertility",
     "vec_norm_quantile_clip",
+    "agg_percent_of_total_multi_level",
+    "vec_subspace_variance",
+    "ts_shipping_delay_trend",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -86,6 +86,10 @@ SINGLE_PARTITION_OK = {
     "agg_whale_curve_topshares": (2, "offsets frame + scalar share fold"),
     # 1-row p99-norm percentile frame cross-joined back onto norms
     "vec_norm_quantile_clip": (1, "scalar p99 percentile frame"),
+    # grand-total window over the |nations|-row contribution grid
+    "agg_percent_of_total_multi_level": (1, "|nations|-row grid total"),
+    # variance-share/rank windows over the d-row (64) dimension frame
+    "vec_subspace_variance": (1, "d-row dimension frame"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
