@@ -1243,3 +1243,74 @@ def corpus_tokenizer_fertility(spark, t):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_epoch_repeat_schedule",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS corpus_tokens,
+             SUM(sqrt(n_tokens)) AS z
+      FROM src
+    )
+    SELECT s.source,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           round(sqrt(s.n_tokens) / t.z, 6) AS mix_weight,
+           round(LEAST(4.0, 2.0 * t.corpus_tokens * (sqrt(s.n_tokens) / t.z)
+                            / s.n_tokens), 4) AS epochs,
+           CAST(round(LEAST(4.0, 2.0 * t.corpus_tokens
+                                 * (sqrt(s.n_tokens) / t.z) / s.n_tokens)
+                      * s.n_tokens) AS BIGINT) AS allocated_tokens
+    FROM src s CROSS JOIN tot t
+    ORDER BY s.source
+    """,
+    tier="P2",
+)
+def corpus_epoch_repeat_schedule(spark, t):
+    """Data-mixing epoch planner: given a token budget of 2× the corpus
+    and square-root-temperature mix weights (w_s ∝ √tokens_s, the
+    standard rebalancing that boosts small sources without letting any
+    source dominate), how many epochs of each source to schedule,
+    capped at 4 repeats (the data-constrained-scaling rule of thumb
+    that repeating past ~4 epochs stops helping). This is the planning
+    step ABOVE ``corpus_mix_rebalance`` (which executes a mix by
+    sampling) and ``corpus_subsample_tokens`` (which cuts to a budget).
+
+    One token-count fold per source, a 1-row (total, normalizer) frame,
+    and |sources|-row closed-form arithmetic — a single pass, no
+    iterative waterfall, because the cap is applied per-source on the
+    closed-form allocation.
+    """
+    src = (
+        t["documents"]
+        .select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("double").alias("n_tokens"))
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+    )
+    w = F.sqrt(F.col("n_tokens")) / F.col("z")
+    epochs = F.least(
+        F.lit(4.0),
+        F.lit(2.0) * F.col("corpus_tokens") * w / F.col("n_tokens"),
+    )
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(w, 6).alias("mix_weight"),
+            F.round(epochs, 4).alias("epochs"),
+            F.round(epochs * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("allocated_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -389,3 +389,53 @@ def scan_dynamic_partition_pruning(spark, t):
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "sink_sorted_clustered_write",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders,
+           round(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tier="P2",
+)
+def sink_sorted_clustered_write(spark, t):
+    """Write orders range-partitioned AND sorted by date within each
+    file, re-read with a date filter — the layout that makes parquet
+    row-group min/max statistics actually prune: an unsorted write
+    scatters every date across every row group (stats span everything,
+    nothing prunes); repartitionByRange + sortWithinPartitions gives
+    each file a tight date interval, so the pushed filter skips whole
+    files and row groups. The hash check proves layout changes nothing
+    semantically; the latency benefit is the layout's job.
+
+    This is the batch sibling of ``sink_parquet_partitioned``
+    (directory-level pruning) one level finer — at 100 TB you do BOTH:
+    partition by the coarse key, sort by the fine one (a.k.a.
+    clustering / Z-order's 1-D case).
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="sorted_"), "orders_sorted")
+    (
+        t["orders"]
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        back.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("o_year")
+    )

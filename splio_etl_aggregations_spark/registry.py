@@ -349,6 +349,8 @@ DRIVER_ORDER: list[str] = [
     "agg_percent_of_total_multi_level",
     "vec_subspace_variance",
     "ts_shipping_delay_trend",
+    "corpus_epoch_repeat_schedule",
+    "sink_sorted_clustered_write",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

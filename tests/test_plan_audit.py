@@ -90,6 +90,8 @@ SINGLE_PARTITION_OK = {
     "agg_percent_of_total_multi_level": (1, "|nations|-row grid total"),
     # variance-share/rank windows over the d-row (64) dimension frame
     "vec_subspace_variance": (1, "d-row dimension frame"),
+    # 1-row (corpus total, sqrt normalizer) frame onto |sources| rows
+    "corpus_epoch_repeat_schedule": (1, "scalar budget/normalizer frame"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -209,6 +211,7 @@ BNLJ_OK = {
     "agg_theil_decomposition": (2, "1-row N/mu-totals crossJoin"),
     "corpus_interleave_sources_round_robin": (2, "1-row n_src crossJoin"),
     "vec_norm_quantile_clip": (2, "1-row p99 crossJoin"),
+    "corpus_epoch_repeat_schedule": (2, "1-row budget-frame crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
