@@ -4278,3 +4278,72 @@ def agg_percent_of_total_multi_level(spark, t):
             F.sum("rev").over(w_region) / F.sum("rev").over(w_all), 6
         ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "agg_assortment_penetration",
+    oracle="""
+    WITH bought AS (
+      SELECT DISTINCT n.n_name AS nation, p.p_brand AS brand
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT p_brand) AS n_brands FROM part)
+    SELECT b.nation,
+           COUNT(*) AS brands_bought,
+           CAST(MAX(t.n_brands) AS BIGINT) AS brands_total,
+           round(COUNT(*) * 1.0 / MAX(t.n_brands), 4) AS penetration
+    FROM bought b CROSS JOIN nb t
+    GROUP BY b.nation
+    ORDER BY b.nation
+    """,
+    tier="P2",
+)
+def agg_assortment_penetration(spark, t):
+    """Assortment penetration per nation: what share of the brand
+    catalog each market has actually bought — the category-management
+    screen for "where is the assortment under-sold" (a low-penetration
+    nation with high revenue concentration is a distribution problem,
+    not a demand problem; cf. ``agg_hhi_concentration``).
+
+    Distinct (nation, brand) incidence first (the |nations|×|brands|-
+    bounded grid), the brand-catalog size as a 1-row frame — after the
+    incidence distinct nothing is data-proportional.
+    """
+    bought = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = t["part"].agg(F.countDistinct("p_brand").alias("n_brands"))
+    return (
+        bought.crossJoin(F.broadcast(nb))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("brands_bought"),
+            F.max("n_brands").cast("bigint").alias("brands_total"),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.max("n_brands"), 4
+            ).alias("penetration"),
+        )
+        .orderBy("nation")
+    )

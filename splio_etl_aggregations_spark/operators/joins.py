@@ -1321,3 +1321,58 @@ def join_accumulating_snapshot(spark, t):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_role_playing_dates",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+           CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS n_lines,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tier="P2",
+)
+def join_role_playing_dates(spark, t):
+    """Role-playing date dimension: the same calendar plays two roles —
+    order month and ship month — giving the (ordered-in, shipped-in)
+    lag matrix a fulfillment planner reads diagonally (on-diagonal =
+    shipped same month; each step right = one month of backlog). The
+    Kimball pattern this demonstrates is that BOTH roles conform to one
+    date dimension, so the matrix needs no second calendar table —
+    just two independent truncations of the conformed grain.
+
+    One fact join on the order key, a (months × months) bounded group
+    — at 100 TB the matrix is still ≤ a few hundred cells.
+    """
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        )
+        .join(
+            t["lineitem"].select(
+                "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("order_month", "ship_month")
+    )

@@ -1314,3 +1314,71 @@ def corpus_epoch_repeat_schedule(spark, t):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ml_threshold_tuning_table",
+    oracle="""
+    WITH labeled AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(0, 9)) * 50.0 AS tau),
+    cells AS (
+      SELECT g.tau,
+             SUM(CASE WHEN l.score >= g.tau AND l.y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN l.score >= g.tau AND l.y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN l.score <  g.tau AND l.y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM labeled l CROSS JOIN grid g
+      GROUP BY g.tau
+    )
+    SELECT tau,
+           tp, fp, fn,
+           round(tp / NULLIF(tp + fp, 0), 6) AS precision,
+           round(tp / NULLIF(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+    FROM cells
+    ORDER BY tau
+    """,
+    tier="P2",
+)
+def ml_threshold_tuning_table(spark, t):
+    """Precision / recall / F1 at ten decision thresholds from ONE scan
+    — the operating-point table that turns ``ml_auc_eval``'s
+    threshold-free score into a deployable cutoff choice
+    (``ml_confusion_matrix`` is one row of this table).
+
+    The threshold grid is a 10-row generated frame cross-joined onto
+    the event stream BEFORE aggregation — 10× row amplification inside
+    one map-side-combinable aggregate, which at 100 TB is far cheaper
+    than 10 separate scans and never materializes the amplified rows
+    past the partial aggregation. NULLIF guards the degenerate
+    all-negative / all-positive ends of the grid identically on both
+    engines.
+    """
+    labeled = t["events"].select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    grid = spark.range(0, 10).select((F.col("id") * 50.0).alias("tau"))
+    pred = F.col("score") >= F.col("tau")
+    cells = (
+        labeled.crossJoin(F.broadcast(grid))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        "tau",
+        "tp",
+        "fp",
+        "fn",
+        F.round(tp / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
+    ).orderBy("tau")

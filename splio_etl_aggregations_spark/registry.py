@@ -351,6 +351,9 @@ DRIVER_ORDER: list[str] = [
     "ts_shipping_delay_trend",
     "corpus_epoch_repeat_schedule",
     "sink_sorted_clustered_write",
+    "ml_threshold_tuning_table",
+    "join_role_playing_dates",
+    "agg_assortment_penetration",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

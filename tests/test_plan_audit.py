@@ -92,6 +92,8 @@ SINGLE_PARTITION_OK = {
     "vec_subspace_variance": (1, "d-row dimension frame"),
     # 1-row (corpus total, sqrt normalizer) frame onto |sources| rows
     "corpus_epoch_repeat_schedule": (1, "scalar budget/normalizer frame"),
+    # 1-row brand-catalog-size frame onto the incidence grid
+    "agg_assortment_penetration": (1, "scalar catalog-size frame"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -212,6 +214,9 @@ BNLJ_OK = {
     "corpus_interleave_sources_round_robin": (2, "1-row n_src crossJoin"),
     "vec_norm_quantile_clip": (2, "1-row p99 crossJoin"),
     "corpus_epoch_repeat_schedule": (2, "1-row budget-frame crossJoin"),
+    # 10-row threshold-grid crossJoin amplified INSIDE the partial agg
+    "ml_threshold_tuning_table": (2, "10-row threshold-grid crossJoin"),
+    "agg_assortment_penetration": (2, "1-row catalog-size crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
