@@ -4347,3 +4347,158 @@ def agg_assortment_penetration(spark, t):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH labeled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    per AS (
+      SELECT v, SUM(pos) AS np, SUM(1 - pos) AS nn
+      FROM labeled GROUP BY v
+    ),
+    cum AS (
+      SELECT v, np, nn,
+             SUM(nn) OVER (ORDER BY v) - nn AS nn_below
+      FROM per
+    ),
+    tot AS (SELECT SUM(np)::DOUBLE AS n1, SUM(nn)::DOUBLE AS n2 FROM per)
+    SELECT round(SUM(np * (nn_below + nn / 2.0)), 4) AS u_stat,
+           CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           round((SUM(np * (nn_below + nn / 2.0)) - t.n1 * t.n2 / 2)
+                 / sqrt(t.n1 * t.n2 * (t.n1 + t.n2 + 1) / 12), 6) AS z_score
+    FROM cum, tot t
+    GROUP BY t.n1, t.n2
+    """,
+    tier="P2",
+)
+def agg_mann_whitney_u(spark, t):
+    """Mann–Whitney U test: does purchase value stochastically dominate
+    click value — the NONPARAMETRIC A/B answer that pairs with
+    ``agg_ab_test_welch`` (means) the way median pairs with mean: no
+    normality assumption, robust to the heavy tails Welch hates.
+    U relates to ``ml_auc_eval`` by U = AUC·n₁·n₂ — the same
+    tie-corrected cumulative machinery computes both, which is why this
+    reuses the two-phase prefix sum rather than any per-row ranking.
+
+    Reported with the normal-approximation z-score ((U−n₁n₂/2)/σ_U);
+    the ordered pass runs over |distinct values| rows only.
+    """
+    from .windows import two_phase_cumsum
+
+    per = (
+        t["events"]
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("pos").alias("np"),
+            F.sum(F.lit(1) - F.col("pos")).alias("nn"),
+        )
+        .cache()
+    )
+    cum = two_phase_cumsum(per, [F.asc("v")], ["nn"]).select(
+        "v", "np", "nn", (F.col("cum_nn") - F.col("nn")).alias("nn_below")
+    )
+    tot = per.agg(
+        F.sum("np").cast("double").alias("n1"),
+        F.sum("nn").cast("double").alias("n2"),
+    )
+    u = F.sum(F.col("np") * (F.col("nn_below") + F.col("nn") / 2.0))
+    n1, n2 = F.col("n1"), F.col("n2")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(u, 4).alias("u_stat"),
+            F.round(
+                (u - n1 * n2 / 2) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6
+            ).alias("z_score"),
+        )
+        .select(
+            "u_stat",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "z_score",
+        )
+    )
+
+
+@register(
+    "agg_spearman_corr",
+    oracle="""
+    WITH li AS (
+      SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem
+    ),
+    rq AS (
+      SELECT q, (2.0 * (SUM(COUNT(*)) OVER (ORDER BY q) - COUNT(*))
+                 + COUNT(*) + 1) / 2 AS rank_q
+      FROM li GROUP BY q
+    ),
+    rp AS (
+      SELECT p, (2.0 * (SUM(COUNT(*)) OVER (ORDER BY p) - COUNT(*))
+                 + COUNT(*) + 1) / 2 AS rank_p
+      FROM li GROUP BY p
+    )
+    SELECT round(corr(rq.rank_q, rp.rank_p), 6) AS spearman_rho,
+           COUNT(*) AS n
+    FROM li
+    JOIN rq ON rq.q = li.q
+    JOIN rp ON rp.p = li.p
+    """,
+    tier="P2",
+)
+def agg_spearman_corr(spark, t):
+    """Spearman rank correlation between line quantity and extended
+    price — the monotone-association measure that survives the
+    nonlinearity Pearson (``agg_regression``) misses. Exact
+    tie-handling: each distinct value gets its AVERAGE rank
+    ((2·count_below + count + 1)/2), the textbook fractional-rank
+    correction, computed per DISTINCT value — so the ordered passes run
+    over value-cardinality frames (quantity has 50 distinct values!)
+    and the rank maps broadcast back onto the fact rows for one
+    Pearson-on-ranks fold.
+
+    Quantity's 50-value rank map is trivially bounded; the price map is
+    bounded by distinct prices — both via the two-phase prefix sum,
+    never a partition-less rank over rows.
+    """
+    from .windows import two_phase_cumsum
+
+    li = t["lineitem"].select(
+        F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
+    )
+
+    def avg_rank_map(col):
+        per = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = two_phase_cumsum(per, [F.asc(col)], ["cnt"])
+        return cum.select(
+            col,
+            (
+                (
+                    F.lit(2.0) * (F.col("cum_cnt") - F.col("cnt"))
+                    + F.col("cnt")
+                    + 1
+                )
+                / 2
+            ).alias(f"rank_{col}"),
+        )
+
+    rq = avg_rank_map("q")
+    rp = avg_rank_map("p")
+    return (
+        li.join(F.broadcast(rq), "q")
+        .join(rp, "p")
+        .agg(
+            F.round(F.corr("rank_q", "rank_p"), 6).alias("spearman_rho"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1178,3 +1178,69 @@ def ts_shipping_delay_trend(spark, t):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "ts_month_end_lift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+             SUM(o_totalprice) AS rev
+      FROM orders
+      GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+      SELECT month, rev,
+             CASE WHEN datediff('day', day, eom) < 3 THEN 1 ELSE 0 END
+               AS is_month_end
+      FROM daily
+    )
+    SELECT month,
+           round(AVG(CASE WHEN is_month_end = 1 THEN rev END), 4)
+             AS avg_daily_rev_month_end,
+           round(AVG(CASE WHEN is_month_end = 0 THEN rev END), 4)
+             AS avg_daily_rev_rest,
+           round(AVG(CASE WHEN is_month_end = 1 THEN rev END)
+                 / AVG(CASE WHEN is_month_end = 0 THEN rev END), 4)
+             AS month_end_lift
+    FROM flagged
+    GROUP BY month
+    ORDER BY month
+    """,
+    tier="P2",
+)
+def ts_month_end_lift(spark, t):
+    """Month-end (last 3 days) vs rest-of-month average daily revenue,
+    per month — the payday/budget-flush effect every retail planner
+    checks before blaming a promo for a spike
+    (``ts_seasonality_index`` captures weekday shape; this captures
+    the calendar-position shape weekday can't).
+
+    A daily fold with a calendar flag (``last_day`` is exact date
+    arithmetic on both engines), then conditional means per month —
+    calendar-bounded throughout.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("eom"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    is_end = (F.datediff("eom", "day") < 3).cast("int")
+    flagged = daily.select("month", "rev", is_end.alias("is_month_end"))
+    end_avg = F.avg(F.when(F.col("is_month_end") == 1, F.col("rev")))
+    rest_avg = F.avg(F.when(F.col("is_month_end") == 0, F.col("rev")))
+    return (
+        flagged.groupBy("month")
+        .agg(
+            F.round(end_avg, 4).alias("avg_daily_rev_month_end"),
+            F.round(rest_avg, 4).alias("avg_daily_rev_rest"),
+            F.round(end_avg / rest_avg, 4).alias("month_end_lift"),
+        )
+        .orderBy("month")
+    )

@@ -354,6 +354,9 @@ DRIVER_ORDER: list[str] = [
     "ml_threshold_tuning_table",
     "join_role_playing_dates",
     "agg_assortment_penetration",
+    "agg_mann_whitney_u",
+    "agg_spearman_corr",
+    "ts_month_end_lift",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -94,6 +94,10 @@ SINGLE_PARTITION_OK = {
     "corpus_epoch_repeat_schedule": (1, "scalar budget/normalizer frame"),
     # 1-row brand-catalog-size frame onto the incidence grid
     "agg_assortment_penetration": (1, "scalar catalog-size frame"),
+    # cumsum offsets frame + 1-row (n1, n2) totals fold (AUC shape)
+    "agg_mann_whitney_u": (2, "offsets frame + scalar totals fold"),
+    # two cumsum offsets frames (rank maps) + final 1-row corr fold
+    "agg_spearman_corr": (3, "two offsets frames + scalar corr fold"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
@@ -217,6 +221,7 @@ BNLJ_OK = {
     # 10-row threshold-grid crossJoin amplified INSIDE the partial agg
     "ml_threshold_tuning_table": (2, "10-row threshold-grid crossJoin"),
     "agg_assortment_penetration": (2, "1-row catalog-size crossJoin"),
+    "agg_mann_whitney_u": (2, "1-row n1/n2-totals crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
     "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
