@@ -102,6 +102,19 @@ EXTRA_SHAPES = [
     "agg_stickiness_dau_mau",
     "win_time_in_state",
     "etl_reconcile_sources",
+    # round-2 sixth wave: TPC-H completion + analytics/LLM additions
+    "sql_market_share",
+    "sql_suppliers_kept_waiting",
+    "sql_order_priority_check",
+    "corpus_ngram_novelty",
+    "corpus_bigram_perplexity",
+    "attribution_time_decay",
+    "sort_skyline_pareto",
+    "agg_growth_accounting",
+    "ml_threshold_tuning_table",
+    "vec_embedding_drift",
+    "stream_windowed_topk",
+    "agg_spearman_corr",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -1187,23 +1187,23 @@ def ts_shipping_delay_trend(spark, t):
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              CAST(o_orderdate AS DATE) AS day,
              CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
-             SUM(o_totalprice) AS rev
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
       FROM orders
       GROUP BY 1, 2, 3
     ),
     flagged AS (
-      SELECT month, rev,
+      SELECT month, rev_cents,
              CASE WHEN datediff('day', day, eom) < 3 THEN 1 ELSE 0 END
                AS is_month_end
       FROM daily
     )
     SELECT month,
-           round(AVG(CASE WHEN is_month_end = 1 THEN rev END), 4)
-             AS avg_daily_rev_month_end,
-           round(AVG(CASE WHEN is_month_end = 0 THEN rev END), 4)
-             AS avg_daily_rev_rest,
-           round(AVG(CASE WHEN is_month_end = 1 THEN rev END)
-                 / AVG(CASE WHEN is_month_end = 0 THEN rev END), 4)
+           round(AVG(CASE WHEN is_month_end = 1 THEN rev_cents END)
+                 / 100.0, 4) AS avg_daily_rev_month_end,
+           round(AVG(CASE WHEN is_month_end = 0 THEN rev_cents END)
+                 / 100.0, 4) AS avg_daily_rev_rest,
+           round(AVG(CASE WHEN is_month_end = 1 THEN rev_cents END)
+                 / AVG(CASE WHEN is_month_end = 0 THEN rev_cents END), 4)
              AS month_end_lift
     FROM flagged
     GROUP BY month
@@ -1220,7 +1220,12 @@ def ts_month_end_lift(spark, t):
 
     A daily fold with a calendar flag (``last_day`` is exact date
     arithmetic on both engines), then conditional means per month —
-    calendar-bounded throughout.
+    calendar-bounded throughout. Revenue folds as INTEGER CENTS: a
+    double AVG's last ulp depends on partition summation order, and one
+    month's mean landed within an ulp of a .00005 rounding boundary —
+    integer sums are order-independent, so the mean is the same exact
+    rational on both engines (the ``win_vwap`` / ``agg_abc_xyz_classes``
+    policy).
     """
     daily = (
         t["orders"]
@@ -1229,17 +1234,21 @@ def ts_month_end_lift(spark, t):
             F.col("o_orderdate").cast("date").alias("day"),
             F.last_day(F.col("o_orderdate").cast("date")).alias("eom"),
         )
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_cents")
+        )
     )
     is_end = (F.datediff("eom", "day") < 3).cast("int")
-    flagged = daily.select("month", "rev", is_end.alias("is_month_end"))
-    end_avg = F.avg(F.when(F.col("is_month_end") == 1, F.col("rev")))
-    rest_avg = F.avg(F.when(F.col("is_month_end") == 0, F.col("rev")))
+    flagged = daily.select("month", "rev_cents", is_end.alias("is_month_end"))
+    end_avg = F.avg(F.when(F.col("is_month_end") == 1, F.col("rev_cents")))
+    rest_avg = F.avg(F.when(F.col("is_month_end") == 0, F.col("rev_cents")))
     return (
         flagged.groupBy("month")
         .agg(
-            F.round(end_avg, 4).alias("avg_daily_rev_month_end"),
-            F.round(rest_avg, 4).alias("avg_daily_rev_rest"),
+            F.round(end_avg / 100.0, 4).alias("avg_daily_rev_month_end"),
+            F.round(rest_avg / 100.0, 4).alias("avg_daily_rev_rest"),
             F.round(end_avg / rest_avg, 4).alias("month_end_lift"),
         )
         .orderBy("month")

@@ -962,3 +962,93 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
     assert r["ci_hi"] > r["ci_lo"]
     assert r["n_rows"] > 0
+
+
+def test_whale_shares_are_nested_and_bounded(spark):
+    """share(top1%) <= share(top5%) <= share(top10%) <= 1, all > 0."""
+    r = Q["agg_whale_curve_topshares"].run(spark, SF_SMALL).collect()[0]
+    assert 0 < r["share_top1pct"] <= r["share_top5pct"] <= r["share_top10pct"] <= 1
+
+
+def test_ohlc_bars_are_consistent(spark):
+    """low <= open/close <= high on every bar."""
+    rows = Q["ts_ohlc_bars"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_threshold_table_recall_monotone(spark):
+    """Raising the threshold can only lose positives: recall is
+    non-increasing in tau (and tp+fn is constant)."""
+    rows = sorted(
+        Q["ml_threshold_tuning_table"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["tau"],
+    )
+    pos = rows[0]["tp"] + rows[0]["fn"]
+    prev = None
+    for r in rows:
+        assert r["tp"] + r["fn"] == pos
+        if prev is not None and r["recall"] is not None and prev is not None:
+            assert r["recall"] <= prev + 1e-9
+        prev = r["recall"]
+
+
+def test_interleave_positions_satisfy_mixing_contract(spark):
+    """Global positions are unique, and any |sources| consecutive
+    positions contain no repeated source."""
+    rows = sorted(
+        Q["corpus_interleave_sources_round_robin"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["global_pos"],
+    )
+    n_src = len({r["source"] for r in rows})
+    assert len({r["global_pos"] for r in rows}) == len(rows)
+    # check a window at the head (full round-robin region)
+    head = rows[: n_src]
+    assert len({r["source"] for r in head}) == len(head)
+
+
+def test_cdc_apply_conserves_rows(spark):
+    """|result| = |base| - |deletes| + |inserts|, and src labels
+    partition the output."""
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    rows = Q["etl_cdc_apply"].run(spark, SF_SMALL).collect()
+    base = load(spark, SF_SMALL)["orders"].count()
+    n_d = load(spark, SF_SMALL)["orders"].filter(
+        F.col("o_orderkey") % 10 == 7
+    ).count()
+    n_i = load(spark, SF_SMALL)["orders"].filter(
+        F.col("o_orderkey") % 10 == 9
+    ).count()
+    assert len(rows) == base - n_d + n_i
+    assert {r["src"] for r in rows} == {"base", "updated", "inserted"}
+
+
+def test_spearman_and_mwu_are_bounded(spark):
+    """|rho| <= 1; the U statistic lies in [0, n1*n2]."""
+    rho = Q["agg_spearman_corr"].run(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= rho["spearman_rho"] <= 1.0
+    u = Q["agg_mann_whitney_u"].run(spark, SF_SMALL).collect()[0]
+    assert 0 <= u["u_stat"] <= u["n1"] * u["n2"]
+
+
+def test_assortment_penetration_bounded(spark):
+    rows = Q["agg_assortment_penetration"].run(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["penetration"] <= 1
+        assert r["brands_bought"] <= r["brands_total"]
+
+
+def test_epoch_schedule_respects_cap_and_budget_shape(spark):
+    """Epochs never exceed the 4x cap and small sources get boosted
+    (epochs non-increasing in source size under sqrt weights)."""
+    rows = Q["corpus_epoch_repeat_schedule"].run(spark, SF_SMALL).collect()
+    assert rows
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    for r in rows:
+        assert r["epochs"] <= 4.0 + 1e-9
+    eps = [r["epochs"] for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(eps, eps[1:]))
