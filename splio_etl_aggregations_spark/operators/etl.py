@@ -1427,3 +1427,75 @@ def etl_cdc_apply(spark, t):
     return surv.unionByName(
         log_i.select("o_orderkey", "o_orderstatus", "final_price", "src")
     )
+
+
+@register(
+    "dq_monotonic_id_gap_check",
+    oracle="""
+    WITH ids AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM (SELECT DISTINCT event_id FROM events)
+    )
+    SELECT COUNT(*) AS n_ids,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           SUM(CASE WHEN event_id - prev_id > 1 THEN 1 ELSE 0 END) AS n_gaps,
+           CAST(COALESCE(MAX(event_id - prev_id) - 1, 0) AS BIGINT)
+             AS max_gap,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+             AS n_missing
+    FROM ids
+    """,
+    tier="P2",
+)
+def dq_monotonic_id_gap_check(spark, t):
+    """Sequence-integrity audit on the event id: gap count, widest gap,
+    and total missing ids across the observed range — the ingestion
+    completeness check for any source that promises a monotonically
+    assigned id (a sudden gap is a dropped batch; the total-missing
+    figure is what reconciliation tickets quote).
+
+    The oracle's global lag is the specification; the engine computes
+    every figure WITHOUT a global sort: total missing = range − count
+    (pure min/max/count aggregates), and the gap census partitions ids
+    into range buckets whose boundaries are audited separately — here,
+    with ids dense by construction, the distributed form reduces to
+    the same aggregates, and the lag runs on the DISTINCT id frame
+    range-partitioned via the two-phase pattern.
+    """
+    from pyspark.sql import Window
+
+    ids = t["events"].select("event_id").distinct()
+    n_parts = 16
+    ranged = (
+        ids.repartitionByRange(n_parts, "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    w_local = Window.partitionBy("pid").orderBy("event_id")
+    local = ranged.withColumn("prev_local", F.lag("event_id").over(w_local))
+    w_off = Window.orderBy("pid")
+    bounds = (
+        ranged.groupBy("pid")
+        .agg(F.max("event_id").alias("pmax"))
+        .select("pid", F.lag("pmax").over(w_off).alias("prev_part_max"))
+    )
+    gaps = (
+        local.join(F.broadcast(bounds), "pid")
+        .select(
+            "event_id",
+            F.coalesce("prev_local", "prev_part_max").alias("prev_id"),
+        )
+    )
+    diff = F.col("event_id") - F.col("prev_id")
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        F.sum(F.when(diff > 1, 1).otherwise(0)).alias("n_gaps"),
+        F.coalesce(F.max(diff) - 1, F.lit(0)).cast("bigint").alias("max_gap"),
+        (F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_missing"),
+    )

@@ -971,3 +971,71 @@ def win_mtd_ytd_running(spark, t):
         F.round(F.sum("revenue").over(w_m), 4).alias("mtd"),
         F.round(F.sum("revenue").over(w_y), 4).alias("ytd"),
     ).orderBy("day")
+
+
+@register(
+    "win_user_activity_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, SUM(c) AS n FROM cnt GROUP BY user_id
+    ),
+    ent AS (
+      SELECT c.user_id,
+             MAX(t.n) AS n_events,
+             COUNT(*) AS n_types,
+             round(-SUM((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 6)
+               AS entropy
+      FROM cnt c JOIN tot t ON t.user_id = c.user_id
+      GROUP BY c.user_id
+    )
+    SELECT CAST(round(entropy, 1) * 10 AS INTEGER) AS entropy_decile,
+           COUNT(*) AS n_users,
+           round(AVG(n_events), 4) AS avg_events,
+           round(AVG(n_types * 1.0), 4) AS avg_types
+    FROM ent
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tier="P2",
+)
+def win_user_activity_entropy(spark, t):
+    """Engagement-diversity distribution: each user's event-type entropy
+    (0 = monomaniac, ln 5 ≈ 1.61 = uniform across the five types),
+    histogrammed in 0.1-nat buckets — the segmentation signal behind
+    "broad" vs "single-feature" users that raw event counts hide
+    (``agg_entropy`` reports the corpus-level number; this gives the
+    per-user distribution).
+
+    Per-user probabilities are exact integer ratios (count/total), so
+    the entropy doubles are identical on both engines; two user-keyed
+    aggregates and a ≤17-bucket histogram — one shuffle key end to end.
+    """
+    cnt = t["events"].groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+    return (
+        ent.groupBy(
+            (F.round(F.col("entropy"), 1) * 10).cast("int").alias("entropy_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg(F.col("n_types") * 1.0), 4).alias("avg_types"),
+        )
+        .orderBy("entropy_decile")
+    )

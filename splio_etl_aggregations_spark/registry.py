@@ -357,6 +357,8 @@ DRIVER_ORDER: list[str] = [
     "agg_mann_whitney_u",
     "agg_spearman_corr",
     "ts_month_end_lift",
+    "win_user_activity_entropy",
+    "dq_monotonic_id_gap_check",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",

@@ -98,6 +98,8 @@ SINGLE_PARTITION_OK = {
     "agg_mann_whitney_u": (2, "offsets frame + scalar totals fold"),
     # two cumsum offsets frames (rank maps) + final 1-row corr fold
     "agg_spearman_corr": (3, "two offsets frames + scalar corr fold"),
+    # 16-row per-partition-max boundary frame + final 1-row audit fold
+    "dq_monotonic_id_gap_check": (2, "boundary frame + scalar audit fold"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
