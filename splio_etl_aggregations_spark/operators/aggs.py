@@ -4502,3 +4502,66 @@ def agg_spearman_corr(spark, t):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "agg_price_dispersion_audit",
+    oracle="""
+    WITH unitp AS (
+      SELECT l_partkey, l_extendedprice / l_quantity AS up
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_lines,
+             AVG(up) AS mean_up,
+             stddev_samp(up) AS sd_up
+      FROM unitp
+      GROUP BY l_partkey
+      HAVING COUNT(*) >= 5
+    )
+    SELECT l_partkey AS p_partkey, n_lines,
+           round(mean_up, 4) AS mean_unit_price,
+           round(sd_up / mean_up, 6) AS cv
+    FROM stats
+    ORDER BY round(sd_up / mean_up, 6) DESC, l_partkey
+    LIMIT 20
+    """,
+    tier="P2",
+)
+def agg_price_dispersion_audit(spark, t):
+    """Pricing-consistency screen: the 20 parts whose realized unit
+    price (extendedprice/quantity) varies most across order lines
+    (coefficient of variation), among parts with ≥5 lines — where a
+    merchandiser looks for broken discount logic or channel leakage
+    (``agg_price_elasticity`` asks how demand responds to price; this
+    asks whether the same part even HAS one price).
+
+    One per-part moment aggregate + a 20-row TakeOrderedAndProject on
+    the ROUNDED cv with the part key as tie-break — the usual
+    deterministic-cut discipline.
+    """
+    unitp = t["lineitem"].select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    stats = (
+        unitp.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.avg("up").alias("mean_up"),
+            F.stddev_samp("up").alias("sd_up"),
+        )
+        .filter(F.col("n_lines") >= 5)
+    )
+    cv = F.round(F.col("sd_up") / F.col("mean_up"), 6)
+    return (
+        stats.select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_lines",
+            F.round("mean_up", 4).alias("mean_unit_price"),
+            cv.alias("cv"),
+        )
+        .orderBy(F.desc("cv"), F.asc("p_partkey"))
+        .limit(20)
+    )

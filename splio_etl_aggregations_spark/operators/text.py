@@ -577,3 +577,52 @@ def text_blocklist_filter(spark, t):
             .alias("keep_flag"),
         )
     )
+
+
+@register(
+    "text_lang_label_audit",
+    oracle="""
+    WITH guessed AS (
+      SELECT lang,
+             CASE
+               WHEN contains(text, ' le ') OR contains(text, ' la ') THEN 'fr-ish'
+               WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de-ish'
+               WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es-ish'
+               WHEN contains(text, ' the ') OR contains(text, ' and ') THEN 'en-ish'
+               ELSE 'other'
+             END AS guessed
+      FROM documents
+    )
+    SELECT lang, guessed, COUNT(*) AS n_docs
+    FROM guessed
+    GROUP BY lang, guessed
+    ORDER BY lang, guessed
+    """,
+    tier="P2",
+)
+def text_lang_label_audit(spark, t):
+    """Language-label quality audit: the confusion matrix between the
+    table's declared ``lang`` label and the heuristic detector's guess
+    (``text_lang_id``) — the label-vs-detector disagreement census that
+    decides whether a corpus's metadata can be trusted for mix planning
+    (``corpus_mix_rebalance`` keys on lang; if this matrix is
+    off-diagonal-heavy, so is the mix).
+
+    One projection (the same rule chain as the detector) + a
+    |langs|×|guesses|-bounded aggregate.
+    """
+    txt = F.col("text")
+    guessed = (
+        F.when(txt.contains(" le ") | txt.contains(" la "), "fr-ish")
+        .when(txt.contains(" der ") | txt.contains(" und "), "de-ish")
+        .when(txt.contains(" el ") | txt.contains(" los "), "es-ish")
+        .when(txt.contains(" the ") | txt.contains(" and "), "en-ish")
+        .otherwise("other")
+    )
+    return (
+        t["documents"]
+        .select("lang", guessed.alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "guessed")
+    )

@@ -359,6 +359,8 @@ DRIVER_ORDER: list[str] = [
     "ts_month_end_lift",
     "win_user_activity_entropy",
     "dq_monotonic_id_gap_check",
+    "text_lang_label_audit",
+    "agg_price_dispersion_audit",
     # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
     "project_select",
     "project_cast",
