@@ -152,13 +152,21 @@ def main() -> None:
         )
 
     total = round(sum(results[n] for n in BASELINE_SHAPES), 4)
+    # Extra-shape timings go to a sidecar file + stderr, NOT the stdout
+    # JSON line: BENCH_r02.json came back `parsed: null` because the one
+    # line carrying all ~80 timings overflowed the driver's stdout-tail
+    # capture. The final stdout line must stay short (baseline-8 only).
+    extras = {n: results[n] for n in EXTRA_SHAPES}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"), "w") as f:
+        json.dump({"sf": sf, "queries": extras}, f, indent=1, sort_keys=True)
+    print(f"[bench] extra-shape timings -> BENCH_EXTRA.json ({len(extras)} shapes)", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "baseline8_warm_total",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
+                "queries": {n: results[n] for n in BASELINE_SHAPES},
                 "sf": sf,
             }
         )

@@ -4366,14 +4366,20 @@ def agg_assortment_penetration(spark, t):
              SUM(nn) OVER (ORDER BY v) - nn AS nn_below
       FROM per
     ),
-    tot AS (SELECT SUM(np)::DOUBLE AS n1, SUM(nn)::DOUBLE AS n2 FROM per)
+    tot AS (SELECT SUM(np)::DOUBLE AS n1, SUM(nn)::DOUBLE AS n2,
+                   SUM((np + nn) * (np + nn) * (np + nn) - (np + nn))::DOUBLE
+                     AS tie_sum
+            FROM per)
     SELECT round(SUM(np * (nn_below + nn / 2.0)), 4) AS u_stat,
            CAST(t.n1 AS BIGINT) AS n1,
            CAST(t.n2 AS BIGINT) AS n2,
            round((SUM(np * (nn_below + nn / 2.0)) - t.n1 * t.n2 / 2)
-                 / sqrt(t.n1 * t.n2 * (t.n1 + t.n2 + 1) / 12), 6) AS z_score
+                 / sqrt(t.n1 * t.n2 / 12 *
+                        ((t.n1 + t.n2 + 1)
+                         - t.tie_sum / ((t.n1 + t.n2) * (t.n1 + t.n2 - 1)))),
+                 6) AS z_score
     FROM cum, tot t
-    GROUP BY t.n1, t.n2
+    GROUP BY t.n1, t.n2, t.tie_sum
     """,
     tier="P2",
 )
@@ -4386,8 +4392,10 @@ def agg_mann_whitney_u(spark, t):
     tie-corrected cumulative machinery computes both, which is why this
     reuses the two-phase prefix sum rather than any per-row ranking.
 
-    Reported with the normal-approximation z-score ((U−n₁n₂/2)/σ_U);
-    the ordered pass runs over |distinct values| rows only.
+    Reported with the tie-corrected normal-approximation z-score
+    ((U−n₁n₂/2)/σ_U with σ²_U = n₁n₂/12·[(N+1) − Σ(t³−t)/(N(N−1))],
+    t = per-distinct-value tie-group size); the ordered pass runs over
+    |distinct values| rows only.
     """
     from .windows import two_phase_cumsum
 
@@ -4408,20 +4416,23 @@ def agg_mann_whitney_u(spark, t):
     cum = two_phase_cumsum(per, [F.asc("v")], ["nn"]).select(
         "v", "np", "nn", (F.col("cum_nn") - F.col("nn")).alias("nn_below")
     )
+    tie = F.col("np") + F.col("nn")
     tot = per.agg(
         F.sum("np").cast("double").alias("n1"),
         F.sum("nn").cast("double").alias("n2"),
+        F.sum(tie * tie * tie - tie).cast("double").alias("tie_sum"),
     )
     u = F.sum(F.col("np") * (F.col("nn_below") + F.col("nn") / 2.0))
-    n1, n2 = F.col("n1"), F.col("n2")
+    n1, n2, ties = F.col("n1"), F.col("n2"), F.col("tie_sum")
+    sigma_u = F.sqrt(
+        n1 * n2 / 12 * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1)))
+    )
     return (
         cum.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
+        .groupBy("n1", "n2", "tie_sum")
         .agg(
             F.round(u, 4).alias("u_stat"),
-            F.round(
-                (u - n1 * n2 / 2) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6
-            ).alias("z_score"),
+            F.round((u - n1 * n2 / 2) / sigma_u, 6).alias("z_score"),
         )
         .select(
             "u_stat",

@@ -797,12 +797,23 @@ def ml_confusion_matrix(spark, t):
     ),
     tot AS (
       SELECT SUM(n_event) AS te, SUM(n_nonevent) AS tn FROM buckets
+    ),
+    adj AS (
+      -- 0.5 continuity adjustment on any degenerate (zero-event or
+      -- zero-nonevent) bucket so ln never sees 0 — identical on both
+      -- engines (Spark would NULL, DuckDB would -inf otherwise)
+      SELECT bucket, n_event, n_nonevent,
+             CASE WHEN n_event = 0 OR n_nonevent = 0
+                  THEN n_event + 0.5 ELSE n_event * 1.0 END AS ev_adj,
+             CASE WHEN n_event = 0 OR n_nonevent = 0
+                  THEN n_nonevent + 0.5 ELSE n_nonevent * 1.0 END AS ne_adj
+      FROM buckets
     )
     SELECT b.bucket, b.n_event, b.n_nonevent,
-           round(ln((b.n_event / t.te) / (b.n_nonevent / t.tn)), 6) AS woe,
-           round((b.n_event / t.te - b.n_nonevent / t.tn)
-                 * ln((b.n_event / t.te) / (b.n_nonevent / t.tn)), 6) AS iv_term
-    FROM buckets b CROSS JOIN tot t
+           round(ln((b.ev_adj / t.te) / (b.ne_adj / t.tn)), 6) AS woe,
+           round((b.ev_adj / t.te - b.ne_adj / t.tn)
+                 * ln((b.ev_adj / t.te) / (b.ne_adj / t.tn)), 6) AS iv_term
+    FROM adj b CROSS JOIN tot t
     ORDER BY bucket
     """,
     tier="P2",
@@ -814,10 +825,14 @@ def ml_woe_iv(spark, t):
     drop it). Target: order finished ('F'); feature: order priority.
 
     WOE_b = ln((event_b/Σevent)/(nonevent_b/Σnonevent)); the IV is the
-    sum of the per-bucket terms emitted here. One hash aggregate bounded
-    by the bucket cardinality, then a 1-row totals frame cross-joined
-    back (broadcast by construction) — the full table is scanned once
-    and nothing data-proportional ever meets a single task.
+    sum of the per-bucket terms emitted here. A degenerate bucket (zero
+    events or zero nonevents) gets the standard 0.5 continuity
+    adjustment on BOTH counts — applied identically in the DuckDB
+    oracle, since Spark's ln(0-ratio) yields NULL while DuckDB's yields
+    -inf and the hash check would otherwise diverge. One hash aggregate
+    bounded by the bucket cardinality, then a 1-row totals frame
+    cross-joined back (broadcast by construction) — the full table is
+    scanned once and nothing data-proportional ever meets a single task.
     """
     o = t["orders"]
     buckets = o.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
@@ -831,8 +846,15 @@ def ml_woe_iv(spark, t):
     tot = buckets.agg(
         F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")
     )
-    ev_rate = F.col("n_event") / F.col("te")
-    ne_rate = F.col("n_nonevent") / F.col("tn")
+    degenerate = (F.col("n_event") == 0) | (F.col("n_nonevent") == 0)
+    ev_adj = F.when(degenerate, F.col("n_event") + 0.5).otherwise(
+        F.col("n_event").cast("double")
+    )
+    ne_adj = F.when(degenerate, F.col("n_nonevent") + 0.5).otherwise(
+        F.col("n_nonevent").cast("double")
+    )
+    ev_rate = ev_adj / F.col("te")
+    ne_rate = ne_adj / F.col("tn")
     woe = F.ln(ev_rate / ne_rate)
     return (
         buckets.crossJoin(F.broadcast(tot))

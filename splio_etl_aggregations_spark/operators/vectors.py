@@ -788,7 +788,11 @@ def vec_matryoshka_recall(spark, t):
             sims = (sub @ q_vec[:p]) / (
                 np.linalg.norm(sub, axis=1) * q_norms[p]
             )
-            out[name] = np.round(sims, 6)
+            # Half-away-from-zero to match DuckDB round() — np.round is
+            # banker's (half-to-even) and the 6-dp cosine is the top-10
+            # ordering key, so a half-boundary value would pick a
+            # different top-10 across engines.
+            out[name] = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
         return pd.DataFrame(out)
 
     scored = (

@@ -70,81 +70,74 @@ def get(name: str) -> Query:
     return REGISTRY[name]
 
 
-# The correctness driver evaluates queries in dict order and verified
-# exactly the FIRST 50 in round 1 (CORRECTNESS_r01.json), scoring any
+# The correctness driver evaluates queries in dict order and verifies
+# exactly the FIRST 50 per round (CORRECTNESS_r01/r02.json), scoring any
 # missing-oracle query inside that window as `err: no_oracle`. So dict
-# order is part of the driver contract: the leading 50 slots carry
-# oracle-backed operators that still need a driver-green row (round-1
-# "untested" + newly fixed reds, every operator family represented in
-# case the cap persists), positions 51+ carry the next verification
-# wave, then the round-1 driver-green set, and rows-only operators
-# (sketch/LSH/stream-replay/multimodal, no oracle by nature) sit at the
-# very end where they can never burn a verified slot.
+# order is part of the driver contract. ROTATION POLICY (per round): the
+# leading 50 slots carry oracle-backed operators that have NEVER received
+# a driver-green row, front-loaded by risk (streaming replays, UDx,
+# composite pipelines, scans/sinks, ETL state machines, then analytics);
+# positions 51+ carry the remaining never-checked wave; already
+# driver-green sets (r2 then r1) follow; rows-only operators (sketch/
+# LSH/stream-replay/multimodal, no oracle by nature) sit at the very end
+# where they can never burn a verified slot. After each round, move the
+# newly-verified 50 back into the green tail and promote the next 50.
 DRIVER_ORDER: list[str] = [
-    # -- slots 1-50: the round-2 verification window --------------------
-    # round-1 driver-red rows, fixed this round
-    "agg_collect",
-    "agg_approx_percentile",
-    "dedup_near_minhash",
-    "agg_approx_count_distinct",
-    "agg_hll_partial_merge",
-    "agg_count_min_sketch",
-    "dedup_simhash",
-    # scans / generated sources
-    "scan_parquet",
-    "scan_parquet_pushdown",
-    "source_range",
-    "source_date_spine",
-    # windows
-    "win_row_number",
-    "win_rank_dense",
-    "win_ntile",
-    "win_percent_cume",
-    "win_lag_lead",
-    "win_running_total",
-    "win_sliding_rows",
-    "win_range_time",
-    "win_first_last_value",
-    "win_topk_per_group",
-    "win_global_rank_scalable",
-    "win_nth_value",
-    # sort / limit
-    "sort_multi_key",
-    "limit_topk_global",
-    "limit_offset",
-    # set ops
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    # scalar families (first wave)
-    "str_basic",
-    "str_regex",
-    "date_parts",
-    "math_funcs",
-    "cond_funcs",
-    "array_funcs",
-    "json_funcs",
-    "hash_funcs",
-    # time series
-    "ts_resample_ffill",
-    "ts_interpolate_linear",
-    # one-per-family representatives
-    "text_token_counts",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "stream_tumbling_hourly",
-    "stream_session",
-    "udf_pandas_scalar",
-    "join_asof",
-    # -- slots 51+: the round-3 wave (untested, oracle-backed) ----------
+    # -- slots 1-50: round-3 verification window. Never driver-checked,
+    # risk-first per the rotation policy: streaming replays, UDx,
+    # composites, scans/sinks, ETL state machines, ADVICE-touched ops,
+    # TPC-H representatives, heavy analytics. ------------------------
+    "stream_stream_join",
+    "stream_upsert_materialize",
+    "stream_windowed_topk",
+    "stream_sliding",
+    "stream_dedup_watermark",
+    "stream_stateful_counter",
+    "stream_static_join",
+    "udf_python_scalar",
+    "udaf_pandas_grouped_agg",
+    "udf_grouped_map",
+    "udtf_python",
+    "udf_pandas_iter",
+    "udf_map_in_arrow",
+    "udf_rolling_median",
+    "udtf_table_sessionize",
+    "pipeline_training_set",
+    "pipeline_marketing_mix",
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
-    "sink_parquet_partitioned",
     "scan_orc_roundtrip",
+    "sink_parquet_partitioned",
+    "scan_merge_schema",
+    "scan_csv_malformed_permissive",
+    "scan_dynamic_partition_pruning",
+    "sink_dynamic_partition_overwrite",
+    "sink_sorted_clustered_write",
+    "etl_scd2_history",
+    "etl_sessionize",
+    "etl_cdc_apply",
+    "etl_watermark_incremental_load",
+    "join_scd2_point_in_time",
+    "etl_reconcile_sources",
+    "agg_mann_whitney_u",
+    "ml_woe_iv",
+    "vec_matryoshka_recall",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_min_cost_supplier",
+    "sql_suppliers_kept_waiting",
+    "agg_spearman_corr",
+    "rec_item_item_cf",
+    "basket_brand_affinity",
+    "graph_pagerank",
+    "dedup_containment",
+    "agg_hll_set_algebra",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "sim_knn_query",
+    "dedup_embedding_cluster",
+    # -- slots 51+: remaining never-driver-checked oracle-backed ops --
     "str_distance",
     "array_higher_order",
     "map_funcs",
@@ -155,16 +148,7 @@ DRIVER_ORDER: list[str] = [
     "text_token_bpe",
     "text_lang_id",
     "text_quality_score",
-    "sim_knn_query",
     "sim_centroid_by_label",
-    "dedup_embedding_cluster",
-    "stream_sliding",
-    "stream_dedup_watermark",
-    "stream_stateful_counter",
-    "udf_python_scalar",
-    "udaf_pandas_grouped_agg",
-    "udf_grouped_map",
-    "udtf_python",
     "join_left_semi",
     "join_left_anti",
     "join_cross",
@@ -173,11 +157,7 @@ DRIVER_ORDER: list[str] = [
     "join_bucketed_colocated",
     "join_salted_skew",
     "join_lateral_topn",
-    # round-2 additions (oracle-backed)
-    "stream_stream_join",
-    "etl_scd2_history",
     "join_interval_overlap",
-    "etl_sessionize",
     "sample_hash_bernoulli",
     "sample_split_assign",
     "sample_topk_per_stratum",
@@ -185,9 +165,7 @@ DRIVER_ORDER: list[str] = [
     "agg_entropy",
     "ml_standardize_features",
     "vec_quantize_int8",
-    "corpus_pack_sequences",
     "text_rep_ngram_filter",
-    "corpus_decontaminate",
     "corpus_mix_rebalance",
     "dedup_keep_best",
     "corpus_shuffle_shards",
@@ -201,20 +179,15 @@ DRIVER_ORDER: list[str] = [
     "corpus_length_buckets",
     "ts_gap_stats",
     "sql_shipping_priority",
-    "pipeline_training_set",
-    "stream_upsert_materialize",
     "attribution_last_touch",
-    "basket_brand_affinity",
     "dq_freshness_report",
     "encoding_funcs",
     "dedup_cluster_size_hist",
     "ts_hourly_profile",
     "pareto_revenue_deciles",
-    "udf_pandas_iter",
     "join_null_safe_equi",
     "win_bollinger_bands",
     "agg_gini_revenue",
-    "scan_merge_schema",
     "ts_year_over_year",
     "win_rolling_distinct",
     "agg_sketch_accuracy_report",
@@ -224,20 +197,15 @@ DRIVER_ORDER: list[str] = [
     "ts_ewma10",
     "agg_regression",
     "agg_cumulative_unique_users",
-    "udf_map_in_arrow",
     "corpus_subsample_tokens",
     "set_symmetric_diff",
-    "scan_csv_malformed_permissive",
     "agg_weighted_median",
     "funnel_time_to_convert",
     "text_js_divergence",
-    "dedup_containment",
     "etl_anonymize_kanon",
     "dq_psi_drift",
     "join_asof_nearest",
     "ml_target_encoding",
-    "agg_hll_set_algebra",
-    "graph_pagerank",
     "corpus_quality_ablation",
     "dq_ks_drift",
     "dq_chi2_independence",
@@ -250,20 +218,14 @@ DRIVER_ORDER: list[str] = [
     "sql_large_volume_customer",
     "sql_customer_distribution",
     "sql_top_supplier",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_product_profit",
     "sql_order_priority_check",
     "sql_shipping_delay_priority",
     "sql_small_quantity_revenue",
     "sql_disjunctive_revenue",
-    "sql_suppliers_kept_waiting",
     "sql_sales_opportunity",
-    "sql_min_cost_supplier",
     "sql_important_parts",
     "sql_parts_supplier_count",
     "sql_dominant_suppliers",
-    "udf_rolling_median",
     "dq_benford_test",
     "sim_threshold_sweep",
     "graph_link_prediction",
@@ -271,23 +233,18 @@ DRIVER_ORDER: list[str] = [
     "ml_auc_eval",
     "clv_cohort_ltv",
     "etl_gdpr_erasure",
-    "pipeline_marketing_mix",
-    "stream_static_join",
     "ml_confusion_matrix",
     "agg_moments_skew_kurt",
     "path_analysis_topk",
-    "join_scd2_point_in_time",
     "agg_ab_test_welch",
     "ts_seasonality_index",
     "win_vwap",
-    "rec_item_item_cf",
     "agg_price_elasticity",
     "win_rank_change",
     "join_fuzzy_name",
     "ts_markov_transitions",
     "ts_cusum_changepoint",
     "ts_autocorrelation",
-    "etl_reconcile_sources",
     "agg_robust_means",
     "agg_stickiness_dau_mau",
     "win_time_in_state",
@@ -296,8 +253,6 @@ DRIVER_ORDER: list[str] = [
     "agg_conversion_wilson",
     "agg_survival_km",
     "ml_lift_deciles",
-    "udtf_table_sessionize",
-    "sink_dynamic_partition_overwrite",
     "agg_basket_size_hist",
     "agg_repeat_purchase",
     "rfm_score_segments",
@@ -307,7 +262,6 @@ DRIVER_ORDER: list[str] = [
     "agg_did_discount_effect",
     "ts_purchase_cycle",
     "agg_hhi_concentration",
-    "ml_woe_iv",
     "graph_degree_distribution",
     "corpus_ngram_novelty",
     "ts_rolling_corr",
@@ -324,15 +278,10 @@ DRIVER_ORDER: list[str] = [
     "sort_skyline_pareto",
     "corpus_window_chunking",
     "agg_theil_decomposition",
-    "vec_matryoshka_recall",
-    "scan_dynamic_partition_pruning",
     "dq_functional_dependency",
     "agg_bounce_rate",
     "win_mtd_ytd_running",
     "ts_burstiness_fano",
-    "etl_watermark_incremental_load",
-    "stream_windowed_topk",
-    "etl_cdc_apply",
     "sample_systematic_every_nth",
     "agg_growth_accounting",
     "ml_bootstrap_ci_hash",
@@ -350,18 +299,66 @@ DRIVER_ORDER: list[str] = [
     "vec_subspace_variance",
     "ts_shipping_delay_trend",
     "corpus_epoch_repeat_schedule",
-    "sink_sorted_clustered_write",
     "ml_threshold_tuning_table",
     "join_role_playing_dates",
     "agg_assortment_penetration",
-    "agg_mann_whitney_u",
-    "agg_spearman_corr",
     "ts_month_end_lift",
     "win_user_activity_entropy",
     "dq_monotonic_id_gap_check",
     "text_lang_label_audit",
     "agg_price_dispersion_audit",
-    # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) --------
+    # -- round-2 driver-green (hash-verified in CORRECTNESS_r02) ------
+    "agg_collect",
+    "agg_approx_percentile",
+    "dedup_near_minhash",
+    "agg_approx_count_distinct",
+    "agg_hll_partial_merge",
+    "agg_count_min_sketch",
+    "dedup_simhash",
+    "scan_parquet",
+    "scan_parquet_pushdown",
+    "source_range",
+    "source_date_spine",
+    "win_row_number",
+    "win_rank_dense",
+    "win_ntile",
+    "win_percent_cume",
+    "win_lag_lead",
+    "win_running_total",
+    "win_sliding_rows",
+    "win_range_time",
+    "win_first_last_value",
+    "win_topk_per_group",
+    "win_global_rank_scalable",
+    "win_nth_value",
+    "sort_multi_key",
+    "limit_topk_global",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    "str_basic",
+    "str_regex",
+    "date_parts",
+    "math_funcs",
+    "cond_funcs",
+    "array_funcs",
+    "json_funcs",
+    "hash_funcs",
+    "ts_resample_ffill",
+    "ts_interpolate_linear",
+    "text_token_counts",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "stream_tumbling_hourly",
+    "stream_session",
+    "udf_pandas_scalar",
+    "join_asof",
+    # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) ------
     "project_select",
     "project_cast",
     "filter_simple",
@@ -405,7 +402,7 @@ DRIVER_ORDER: list[str] = [
     "etl_upsert_merge",
     "dq_constraint_report",
     "dq_profile",
-    # -- rows-only operators (no oracle by nature) ----------------------
+    # -- rows-only operators (no oracle by nature) --------------------
     "stream_late_data",
     "sim_ann_lsh_knn",
     "sim_ivf_knn",
