@@ -14,8 +14,10 @@ don't change the final aggregate (late drops are exercised separately by
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -176,24 +178,41 @@ def stream_late_data(spark, t):
     withheld until the very last file — by then the 10-minute watermark
     has advanced past them, so finalized windows reject those rows. The
     deterministic file order (availableNow + maxFilesPerTrigger=1 +
-    lexicographic names) makes the drop set reproducible.
+    lexicographic names written in ascending-mtime order) makes the drop
+    set reproducible.
+
+    The feed files are written BY SPARK (filter + single-file write per
+    batch), never via a driver-side toPandas: the builder scales with
+    the cluster, and the only driver-side work is renaming part files.
+    The drop set is invariant to how on-time rows split across the two
+    leading batches (the watermark at batch_2 is max(on-time ts) − 10 min
+    either way), so a shuffle-free even/odd event_id split replaces the
+    old sorted halving.
     """
     events = t["events"]
     tmp = tempfile.mkdtemp(prefix="late_feed_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
 
-    pdf = events.select("event_id", "ts", "user_id", "value").toPandas()
-    pdf = pdf.sort_values("ts").reset_index(drop=True)
-    first_hour = pdf["ts"] < (pdf["ts"].min() + pd.Timedelta(hours=1))
-    late, on_time = pdf[first_hour], pdf[~first_hour]
-    half = len(on_time) // 2
-    # batch0/1: on-time rows in order; batch2: the now-too-late first hour.
-    # (coerce to µs — Spark's explicit timestamp schema can't read pandas' ns)
-    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
-    on_time.iloc[:half].to_parquet(os.path.join(feed_dir, "batch_0.parquet"), **kw)
-    on_time.iloc[half:].to_parquet(os.path.join(feed_dir, "batch_1.parquet"), **kw)
-    late.to_parquet(os.path.join(feed_dir, "batch_2.parquet"), **kw)
+    sel = events.select("event_id", "ts", "user_id", "value")
+    bounds = sel.agg((F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("cut"))
+    tagged = sel.crossJoin(F.broadcast(bounds))
+    on_time = tagged.filter(F.col("ts") >= F.col("cut")).drop("cut")
+    late = tagged.filter(F.col("ts") < F.col("cut")).drop("cut")
+    # batch0/1: on-time rows; batch2: the now-too-late first hour. Each
+    # batch is one file (maxFilesPerTrigger=1 ⇒ one micro-batch per
+    # file); coalesce(1) bounds the single write task by the micro-batch
+    # size, not the table size.
+    batches = [
+        on_time.filter(F.col("event_id") % 2 == 0),
+        on_time.filter(F.col("event_id") % 2 == 1),
+        late,
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(tmp, f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.rename(src, os.path.join(feed_dir, f"batch_{i}.parquet"))
 
     stream = (
         spark.readStream.schema(
@@ -368,21 +387,35 @@ def stream_upsert_materialize(spark, t):
     deployment the batch body is one ``MERGE INTO`` against a table
     format, same dataflow. State size is bounded by |keys|, not by the
     stream — the property that makes the pattern viable at 100 TB.
+
+    The chronological feed is written BY SPARK in one job:
+    ``repartitionByRange(3, ts, event_id)`` range-partitions the table
+    into three time-ordered parts, each written as one file; the driver
+    only renames part files and stamps ascending mtimes so the file
+    source replays them oldest-first. (The final state is latest-per-key
+    and therefore invariant to the exact batch boundaries.)
     """
     events = t["events"]
     tmp = tempfile.mkdtemp(prefix="upsert_feed_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
 
-    pdf = events.select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    ).toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
-    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
-    third = (len(pdf) + 2) // 3
-    for i in range(3):
-        pdf.iloc[i * third : (i + 1) * third].to_parquet(
-            os.path.join(feed_dir, f"batch_{i}.parquet"), **kw
-        )
+    stage = os.path.join(tmp, "stage")
+    (
+        events.select("event_id", "ts", "user_id", "event_type", "value")
+        .repartitionByRange(3, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    # part-0000N name order == range order == chronological order; stamp
+    # strictly increasing mtimes so FileStreamSource's modified-time
+    # ordering agrees with the lexicographic batch names.
+    t0 = time.time()
+    for i, src in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+        dst = os.path.join(feed_dir, f"batch_{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
 
     schema = (
         "event_id long, ts timestamp, user_id long, "
