@@ -656,18 +656,29 @@ def agg_hll_partial_merge(spark, t):
     bytes → `err: no_oracle`); the portable register representation is
     deterministic SQL on both engines, so the merge algebra itself is
     hash-checked. ±accuracy asserted in tests/test_units.py.
+
+    The per-day register table and its all-days max-merge come out of
+    ONE aggregation via GROUPING SETS ((day, j), (j)) — the (j)-only set
+    IS the register-wise max union, its grouping NULL is the total row's
+    day. Round 2 built the two branches as separate plans unioned
+    together, which re-ran the scan→distinct→ph60 pipeline per branch
+    (the one measured r1→r2 bench regression); the Expand-based form
+    scans once by construction.
     """
-    daily_rm = _hll_regmax(
-        t["events"].select(F.to_date("ts").alias("day"), "user_id"),
-        ["day"],
-        "user_id",
+    from ..functions.portable_hash import hll_rank, ph60
+
+    src = t["events"].select(F.to_date("ts").alias("day"), "user_id")
+    h = src.distinct().select("day", ph60("user_id", "hll").alias("h"))
+    reg = h.select(
+        "day",
+        (F.col("h") % _HLL_M).alias("j"),
+        hll_rank(F.expr(f"h div {_HLL_M}"), _HLL_W).alias("r"),
     )
-    per_day = _hll_estimate(daily_rm, ["day"], "est_users")
-    merged_rm = daily_rm.groupBy("j").agg(F.max("mj").alias("mj"))
-    total = _hll_estimate(
-        merged_rm.withColumn("day", F.lit(None).cast("date")), ["day"], "est_users"
+    rm = (
+        reg.groupingSets([["day", "j"], ["j"]], "day", "j")
+        .agg(F.max("r").alias("mj"))
     )
-    return per_day.unionByName(total)
+    return _hll_estimate(rm, ["day"], "est_users")
 
 
 @register(
@@ -1713,10 +1724,15 @@ def agg_hll_set_algebra(spark, t):
     everything after is constant-size.
     """
     ev = t["events"]
-    rm_c = _hll_regmax(ev.filter(F.col("event_type") == "click"), [], "user_id")
+    # cache(): each ≤m-row register table feeds both its own estimate
+    # and the register-max union — without it the scan→distinct→ph60
+    # pipeline runs twice per sketch.
+    rm_c = _hll_regmax(
+        ev.filter(F.col("event_type") == "click"), [], "user_id"
+    ).cache()
     rm_p = _hll_regmax(
         ev.filter(F.col("event_type") == "purchase"), [], "user_id"
-    )
+    ).cache()
     rm_u = (
         rm_c.unionByName(rm_p).groupBy("j").agg(F.max("mj").alias("mj"))
     )

@@ -412,10 +412,14 @@ def sim_ivf_knn(spark, t):
     return ivf_knn(spark, t, n_cells=10, n_probe=4, k=10)
 
 
-@register("sim_ann_lsh_knn", oracle=None, tier="P2")  # rows-only (approximate)
-def sim_ann_lsh_knn(spark, t):
-    """Approximate top-10 neighbors of vec_id=0: random-hyperplane sketch +
-    budgeted probing + exact re-rank.
+def lsh_knn(spark, t, probe_budget: int | None = None, k: int = 10):
+    """Approximate top-k neighbors of vec_id=0: random-hyperplane sketch +
+    budgeted probing + exact re-rank. ``probe_budget=None`` applies the
+    registered op's default cut; passing the corpus size (or more) probes
+    everything, making the result EXACTLY the brute-force top-k —
+    tests/test_units.py asserts that reduction, so the sketch/probe/
+    re-rank machinery is exact-verified even though the registered
+    budgeted form stays rows-only.
 
     Stage 1 (distributed, one narrow pass): each vector's 256-bit
     signed-random-projection sketch is computed from the embedding column
@@ -459,12 +463,14 @@ def sim_ann_lsh_knn(spark, t):
         return pd.Series((sk != g_qs[None, :]).sum(axis=1).astype("int32"))
 
     emb = t["embeddings"].filter(F.col("vec_id") != 0)
-    n = emb.count()
-    # The budget candidate cut is an intermediate GlobalLimit — every
-    # partition's local top-budget meets at one task, so the budget must
-    # be an absolute constant at scale, not a corpus fraction (10 % of
-    # 100 TB through one task is a collapse; 100k rows is ~25 MB).
-    probe_budget = min(max(50, n // 10), 100_000)
+    if probe_budget is None:
+        n = emb.count()
+        # The budget candidate cut is an intermediate GlobalLimit — every
+        # partition's local top-budget meets at one task, so the budget
+        # must be an absolute constant at scale, not a corpus fraction
+        # (10 % of 100 TB through one task is a collapse; 100k rows is
+        # ~25 MB).
+        probe_budget = min(max(50, n // 10), 100_000)
     ranked = emb.select(
         "vec_id",
         F.col("embedding").cast(_EMB_D).alias("emb"),
@@ -480,8 +486,16 @@ def sim_ann_lsh_knn(spark, t):
     return (
         cand.select("vec_id", r6(cos_to_query("emb")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
+        .limit(k)
     )
+
+
+@register("sim_ann_lsh_knn", oracle=None, tier="P2")  # rows-only (approximate)
+def sim_ann_lsh_knn(spark, t):
+    """Registered budgeted LSH search (~10 % probe budget) — see
+    ``lsh_knn`` for the sketch/probe/re-rank design; probe-all
+    exactness is asserted in tests/test_units.py."""
+    return lsh_knn(spark, t)
 
 
 @register(

@@ -194,6 +194,34 @@ def test_ivf_probe_all_cells_matches_exact(spark):
     assert full == exact
 
 
+def test_ivf_probe_all_cells_matches_exact_t2(spark):
+    """Probe-all == brute-force at the driver's t2 scale too (sf0.01):
+    the machinery-exactness claim holds beyond the tiny fixture."""
+    from .conftest import SF_T2
+    from splio_etl_aggregations_spark.operators.vectors import ivf_knn
+
+    t = load(spark, SF_T2)
+    exact = [r["vec_id"] for r in Q["sim_knn_query"].run(spark, SF_T2).collect()]
+    full = [r["vec_id"] for r in ivf_knn(spark, t, n_cells=10, n_probe=10).collect()]
+    assert full == exact
+
+
+def test_lsh_probe_all_matches_exact(spark):
+    """An LSH probe budget covering the whole corpus must reduce to the
+    exact brute-force top-k (sketch ranking only reorders candidates;
+    the exact cosine re-rank decides) — the probe-all exactness claim
+    for sim_ann_lsh_knn, checked at both fixture scales."""
+    from .conftest import SF_T2
+    from splio_etl_aggregations_spark.operators.vectors import lsh_knn
+
+    for sf in (SF_SMALL, SF_T2):
+        t = load(spark, sf)
+        n = t["embeddings"].count()
+        exact = [r["vec_id"] for r in Q["sim_knn_query"].run(spark, sf).collect()]
+        full = [r["vec_id"] for r in lsh_knn(spark, t, probe_budget=n).collect()]
+        assert full == exact, f"sf={sf}"
+
+
 def test_ivf_partial_probe_recall_floor(spark):
     """These fixtures have no cluster structure (SURVEY.md §1.2-adjacent
     measurement in ivf_knn docstring), so IVF recall ≈ probed-mass
