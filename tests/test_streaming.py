@@ -337,6 +337,32 @@ def test_static_join_replay_equals_batch(spark):
     assert _rows(stream) == _rows(batch)
 
 
+def test_upsert_materialize_replay_equals_batch(spark):
+    """stream_upsert_materialize IS a streaming replay (3 chronological
+    micro-batches foreachBatch-merged into a keyed state table); assert
+    its final state equals the batch latest-per-key query — the
+    engine-side twin of its DuckDB oracle, completing one replay test
+    per §2-I operator."""
+    from pyspark.sql import Window as W
+
+    from splio_etl_aggregations_spark.registry import get
+
+    got = get("stream_upsert_materialize").run(spark, SF_SMALL)
+    events = load(spark, SF_SMALL)["events"]
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    batch = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+    assert _rows(got) == _rows(batch)
+
+
 def test_windowed_topk_replay_equals_batch(spark):
     """Stream the count half (windowed counts, complete mode), rank the
     sink in batch, and match the registered batch top-k — the two-stage

@@ -168,6 +168,16 @@ def shapes(spark, t):
         "kept_waiting": lambda: get("sql_suppliers_kept_waiting").builder(spark, t),
         "ngram_novelty": lambda: get("corpus_ngram_novelty").builder(spark, t),
         "degree_dist": lambda: get("graph_degree_distribution").builder(spark, t),
+        # r3 wave: the remaining heaviest r2 shapes whose scale claims
+        # were argued from plan shape only (VERDICT r2 task 6). Spearman:
+        # the price rank map is value-cardinality-sized and ships through
+        # a shuffle join + two-phase cumsum (expect ~linear in distinct
+        # values). Item-item CF / basket affinity: pair space bounded by
+        # |brands|² with candidate join on the order key (expect linear
+        # in facts, constant pair space).
+        "spearman_corr": lambda: get("agg_spearman_corr").builder(spark, t),
+        "item_item_cf": lambda: get("rec_item_item_cf").builder(spark, t),
+        "basket_affinity": lambda: get("basket_brand_affinity").builder(spark, t),
     }
 
 
