@@ -94,6 +94,7 @@ DRIVER_ORDER: list[str] = [
     "stream_dedup_watermark",
     "stream_stateful_counter",
     "stream_static_join",
+    "stream_late_data",
     "udf_python_scalar",
     "udaf_pandas_grouped_agg",
     "udf_grouped_map",
@@ -136,8 +137,8 @@ DRIVER_ORDER: list[str] = [
     "corpus_decontaminate",
     "corpus_pack_sequences",
     "sim_knn_query",
-    "dedup_embedding_cluster",
     # -- slots 51+: remaining never-driver-checked oracle-backed ops --
+    "dedup_embedding_cluster",
     "str_distance",
     "array_higher_order",
     "map_funcs",
@@ -403,7 +404,6 @@ DRIVER_ORDER: list[str] = [
     "dq_constraint_report",
     "dq_profile",
     # -- rows-only operators (no oracle by nature) --------------------
-    "stream_late_data",
     "sim_ann_lsh_knn",
     "sim_ivf_knn",
     "multimodal_binary_ingest",

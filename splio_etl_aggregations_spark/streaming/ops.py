@@ -169,9 +169,31 @@ def stream_dedup_watermark(spark, t):
     return dedup_by_event_id(t["events"])
 
 
-@register("stream_late_data", oracle=None, tier="P3")  # rows-only: stream-only behavior
+@register(
+    "stream_late_data",
+    oracle="""
+    WITH b AS (SELECT MIN(ts) + INTERVAL 1 HOUR AS cut,
+                      MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+    FROM events, b
+    WHERE ts >= b.cut
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.wm
+    GROUP BY 1
+    """,
+    tier="P3",
+)
 def stream_late_data(spark, t):
     """Tumbling aggregate where events later than the watermark are DROPPED.
+
+    Hash-checked since round 3 (rows-only through r2): the replay's final
+    state is fully deterministic SQL — the withheld first-hour rows are
+    dropped because their windows finalized under the batch-0/1 watermark
+    (max on-time ts − 10 min), and append mode emits exactly the windows
+    whose END is ≤ that final watermark, so the oracle is "on-time rows
+    (ts ≥ min+1h), grouped hourly, windows closed by max−10min". The
+    boundary strictness (≤, not <) and the ≥2h10m event span both
+    predicates rely on are verified by the hash match at both fixture
+    scales.
 
     Runs a real Structured Streaming job inside the query: the events
     table is split into 3 micro-batch files with the first hour's rows
