@@ -5,6 +5,15 @@ Spark-side plumbing — binaryFile source, schema, Arrow batch shape,
 ``mapInPandas`` decode stage — is real and tested; the actual codec call
 is stubbed behind a deterministic fake (no image/audio libs in this
 container), clearly marked where a real decoder would plug in.
+
+Hash-checked since round 3 (rows-only through r2): the fake blobs are
+pure functions of their index (sha256-seeded bytes), so DuckDB can
+regenerate every blob AS HEX and recompute the manifest/decode/frame
+outputs — which makes the oracle a byte-exactness proof of the whole
+binaryFile → Arrow → pandas transport. One accommodation: DuckDB 1.0's
+``sha256`` accepts only VARCHAR, so content fingerprints are computed
+over the UPPERCASE HEX of the bytes (injective, cross-engine) rather
+than the raw bytes.
 """
 
 from __future__ import annotations
@@ -19,6 +28,19 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 
+#: DuckDB CTE regenerating the blob corpus as (i, file_name, hexdata) —
+#: the exact hex of what _write_blobs() puts on disk.
+_BLOBS_SQL = """
+    ids AS (SELECT range AS i FROM range(24)),
+    blobs AS (SELECT i,
+      'img_' || lpad(i::VARCHAR, 4, '0') || '.bin' AS file_name,
+      '46414b45494d4731' || printf('%02x', i % 256)
+        || printf('%02x', (i * 7) % 256)
+        || substr(repeat(sha256('blob-' || i), 64), 1, 2 * (512 + 97 * i))
+        AS hexdata
+    FROM ids)
+"""
+
 
 def _write_blobs(n: int = 24) -> str:
     """Deterministic fake media blobs (seeded bytes + a tiny header)."""
@@ -32,20 +54,54 @@ def _write_blobs(n: int = 24) -> str:
     return root
 
 
-@register("multimodal_binary_ingest", oracle=None, tier="P3")  # rows-only
+@register(
+    "multimodal_binary_ingest",
+    oracle=f"""
+    WITH {_BLOBS_SQL}
+    SELECT file_name,
+           octet_length(unhex(hexdata)) AS n_bytes,
+           sha256(upper(hexdata)) AS content_sha256
+    FROM blobs
+    """,
+    tier="P3",
+)
 def multimodal_binary_ingest(spark, t):
     """Ingest a directory of binary blobs via the binaryFile source into
-    (name, byte length, sha256) — the canonical media-manifest table."""
+    (name, byte length, content fingerprint) — the canonical
+    media-manifest table. The fingerprint is sha256 of the blob's
+    uppercase hex (module docstring explains why), computed JVM-side
+    (``sha2(hex(content))``) so the scan never leaves the executor."""
     root = _write_blobs()
     raw = spark.read.format("binaryFile").load(f"{root}/*.bin")
     return raw.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.length(F.col("content")).alias("n_bytes"),
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.sha2(F.hex(F.col("content")), 256).alias("content_sha256"),
     )
 
 
-@register("multimodal_decode_features", oracle=None, tier="P3")  # rows-only
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH {_BLOBS_SQL},
+    body AS (SELECT file_name, hexdata, substr(hexdata, 21) AS bh FROM blobs),
+    bytes AS (
+      SELECT b.file_name, ('0x' || substr(b.bh, 2 * g.p + 1, 2))::INT AS v
+      FROM body b CROSS JOIN (SELECT range AS p FROM range(3000)) g
+      WHERE g.p < length(b.bh) / 2
+    )
+    SELECT b.file_name,
+           16 * (('0x' || substr(b.hexdata, 17, 2))::INT + 1) AS width,
+           9 * (('0x' || substr(b.hexdata, 19, 2))::INT + 1) AS height,
+           round(s.byte_sum / s.n_body, 4) AS byte_mean
+    FROM body b JOIN (
+      SELECT file_name, SUM(v)::DOUBLE AS byte_sum,
+             COUNT(*)::DOUBLE AS n_body
+      FROM bytes GROUP BY file_name
+    ) s USING (file_name)
+    """,
+    tier="P3",
+)
 def multimodal_decode_features(spark, t):
     """Decode + feature-extract stage over binary media via mapInPandas.
 
@@ -53,7 +109,10 @@ def multimodal_decode_features(spark, t):
     standing in for e.g. PIL/libvips/ffmpeg — swap ``_fake_decode`` for a
     real codec and the schema, batching and partitioning stay unchanged.
     Arrow moves the binary column in columnar batches; one Python worker
-    per core processes whole batches (never per-row pickling).
+    per core processes whole batches (never per-row pickling). The UDF
+    emits EXACT integer byte sums; the mean + 4-dp rounding fold happens
+    JVM-side with ``F.round`` so the float path matches the oracle's
+    (the repo-wide r4 cross-engine rounding convention).
     """
     root = _write_blobs()
     raw = spark.read.format("binaryFile").load(f"{root}/*.bin")
@@ -66,11 +125,11 @@ def multimodal_decode_features(spark, t):
                 "real codec not available in this environment"
             )
         body = content[10:]
-        mean = sum(body) / len(body)
         return {
             "width": 16 * (content[8] + 1),
             "height": 9 * (content[9] + 1),
-            "byte_mean": round(mean, 4),
+            "byte_sum": sum(body),
+            "n_body": len(body),
         }
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,12 +141,50 @@ def multimodal_decode_features(spark, t):
             )
             yield out
 
-    return raw.select("path", "content").mapInPandas(
-        decode, schema="file_name string, width int, height int, byte_mean double"
+    decoded = raw.select("path", "content").mapInPandas(
+        decode,
+        schema="file_name string, width int, height int, "
+        "byte_sum long, n_body long",
+    )
+    return decoded.select(
+        "file_name",
+        "width",
+        "height",
+        F.round(
+            F.col("byte_sum").cast("double") / F.col("n_body").cast("double"),
+            4,
+        ).alias("byte_mean"),
     )
 
 
-@register("multimodal_frame_sample", oracle=None, tier="P3")  # rows-only
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH {_BLOBS_SQL},
+    body AS (SELECT file_name, substr(hexdata, 21) AS bh,
+                    length(hexdata) / 2 - 10 AS n_body
+             FROM blobs),
+    frames AS (
+      SELECT b.file_name, g.f AS frame_idx, b.bh
+      FROM body b CROSS JOIN (SELECT range AS f FROM range(64)) g
+      WHERE 64 * g.f + 64 <= b.n_body AND g.f % 4 = 0
+    )
+    SELECT file_name, CAST(frame_idx AS INT) AS frame_idx,
+           8 AS resized_len,
+           sha256(upper(
+             substr(bh, 128 * frame_idx + 1, 2)
+             || substr(bh, 128 * frame_idx + 17, 2)
+             || substr(bh, 128 * frame_idx + 33, 2)
+             || substr(bh, 128 * frame_idx + 49, 2)
+             || substr(bh, 128 * frame_idx + 65, 2)
+             || substr(bh, 128 * frame_idx + 81, 2)
+             || substr(bh, 128 * frame_idx + 97, 2)
+             || substr(bh, 128 * frame_idx + 113, 2)
+           )) AS frame_sha
+    FROM frames
+    """,
+    tier="P3",
+)
 def multimodal_frame_sample(spark, t):
     """Frame-sampling + resize stage over binary 'video' blobs: every
     k-th fixed-size frame is extracted and 'resized' (strided byte
@@ -129,8 +226,11 @@ def multimodal_frame_sample(spark, t):
                     out["file_name"].append(name)
                     out["frame_idx"].append(idx)
                     out["resized_len"].append(len(resized))
+                    # fingerprint over uppercase hex (module docstring)
                     out["frame_sha"].append(
-                        hashlib.sha256(resized).hexdigest()
+                        hashlib.sha256(
+                            resized.hex().upper().encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(out)
 

@@ -78,10 +78,10 @@ def get(name: str) -> Query:
 # a driver-green row, front-loaded by risk (streaming replays, UDx,
 # composite pipelines, scans/sinks, ETL state machines, then analytics);
 # positions 51+ carry the remaining never-checked wave; already
-# driver-green sets (r2 then r1) follow; rows-only operators (sketch/
-# LSH/stream-replay/multimodal, no oracle by nature) sit at the very end
-# where they can never burn a verified slot. After each round, move the
-# newly-verified 50 back into the green tail and promote the next 50.
+# driver-green sets (r2 then r1) follow; rows-only operators (the two
+# budgeted/seeded ANN searches — no oracle by nature) sit at the very
+# end where they can never burn a verified slot. After each round, move
+# the newly-verified 50 back into the green tail and promote the next 50.
 DRIVER_ORDER: list[str] = [
     # -- slots 1-50: round-3 verification window. Never driver-checked,
     # risk-first per the rotation policy: streaming replays, UDx,
@@ -139,6 +139,9 @@ DRIVER_ORDER: list[str] = [
     "sim_knn_query",
     # -- slots 51+: remaining never-driver-checked oracle-backed ops --
     "dedup_embedding_cluster",
+    "multimodal_binary_ingest",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
     "str_distance",
     "array_higher_order",
     "map_funcs",
@@ -403,12 +406,9 @@ DRIVER_ORDER: list[str] = [
     "etl_upsert_merge",
     "dq_constraint_report",
     "dq_profile",
-    # -- rows-only operators (no oracle by nature) --------------------
+    # -- rows-only operators (no oracle by nature: budgeted/seeded ANN)
     "sim_ann_lsh_knn",
     "sim_ivf_knn",
-    "multimodal_binary_ingest",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
 ]
 
 
