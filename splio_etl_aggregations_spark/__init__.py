@@ -41,6 +41,7 @@ def register_all() -> None:
         features,
         filters,
         joins,
+        lake,
         mlprep,
         multimodal,
         sampling,

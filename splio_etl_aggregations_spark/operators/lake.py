@@ -1,0 +1,606 @@
+"""Versioned-table (lakehouse) operators — transaction log, CoW MERGE,
+time travel, zone-map file skipping (SURVEY.md §2-L, round-3 wave).
+
+The sandbox ships no Delta/Iceberg package (VERDICT r2 "What's missing"
+#1: a real splio-style ETL hits table-format MERGE first), so this
+module implements the *mechanism* those formats provide on plain
+parquet + a JSON transaction log — the same architecture at miniature
+scale:
+
+- ``_log/{N:08d}.json`` — one commit per version: ``adds`` (relative
+  file path, row count, per-column min/max zone maps) and ``removes``.
+  A snapshot at version V is the replay of commits 0..V. Commits are
+  atomic via write-to-temp + ``os.replace``; a pre-existing target
+  version file raises (optimistic concurrency — the put-if-absent
+  primitive real formats get from HDFS/ABFS rename or an S3 lock
+  service).
+- Zone maps come from the **parquet footers** (pyarrow metadata), not
+  an extra Spark job — exactly how production formats collect file
+  stats, O(files) driver-side footer reads and zero data scan.
+- Copy-on-write MERGE rewrites ONLY the files whose key zone map
+  overlaps the changed-key range; untouched files survive by reference.
+  At 100 TB this is the difference between rewriting ~1/N of the table
+  and all of it.
+- All money flows as integer cents (``o_cents`` BIGINT); sums are exact
+  bigints cross-engine, so the hash checks carry zero float risk.
+
+Scale notes: the log is O(files) JSON on the driver — real formats
+checkpoint it (Delta's _last_checkpoint / Iceberg manifests) once file
+counts reach millions; the snapshot replay and pruning logic below is
+the same shape. Data is never collected to the driver: commits write
+with Spark, stats come from footers, reads are ``spark.read.parquet``
+over the pruned live-file list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# ---------------------------------------------------------------- core
+
+
+class ConcurrentCommit(RuntimeError):
+    """Raised when the target log version already exists (lost race)."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_log")
+
+
+def _commit(root: str, version: int, adds: list[dict], removes: list[str]) -> None:
+    """Atomically publish a commit: temp file + rename, put-if-absent."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    target = os.path.join(_log_dir(root), f"{version:08d}.json")
+    if os.path.exists(target):
+        raise ConcurrentCommit(f"version {version} already committed")
+    entry = {"version": version, "adds": adds, "removes": removes}
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, target)
+
+
+def _versions(root: str) -> list[int]:
+    d = _log_dir(root)
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def _snapshot(root: str, version: int | None = None) -> list[dict]:
+    """Replay the log up to ``version`` (default latest) → live adds."""
+    live: dict[str, dict] = {}
+    for v in _versions(root):
+        if version is not None and v > version:
+            break
+        with open(os.path.join(_log_dir(root), f"{v:08d}.json")) as fh:
+            entry = json.load(fh)
+        for rel in entry["removes"]:
+            live.pop(rel, None)
+        for add in entry["adds"]:
+            live[add["path"]] = add
+    return list(live.values())
+
+
+def _footer_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
+    """Row count + per-column [min, max] from the parquet footer only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in stat_cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+
+    def _plain(v):
+        return v if isinstance(v, (int, float, str)) else str(v)
+
+    stats = {
+        c: [_plain(mins[c]), _plain(maxs[c])] for c in stat_cols if c in mins
+    }
+    return md.num_rows, stats
+
+
+def _write_files(
+    df, root: str, version: int, stat_cols: list[str]
+) -> list[dict]:
+    """Write a commit's data files under data/v{N}/ and footer-scan them."""
+    rel_dir = os.path.join("data", f"v{version:06d}")
+    out = os.path.join(root, rel_dir)
+    df.write.mode("overwrite").parquet(out)
+    adds = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        rows, stats = _footer_stats(os.path.join(out, f), stat_cols)
+        adds.append(
+            {"path": os.path.join(rel_dir, f), "rows": rows, "stats": stats}
+        )
+    return adds
+
+
+def _read_version(spark, root: str, version: int | None = None, **opts):
+    paths = [os.path.join(root, a["path"]) for a in _snapshot(root, version)]
+    reader = spark.read
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.parquet(*paths)
+
+
+def _prune_files(adds: list[dict], key: str, lo, hi) -> list[dict]:
+    """Zone-map pruning: keep files whose [min,max] overlaps [lo,hi]."""
+    kept = []
+    for a in adds:
+        st = a["stats"].get(key)
+        if st is None:  # no stats → cannot skip, must read
+            kept.append(a)
+            continue
+        if not (st[1] < lo or st[0] > hi):
+            kept.append(a)
+    return kept
+
+
+def _key_bounds(adds: list[dict], key: str) -> tuple[int, int]:
+    mins = [a["stats"][key][0] for a in adds if key in a["stats"]]
+    maxs = [a["stats"][key][1] for a in adds if key in a["stats"]]
+    return min(mins), max(maxs)
+
+
+# ------------------------------------------------------ the demo lake
+#
+# One shared builder so every operator exercises the same commit path.
+# v0: orders (o_orderkey, o_orderpriority, o_cents, src='base'), 8 files
+#     range-partitioned on o_orderkey — disjoint zone maps.
+# v1: one copy-on-write MERGE commit:
+#       DELETE  keys in the top decile   (o_orderkey >  hicut)
+#       UPDATE  keys in the bottom decile (o_orderkey <= locut):
+#               cents += cents div 10 (+10 % floored to the cent), src='updated'
+#       INSERT  shifted keys (o_orderkey + mx) for o_orderkey % 97 = 0,
+#               src='inserted'
+#     Only files overlapping the two touched deciles are rewritten; the
+#     middle ~3/4 of the files carry over by log reference.
+
+_KEY = "o_orderkey"
+
+
+def _base_frame(t):
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("o_cents"),
+        F.lit("base").alias("src"),
+    )
+
+
+def _build_v0(spark, t, root: str, n_files: int = 8):
+    df = _base_frame(t).repartitionByRange(n_files, F.col(_KEY))
+    adds = _write_files(df, root, 0, [_KEY])
+    _commit(root, 0, adds, [])
+
+
+def _merge_v1(spark, root: str):
+    """The CoW MERGE commit described above. Returns (locut, hicut, mx)."""
+    live = _snapshot(root, 0)
+    mn, mx = _key_bounds(live, _KEY)
+    locut = mn + (mx - mn) // 10
+    hicut = mx - (mx - mn) // 10
+
+    # files whose key range touches either modified decile
+    touched = {
+        a["path"]
+        for a in _prune_files(live, _KEY, mn, locut)
+        + _prune_files(live, _KEY, hicut + 1, mx)
+    }
+    untouched = [a for a in live if a["path"] not in touched]
+    touched_paths = [os.path.join(root, p) for p in sorted(touched)]
+
+    spark_df = spark.read.parquet(*touched_paths)
+    rewritten = (
+        spark_df.filter(F.col(_KEY) <= F.lit(hicut))  # DELETE top decile
+        .withColumn(
+            "src",
+            F.when(F.col(_KEY) <= F.lit(locut), F.lit("updated")).otherwise(
+                F.col("src")
+            ),
+        )
+        .withColumn(
+            "o_cents",
+            F.when(
+                F.col(_KEY) <= F.lit(locut),
+                F.col("o_cents") + F.expr("o_cents div 10"),
+            ).otherwise(F.col("o_cents")),
+        )
+    )
+    inserts = (
+        _read_version(spark, root, 0)
+        .filter(F.col(_KEY) % 97 == 0)
+        .select(
+            (F.col(_KEY) + F.lit(mx)).alias(_KEY),
+            "o_orderpriority",
+            "o_cents",
+            F.lit("inserted").alias("src"),
+        )
+    )
+    adds = _write_files(rewritten.unionByName(inserts), root, 1, [_KEY])
+    _commit(root, 1, adds, sorted(touched))
+    assert untouched, "CoW degenerated to full rewrite on this layout"
+    return locut, hicut, mx
+
+
+def _demo_lake(spark, t) -> str:
+    root = tempfile.mkdtemp(prefix="lake_")
+    _build_v0(spark, t, root)
+    _merge_v1(spark, root)
+    return root
+
+
+# SQL fragment shared by the oracles: the v1 final state, reconstructed
+# relationally (DuckDB // is floor division; keys are positive).
+_V1_SQL = """
+    bounds AS (
+      SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 10
+               AS locut,
+             max(o_orderkey) - (max(o_orderkey) - min(o_orderkey)) // 10
+               AS hicut,
+             max(o_orderkey) AS mx
+      FROM orders
+    ),
+    base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey <= (SELECT locut FROM bounds)
+                  THEN o_cents + o_cents // 10 ELSE o_cents END AS o_cents,
+             CASE WHEN o_orderkey <= (SELECT locut FROM bounds)
+                  THEN 'updated' ELSE 'base' END AS src
+      FROM base
+      WHERE o_orderkey <= (SELECT hicut FROM bounds)
+      UNION ALL
+      SELECT o_orderkey + (SELECT mx FROM bounds), o_orderpriority,
+             o_cents, 'inserted'
+      FROM base WHERE o_orderkey % 97 = 0
+    )
+"""
+
+
+# ------------------------------------------------------------ operators
+
+
+@register(
+    "lake_merge_upsert",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT src, o_orderpriority, COUNT(*) AS n_rows,
+           SUM(o_cents) AS revenue_cents
+    FROM v1 GROUP BY src, o_orderpriority
+    """,
+    tier="P1",
+)
+def lake_merge_upsert(spark, t):
+    """MERGE INTO on a transaction-logged parquet table, copy-on-write:
+    one commit deletes the top key decile, updates the bottom decile
+    (+10 % floored to the cent), and inserts key-shifted rows — and
+    rewrites ONLY the data files whose footer zone maps overlap the two
+    touched deciles (the middle files survive as log references,
+    verified in tests/test_units.py). This is the table-format MERGE
+    the sandbox's missing Delta/Iceberg would provide, rebuilt on plain
+    parquet + an atomic JSON log (module docstring).
+
+    The hash check reads the post-merge snapshot and folds it per
+    (src, priority): a dropped untouched file collapses 'base' counts, a
+    missed rewrite leaves 'updated' rows absent, a non-atomic commit
+    double-counts — every failure mode lands in the aggregate.
+    """
+    root = _demo_lake(spark, t)
+    return (
+        _read_version(spark, root)
+        .groupBy("src", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "lake_time_travel_read",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders
+    UNION ALL
+    SELECT 1, COUNT(*), SUM(o_cents) FROM v1
+    """,
+    tier="P2",
+)
+def lake_time_travel_read(spark, t):
+    """Time travel: the same table read AS OF version 0 and version 1 in
+    one query — the log replay stops at the requested version, so the
+    pre-merge snapshot stays byte-identical after the merge commits
+    (snapshot isolation without copying data). One row per version with
+    exact integer-cent totals; the v0 row must equal the raw ``orders``
+    fold even though v1 has since deleted/updated/inserted.
+    """
+    root = _demo_lake(spark, t)
+
+    def fold(version):
+        return _read_version(spark, root, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        ).select("version", "n_rows", "revenue_cents")
+
+    return fold(0).unionByName(fold(1))
+
+
+@register(
+    "lake_change_feed",
+    oracle=f"""
+    WITH {_V1_SQL},
+    v0 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    cdf AS (
+      SELECT CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                  WHEN v1.o_orderkey IS NULL THEN 'delete'
+                  WHEN v1.o_cents <> v0.o_cents THEN 'update'
+                  ELSE 'none' END AS change_type,
+             COALESCE(v1.o_cents, 0) - COALESCE(v0.o_cents, 0) AS delta
+      FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n_rows,
+           SUM(delta) AS delta_cents
+    FROM cdf GROUP BY change_type
+    """,
+    tier="P2",
+)
+def lake_change_feed(spark, t):
+    """Change data feed between two table versions, derived from the
+    snapshots themselves: full-outer-join v0 and v1 on the key and
+    classify each row insert / delete / update / none, with the exact
+    integer-cent revenue delta per class. Formats with a native CDF
+    persist this per commit; deriving it from snapshots is the portable
+    fallback and costs one key-partitioned shuffle join — scale-safe,
+    and the classification totals reconcile the merge end-to-end.
+    """
+    root = _demo_lake(spark, t)
+    v0 = _read_version(spark, root, 0).select(
+        _KEY, F.col("o_cents").alias("old_cents")
+    )
+    v1 = _read_version(spark, root, 1).select(
+        _KEY, F.col("o_cents").alias("new_cents")
+    )
+    joined = v0.join(v1, _KEY, "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("old_cents").isNull(), F.lit("insert"))
+            .when(F.col("new_cents").isNull(), F.lit("delete"))
+            .when(F.col("new_cents") != F.col("old_cents"), F.lit("update"))
+            .otherwise(F.lit("none"))
+            .alias("change_type"),
+            (
+                F.coalesce(F.col("new_cents"), F.lit(0))
+                - F.coalesce(F.col("old_cents"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("delta").alias("delta_cents"),
+        )
+    )
+
+
+@register(
+    "lake_snapshot_rollback",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tier="P3",
+)
+def lake_snapshot_rollback(spark, t):
+    """RESTORE TABLE ... TO VERSION 0 as a metadata-only commit: v2
+    re-adds v0's file entries and removes v1's — no data file is read,
+    copied, or rewritten (asserted in tests/test_units.py), because the
+    merge's copy-on-write left v0's files on disk, merely dereferenced.
+    The latest-version read must then equal the raw ``orders`` fold
+    exactly, erasing the merge from the visible history while keeping
+    it in the log (an auditable undo, the operational save that makes
+    log-structured tables worth their bookkeeping).
+    """
+    root = _demo_lake(spark, t)
+    v0_adds = _snapshot(root, 0)
+    v1_adds = _snapshot(root, 1)
+    _commit(root, 2, v0_adds, [a["path"] for a in v1_adds])
+    return (
+        _read_version(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "lake_zone_map_skip_scan",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           SUM(o_cents) AS revenue_cents
+    FROM v1
+    WHERE o_orderkey BETWEEN
+            (SELECT locut FROM bounds) * 3 AND (SELECT locut FROM bounds) * 5
+    GROUP BY o_orderpriority
+    """,
+    tier="P1",
+)
+def lake_zone_map_skip_scan(spark, t):
+    """Zone-map file skipping: a key-range predicate is resolved against
+    the log's per-file footer min/max BEFORE Spark plans the scan, so
+    the reader opens only the files whose range overlaps the predicate
+    (tests assert strictly fewer files than the snapshot holds). This is
+    the log-level half of pruning — it removes files from the plan
+    entirely, on top of the row-group/page skipping the parquet reader
+    already does inside each opened file — and is what keeps a selective
+    query on a 100 TB table from listing, opening, or footer-reading a
+    million files. The predicate is re-applied in the plan (pruning is
+    an overlap test, not an exact filter), and the hash check proves the
+    pruned scan returns exactly the unpruned answer.
+    """
+    root = _demo_lake(spark, t)
+    live = _snapshot(root)
+    mn, mx = _key_bounds(_snapshot(root, 0), _KEY)
+    locut = mn + (mx - mn) // 10
+    lo, hi = locut * 3, locut * 5
+    pruned = _prune_files(live, _KEY, lo, hi)
+    paths = [os.path.join(root, a["path"]) for a in pruned]
+    return (
+        spark.read.parquet(*paths)
+        .filter(F.col(_KEY).between(F.lit(lo), F.lit(hi)))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "lake_compact_small_files",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tier="P2",
+)
+def lake_compact_small_files(spark, t):
+    """OPTIMIZE (small-file compaction) as a data-identical commit: v0
+    lands as 24 deliberately tiny files (the streaming-ingest pathology
+    — every micro-batch a file, footer overhead and task-per-file
+    scheduling eating the scan), then one bin-packing commit rewrites
+    the table into 4 range-clustered files and removes the 24. The
+    read-back fold must equal the raw ``orders`` fold exactly — a
+    compaction that loses, duplicates, or reorders-with-collision rows
+    lands in the hash. Tests additionally assert the file-count drop
+    and that the orphaned 24 become vacuum candidates (unreferenced but
+    still on disk until retention expires).
+    """
+    root = tempfile.mkdtemp(prefix="lake_cmp_")
+    _build_v0(spark, t, root, n_files=24)
+    current = _read_version(spark, root, 0)
+    packed = current.repartitionByRange(4, F.col(_KEY))
+    adds = _write_files(packed, root, 1, [_KEY])
+    _commit(root, 1, adds, [a["path"] for a in _snapshot(root, 0)])
+    return (
+        _read_version(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "lake_schema_evolution",
+    oracle="""
+    WITH late AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+               AS o_channel
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    early AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+             CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT COALESCE(o_channel, 'legacy') AS channel,
+           COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    FROM (SELECT * FROM early UNION ALL SELECT * FROM late)
+    GROUP BY COALESCE(o_channel, 'legacy')
+    """,
+    tier="P2",
+)
+def lake_schema_evolution(spark, t):
+    """Additive schema evolution: v0 commits the pre-1998 orders without
+    a channel column; v1 appends the 1998 orders WITH ``o_channel`` —
+    and the snapshot read merges the two physical schemas, null-filling
+    the old files (``mergeSchema``, the reader-side half of what a
+    format's schema registry would enforce centrally). Additive-only is
+    the discipline that stays cheap at scale: old files are never
+    rewritten, the new column materializes lazily as NULL. The fold
+    groups by channel with the legacy rows surfacing as their own
+    bucket, so a reader that dropped either generation or misaligned
+    columns fails the hash.
+    """
+    root = tempfile.mkdtemp(prefix="lake_evo_")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    base = t["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_cents"),
+        "o_orderdate",
+    )
+    early = base.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    late = (
+        base.filter(F.col("o_orderdate") >= cut)
+        .drop("o_orderdate")
+        .withColumn(
+            "o_channel",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("web")).otherwise(
+                F.lit("store")
+            ),
+        )
+    )
+    adds0 = _write_files(
+        early.repartitionByRange(4, F.col(_KEY)), root, 0, [_KEY]
+    )
+    _commit(root, 0, adds0, [])
+    adds1 = _write_files(
+        late.repartitionByRange(2, F.col(_KEY)), root, 1, [_KEY]
+    )
+    _commit(root, 1, adds1, [])
+    return (
+        _read_version(spark, root, mergeSchema="true")
+        .select(
+            F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel"),
+            "o_cents",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )

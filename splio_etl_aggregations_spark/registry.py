@@ -138,6 +138,15 @@ DRIVER_ORDER: list[str] = [
     "corpus_pack_sequences",
     "sim_knn_query",
     # -- slots 51+: remaining never-driver-checked oracle-backed ops --
+    # (round-3 lake wave first: the transaction-log table format is the
+    # newest code, so it heads the round-4 verification window)
+    "lake_merge_upsert",
+    "lake_zone_map_skip_scan",
+    "lake_time_travel_read",
+    "lake_change_feed",
+    "lake_snapshot_rollback",
+    "lake_compact_small_files",
+    "lake_schema_evolution",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

@@ -42,6 +42,7 @@ SINGLE_PARTITION_OK = {
     "dq_freshness_report": (3, "per-table scalar freshness aggs"),
     "scan_csv_malformed_permissive": (1, "scalar good/corrupt counts"),
     "funnel_time_to_convert": (1, "scalar latency-percentile fold"),
+    "lake_time_travel_read": (2, "two scalar per-version folds"),
     "text_tfidf": (1, "scalar corpus-size N"),
     "corpus_lm_quality": (1, "scalar corpus-token-total agg"),
     # two-phase global rank: the only partition-less window runs over

@@ -1080,3 +1080,137 @@ def test_epoch_schedule_respects_cap_and_budget_shape(spark):
         assert r["epochs"] <= 4.0 + 1e-9
     eps = [r["epochs"] for r in by_size]
     assert all(a >= b - 1e-9 for a, b in zip(eps, eps[1:]))
+
+
+# ------------------------------------------------------------ lake format
+
+def _lake_tables(spark):
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    return load(spark, SF_SMALL)
+
+
+def test_lake_merge_is_copy_on_write(spark):
+    """The v1 MERGE must leave the middle-range v0 files referenced and
+    untouched on disk — rewriting only the files whose zone maps overlap
+    the two modified deciles."""
+    import os
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    v0 = {a["path"] for a in lake._snapshot(root, 0)}
+    v1 = {a["path"] for a in lake._snapshot(root, 1)}
+    carried = v0 & v1
+    rewritten = v0 - v1
+    assert carried, "no untouched files survived the merge"
+    assert rewritten, "merge rewrote nothing"
+    assert len(carried) > len(rewritten), (
+        "CoW should rewrite a minority of files on this layout"
+    )
+    # carried-over files still physically exist and were never replaced
+    for rel in carried:
+        assert os.path.exists(os.path.join(root, rel))
+
+
+def test_lake_zone_map_pruning_opens_fewer_files(spark):
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    live = lake._snapshot(root)
+    mn, mx = lake._key_bounds(lake._snapshot(root, 0), lake._KEY)
+    locut = mn + (mx - mn) // 10
+    pruned = lake._prune_files(live, lake._KEY, locut * 3, locut * 5)
+    assert 0 < len(pruned) < len(live)
+    # pruning is conservative: every kept file genuinely overlaps
+    for a in pruned:
+        lo, hi = a["stats"][lake._KEY]
+        assert not (hi < locut * 3 or lo > locut * 5)
+
+
+def test_lake_rollback_is_metadata_only(spark):
+    """RESTORE TO v0 must not write any data file — v2's adds are
+    exactly v0's file entries."""
+    import glob
+    import os
+    from splio_etl_aggregations_spark.operators import lake
+    from splio_etl_aggregations_spark.registry import all_queries
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    before = set(glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                           recursive=True))
+    v0_adds = lake._snapshot(root, 0)
+    v1_adds = lake._snapshot(root, 1)
+    lake._commit(root, 2, v0_adds, [a["path"] for a in v1_adds])
+    after = set(glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                          recursive=True))
+    assert before == after, "rollback must not write or delete data files"
+    assert {a["path"] for a in lake._snapshot(root)} == {
+        a["path"] for a in v0_adds
+    }
+
+
+def test_lake_compaction_shrinks_files_and_orphans_old_ones(spark):
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_test_")
+    lake._build_v0(spark, t, root, n_files=24)
+    small = lake._snapshot(root, 0)
+    assert len(small) == 24
+    packed = lake._read_version(spark, root, 0).repartitionByRange(
+        4, F.col(lake._KEY)
+    )
+    adds = lake._write_files(packed, root, 1, [lake._KEY])
+    lake._commit(root, 1, adds, [a["path"] for a in small])
+    live = lake._snapshot(root)
+    assert len(live) == 4
+    # the 24 originals are now vacuum candidates: on disk, unreferenced
+    import os
+
+    live_paths = {a["path"] for a in live}
+    orphans = [
+        a["path"]
+        for a in small
+        if a["path"] not in live_paths
+        and os.path.exists(os.path.join(root, a["path"]))
+    ]
+    assert len(orphans) == 24
+
+
+def test_lake_commit_is_put_if_absent(spark):
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_test_")
+    lake._build_v0(spark, t, root, n_files=2)
+    with pytest.raises(lake.ConcurrentCommit):
+        lake._commit(root, 0, [], [])
+    # and no temp artifact is left behind by a successful commit
+    import os
+
+    leftovers = [f for f in os.listdir(lake._log_dir(root))
+                 if f.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_lake_footer_stats_match_data(spark):
+    """Zone maps must be exact min/max of the key in each file."""
+    import os
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_test_")
+    lake._build_v0(spark, t, root, n_files=4)
+    for a in lake._snapshot(root):
+        lo, hi = a["stats"][lake._KEY]
+        df = spark.read.parquet(os.path.join(root, a["path"]))
+        row = df.agg(F.min(lake._KEY).alias("mn"),
+                     F.max(lake._KEY).alias("mx"),
+                     F.count(F.lit(1)).alias("n")).first()
+        assert (row["mn"], row["mx"], row["n"]) == (lo, hi, a["rows"])
