@@ -871,16 +871,20 @@ def graph_pagerank(spark, t):
         .select(
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
-        .distinct()
     )
-    a, b = ob.alias("a"), ob.alias("b")
+    # one-pass edge build: per-order brand set → i<j half-pairs via
+    # posexplode+slice (the aliased self-join shuffled the fact twice;
+    # this shuffles it once — same rewrite as basket_brand_affinity /
+    # rec_item_item_cf)
     e = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        ob.groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .select(F.posexplode("brands").alias("pos", "src"), "brands")
+        .select(
+            "src",
+            F.explode(F.slice("brands", F.col("pos") + 2, 64)).alias("dst"),
         )
-        .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 5)
         .select("src", "dst")
@@ -1076,37 +1080,58 @@ def rec_item_item_cf(spark, t):
     way production recommenders do it (co-occurrence join, never the
     dense matrix).
 
-    Scale shape: the co-occurrence self-join is keyed on the order
-    (per-order fan-out = basket width², bounded by basket size, never
-    catalog size); the per-brand counts table is catalog-sized and
-    broadcasts; top-5 ranks inside |brand| partitions on the ROUNDED
-    score with a brand tie-break, so the cut is deterministic
-    cross-engine. At 100 TB co-occurrence pairs also get a min-support
-    floor (see ``basket_brand_affinity``) to keep the pair table sparse.
+    Scale shape: co-occurrence comes from ONE pass over the fact — the
+    per-order brand set (collect_set, bounded by basket width) double-
+    explodes into the i<j half-pairs, which mirror into the symmetric
+    pair table JVM-side (the aliased self-join form re-ran the
+    scan+distinct subtree per side and shuffled the fact twice; this
+    plan shuffles it once, same rewrite as ``basket_brand_affinity``).
+    The per-brand counts table is catalog-sized and broadcasts; top-5
+    ranks inside |brand| partitions on the ROUNDED score with a brand
+    tie-break, so the cut is deterministic cross-engine. At 100 TB
+    co-occurrence pairs also get a min-support floor (see
+    ``basket_brand_affinity``) to keep the pair table sparse.
     """
     from pyspark.sql import Window
 
-    # cached: the self-join below re-instantiates this subtree twice
-    # (plus the counts consumer) — cache computes the fact reduction once
     ob = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
-        .distinct()
-        .cache()
     )
-    n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = ob.alias("a"), ob.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") != F.col("b.brand")),
+    # collect_set dedupes per order (replacing the standalone DISTINCT
+    # shuffle); localCheckpoint because three consumers read this frame
+    # and exchange reuse does not span them (same pattern + measurement
+    # as basket_brand_affinity)
+    per_order = (
+        ob.groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .localCheckpoint(eager=False)
+    )
+    n = (
+        per_order.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    half = (
+        per_order.select(
+            F.posexplode("brands").alias("pos", "ba"), "brands"
         )
-        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .select(
+            "ba",
+            F.explode(F.slice("brands", F.col("pos") + 2, 64)).alias("bb"),
+        )
+        .groupBy("ba", "bb")
         .agg(F.count(F.lit(1)).alias("co_cnt"))
+    )
+    # cosine is symmetric: mirror the |brands|²-bounded half-pair frame
+    # instead of generating both directions from the fact
+    co = half.unionByName(
+        half.select(
+            F.col("bb").alias("ba"), F.col("ba").alias("bb"), "co_cnt"
+        )
     )
     na = n.select(F.col("brand").alias("ba"), F.col("cnt").alias("na"))
     nb = n.select(F.col("brand").alias("bb"), F.col("cnt").alias("nb"))
