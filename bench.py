@@ -115,6 +115,9 @@ EXTRA_SHAPES = [
     "vec_embedding_drift",
     "stream_windowed_topk",
     "agg_spearman_corr",
+    # round-3 lake wave: the transaction-log table format's two hot paths
+    "lake_merge_upsert",
+    "lake_zone_map_skip_scan",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -112,6 +112,13 @@ SHOWCASE = [
         "Expand (GROUPING SETS ((day,j),(j))) — the r2 two-branch union "
         "re-ran the pipeline per branch.",
     ),
+    (
+        "lake_zone_map_skip_scan",
+        "Lake file skipping (r3): the FileSourceScan's file listing holds "
+        "only the zone-map-surviving files (the log pruned the rest before "
+        "Spark planned), and the key-range predicate still lands in "
+        "PushedFilters for row-group skipping inside them.",
+    ),
 ]
 
 
