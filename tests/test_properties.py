@@ -317,3 +317,115 @@ def test_containment_matches_bruteforce(spark, docs):
         if containers:
             want[a] = (len(containers), min(containers))
     assert got == want
+
+
+# ------------------------------------------------- lake model-based test
+#
+# Randomized (seeded, bounded) sequences of table commits applied BOTH
+# to the transaction-logged lake and to a plain in-memory dict model.
+# After every commit the latest snapshot must equal the model, and at
+# the end EVERY historical version must equal the model's recorded
+# history — the strongest portable statement of log-replay correctness
+# (append/update/delete CoW, compaction no-op-ness, rollback).
+
+def _lake_apply_cow(spark, lake, root, version, delete_keys, update_map):
+    """One copy-on-write commit: rewrite only files containing touched
+    keys; apply deletes and updates inside them."""
+    touched = sorted(set(delete_keys) | set(update_map))
+    live = lake._snapshot(root, version - 1)
+    if not touched:
+        lake._commit(root, version, [], [])
+        return
+    lo, hi = min(touched), max(touched)
+    rewrite = lake._prune_files(live, "k", lo, hi)
+    if not rewrite:
+        lake._commit(root, version, [], [])
+        return
+    paths = [f"{root}/{a['path']}" for a in rewrite]
+    df = spark.read.parquet(*paths)
+    if delete_keys:
+        df = df.filter(~F.col("k").isin(list(delete_keys)))
+    for k, delta in update_map.items():
+        df = df.withColumn(
+            "v", F.when(F.col("k") == k, F.col("v") + delta).otherwise(F.col("v"))
+        )
+    adds = lake._write_files(df.repartitionByRange(2, F.col("k")), root,
+                             version, ["k"])
+    lake._commit(root, version, adds, [a["path"] for a in rewrite])
+
+
+def _lake_read_model(spark, lake, root, version=None):
+    rows = lake._read_version(spark, root, version).collect()
+    return {r["k"]: r["v"] for r in rows}
+
+
+def test_lake_model_based_commit_sequences(spark):
+    import random
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        root = tempfile.mkdtemp(prefix=f"lake_model_{seed}_")
+        model = {k: rng.randint(-50, 50) for k in range(0, 120, 3)}
+        df0 = spark.createDataFrame(sorted(model.items()), "k int, v int")
+        adds = lake._write_files(df0.repartitionByRange(4, F.col("k")),
+                                 root, 0, ["k"])
+        lake._commit(root, 0, adds, [])
+        history = [dict(model)]
+
+        version = 0
+        for _ in range(5):
+            version += 1
+            op = rng.choice(["mutate", "mutate", "append", "compact",
+                             "rollback"])
+            if op == "mutate":
+                keys = list(model)
+                dels = set(rng.sample(keys, min(3, len(keys))))
+                ups = {
+                    k: rng.randint(1, 9)
+                    for k in rng.sample(keys, min(4, len(keys)))
+                    if k not in dels
+                }
+                _lake_apply_cow(spark, lake, root, version, dels, ups)
+                for k in dels:
+                    model.pop(k, None)
+                for k, d in ups.items():
+                    model[k] += d
+            elif op == "append":
+                new = {
+                    k: rng.randint(-50, 50)
+                    for k in range(max(model, default=0) + 1,
+                                   max(model, default=0) + 8, 2)
+                }
+                dfn = spark.createDataFrame(sorted(new.items()),
+                                            "k int, v int")
+                adds = lake._write_files(dfn, root, version, ["k"])
+                lake._commit(root, version, adds, [])
+                model.update(new)
+            elif op == "compact":
+                live = lake._snapshot(root, version - 1)
+                packed = lake._read_version(spark, root, version - 1)
+                adds = lake._write_files(
+                    packed.repartitionByRange(2, F.col("k")), root, version,
+                    ["k"])
+                lake._commit(root, version, adds,
+                             [a["path"] for a in live])
+                # data unchanged
+            else:  # rollback to a random earlier version
+                target = rng.randrange(0, version)
+                old = lake._snapshot(root, target)
+                cur = lake._snapshot(root, version - 1)
+                lake._commit(root, version, old,
+                             [a["path"] for a in cur])
+                model = dict(history[target])
+            history.append(dict(model))
+            assert _lake_read_model(spark, lake, root) == model, (
+                f"seed={seed} v={version} op={op}"
+            )
+
+        # time travel: every historical version must replay exactly
+        for v, snap in enumerate(history):
+            assert _lake_read_model(spark, lake, root, v) == snap, (
+                f"seed={seed} time-travel v={v}"
+            )
