@@ -604,3 +604,198 @@ def lake_schema_evolution(spark, t):
             F.sum("o_cents").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "lake_merge_on_read",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT src, o_orderpriority, COUNT(*) AS n_rows,
+           SUM(o_cents) AS revenue_cents
+    FROM v1 GROUP BY src, o_orderpriority
+    """,
+    tier="P2",
+)
+def lake_merge_on_read(spark, t):
+    """The SAME merge as ``lake_merge_upsert``, executed merge-on-read:
+    instead of rewriting the overlapping base files (copy-on-write), the
+    commit writes a deletion-vector file (the deleted + superseded keys)
+    scoped to the base files it covers, plus one new data file carrying
+    the updated row versions and the inserts — zero base-file rewrites,
+    so the write is O(changes) regardless of how wide the touched files
+    are. The reader pays instead: covered base files anti-join the DV
+    before unioning the new file (real formats compact DVs back into
+    data on a schedule; that path is ``lake_compact_small_files``).
+
+    Both strategies must produce the identical table, so this op shares
+    ``lake_merge_upsert``'s oracle verbatim — the hash check IS the
+    CoW ≡ MoR equivalence proof. Write-heavy streams want MoR, read-
+    heavy analytics want CoW; an engine needs both.
+    """
+    root = tempfile.mkdtemp(prefix="lake_mor_")
+    _build_v0(spark, t, root)
+    live = _snapshot(root, 0)
+    mn, mx = _key_bounds(live, _KEY)
+    locut = mn + (mx - mn) // 10
+    hicut = mx - (mx - mn) // 10
+
+    covered = sorted(
+        {
+            a["path"]
+            for a in _prune_files(live, _KEY, mn, locut)
+            + _prune_files(live, _KEY, hicut + 1, mx)
+        }
+    )
+    base0 = _read_version(spark, root, 0)
+    # DV = keys whose base row version must disappear (deleted ∪ updated)
+    dv = base0.filter(
+        (F.col(_KEY) > F.lit(hicut)) | (F.col(_KEY) <= F.lit(locut))
+    ).select(_KEY)
+    new_rows = base0.filter(F.col(_KEY) <= F.lit(locut)).select(
+        _KEY,
+        "o_orderpriority",
+        (F.col("o_cents") + F.expr("o_cents div 10")).alias("o_cents"),
+        F.lit("updated").alias("src"),
+    )
+    inserts = base0.filter(F.col(_KEY) % 97 == 0).select(
+        (F.col(_KEY) + F.lit(mx)).alias(_KEY),
+        "o_orderpriority",
+        "o_cents",
+        F.lit("inserted").alias("src"),
+    )
+    dv_adds = _write_files(dv.coalesce(1), root, 1, [_KEY])
+    for a in dv_adds:
+        a["kind"] = "dv"
+        a["applies_to"] = covered
+    # the new data rides in its own commit dir (v2 namespace, same commit)
+    data_adds = _write_files(new_rows.unionByName(inserts), root, 2, [_KEY])
+    _commit(root, 1, dv_adds + data_adds, [])
+
+    # merge-on-read: anti-join the DV into its covered files only
+    snap = _snapshot(root)
+    dv_paths = [
+        os.path.join(root, a["path"]) for a in snap if a.get("kind") == "dv"
+    ]
+    applies = {
+        p for a in snap if a.get("kind") == "dv" for p in a["applies_to"]
+    }
+    plain = [
+        a["path"]
+        for a in snap
+        if a.get("kind") != "dv" and a["path"] not in applies
+    ]
+    dv_df = spark.read.parquet(*dv_paths).select(_KEY)
+    covered_df = spark.read.parquet(
+        *[os.path.join(root, p) for p in sorted(applies)]
+    ).join(F.broadcast(dv_df), _KEY, "left_anti")
+    rest_df = spark.read.parquet(
+        *[os.path.join(root, p) for p in sorted(plain)]
+    )
+    return (
+        covered_df.unionByName(rest_df)
+        .groupBy("src", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "lake_zorder_cluster",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_orderkey) AS amn, max(l_orderkey) AS amx,
+             min(l_partkey) AS bmn, max(l_partkey) AS bmx
+      FROM lineitem
+    ),
+    boxed AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem, b
+      WHERE l_orderkey BETWEEN amn + (amx - amn) * 3 // 8
+                           AND amn + (amx - amn) * 4 // 8
+        AND l_partkey  BETWEEN bmn + (bmx - bmn) * 2 // 8
+                           AND bmn + (bmx - bmn) * 3 // 8
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows, SUM(cents) AS revenue_cents
+    FROM boxed GROUP BY l_returnflag
+    """,
+    tier="P2",
+)
+def lake_zorder_cluster(spark, t):
+    """Z-order clustering: lineitem written as 16 files clustered by the
+    bit-interleave of its two query dimensions (order key × part key),
+    so the parquet footers carry TIGHT zone maps on BOTH columns at
+    once — a range layout on one key gives perfect pruning on that key
+    and none on the other; the Z-curve trades a little of each for
+    useful pruning on both. The two-dimensional box query below then
+    skips every file whose (order, part) zone maps miss the box
+    (tests assert the separation where it actually shows: a predicate
+    on the NON-sort dimension prunes nothing under a range layout and
+    substantially under Z). At 100 TB this is OPTIMIZE ZORDER
+    BY: the one layout decision that serves multi-dimension dashboards
+    without duplicating the table per sort key.
+
+    The Z-value is a pure JVM bit expression (scale each key to 8 bits
+    over its min-max span, interleave with shifts/ors); the hash check
+    proves the clustered+pruned scan returns exactly the plain WHERE
+    answer.
+    """
+    root = tempfile.mkdtemp(prefix="lake_z_")
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_partkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = li.agg(
+        F.min("l_orderkey").alias("amn"),
+        F.max("l_orderkey").alias("amx"),
+        F.min("l_partkey").alias("bmn"),
+        F.max("l_partkey").alias("bmx"),
+    ).first()
+    amn, amx, bmn, bmx = b["amn"], b["amx"], b["bmn"], b["bmx"]
+
+    def _bucket(col, mn, mx):
+        # 0..255 range bucket, exact integer arithmetic
+        return (
+            (F.col(col) - F.lit(mn)) * 256 / F.lit(mx - mn + 1)
+        ).cast("bigint")
+
+    za = _bucket("l_orderkey", amn, amx)
+    zb = _bucket("l_partkey", bmn, bmx)
+    zexpr = F.lit(0)
+    for i in range(8):
+        zexpr = (
+            zexpr
+            + F.shiftleft(F.shiftright(za, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(zb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    clustered = li.withColumn("zval", zexpr).repartitionByRange(
+        16, F.col("zval")
+    ).drop("zval")
+    adds = _write_files(clustered, root, 0, ["l_orderkey", "l_partkey"])
+    _commit(root, 0, adds, [])
+
+    alo, ahi = amn + (amx - amn) * 3 // 8, amn + (amx - amn) * 4 // 8
+    blo, bhi = bmn + (bmx - bmn) * 2 // 8, bmn + (bmx - bmn) * 3 // 8
+    pruned = _prune_files(
+        _prune_files(_snapshot(root), "l_orderkey", alo, ahi),
+        "l_partkey",
+        blo,
+        bhi,
+    )
+    paths = [os.path.join(root, a["path"]) for a in pruned]
+    return (
+        spark.read.parquet(*paths)
+        .filter(
+            F.col("l_orderkey").between(F.lit(alo), F.lit(ahi))
+            & F.col("l_partkey").between(F.lit(blo), F.lit(bhi))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

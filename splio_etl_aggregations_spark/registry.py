@@ -147,6 +147,8 @@ DRIVER_ORDER: list[str] = [
     "lake_snapshot_rollback",
     "lake_compact_small_files",
     "lake_schema_evolution",
+    "lake_merge_on_read",
+    "lake_zorder_cluster",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",
