@@ -149,6 +149,7 @@ DRIVER_ORDER: list[str] = [
     "lake_schema_evolution",
     "lake_merge_on_read",
     "lake_zorder_cluster",
+    "stream_lake_sink",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

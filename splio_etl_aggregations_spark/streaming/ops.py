@@ -600,3 +600,86 @@ def stream_windowed_topk(spark, t):
     state beyond the open windows' counts.
     """
     return rank_topk_per_window(hourly_type_counts(t["events"]), k=2)
+
+
+@register(
+    "stream_lake_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    tier="P2",
+)
+def stream_lake_sink(spark, t):
+    """Streaming sink INTO the transaction-log table format
+    (operators/lake.py): the events table replays through 3
+    chronological micro-batches and ``foreachBatch`` commits each one
+    as a lake version — data files written by Spark, footer zone maps
+    collected, the atomic put-if-absent JSON commit published per
+    batch. This is what a Delta/Iceberg streaming sink does under the
+    hood (exactly-once via "batch id == commit version": a replayed
+    batch would hit the already-committed version and fail loudly
+    instead of double-writing — the put-if-absent check IS the
+    idempotence guard).
+
+    The final snapshot read must fold to exactly the batch answer over
+    the whole table (hash-checked); tests/test_streaming.py asserts the
+    version history itself — one commit per micro-batch, cumulative row
+    counts monotone to the table total.
+    """
+    from ..operators.lake import _commit, _read_version, _write_files
+
+    events = t["events"]
+    tmp = tempfile.mkdtemp(prefix="lake_sink_")
+    feed_dir = os.path.join(tmp, "feed")
+    os.makedirs(feed_dir)
+    root = os.path.join(tmp, "table")
+
+    stage = os.path.join(tmp, "stage")
+    (
+        events.select("event_id", "ts", "event_type", "value")
+        .repartitionByRange(3, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    t0 = time.time()
+    for i, src in enumerate(
+        sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    ):
+        dst = os.path.join(feed_dir, f"batch_{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        adds = _write_files(out, root, int(batch_id), ["event_id"])
+        _commit(root, int(batch_id), adds, [])
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    if not query.awaitTermination(120):
+        query.stop()
+        raise TimeoutError("stream_lake_sink replay did not finish in 120 s")
+    return (
+        _read_version(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

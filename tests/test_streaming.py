@@ -377,3 +377,31 @@ def test_windowed_topk_replay_equals_batch(spark):
     )
     sink = _replay(spark, hourly_type_counts, mode="complete")
     assert _rows(rank_topk_per_window(sink, k=2)) == _rows(batch)
+
+
+def test_lake_sink_commits_one_version_per_batch(spark):
+    """stream_lake_sink: the version history must show one append
+    commit per micro-batch with cumulative row counts monotone to the
+    table total — the log IS the replay record."""
+    import glob as _glob
+    import os as _os
+
+    from splio_etl_aggregations_spark.operators import lake
+    from splio_etl_aggregations_spark.registry import get
+
+    df = get("stream_lake_sink").run(spark, SF_SMALL)
+    total = df.agg(F.sum("n_events")).collect()[0][0]
+    # find the op's lake root: newest lake_sink_* tmpdir with a log
+    roots = sorted(
+        _glob.glob("/tmp/lake_sink_*/table/_log"),
+        key=_os.path.getmtime,
+    )
+    assert roots, "no lake_sink table found"
+    root = _os.path.dirname(roots[-1])
+    versions = lake._versions(root)
+    assert versions == [0, 1, 2], versions
+    cum = [
+        sum(a["rows"] for a in lake._snapshot(root, v)) for v in versions
+    ]
+    assert cum == sorted(cum) and cum[-1] == total, (cum, total)
+    assert all(b > a for a, b in zip(cum, cum[1:])), cum
