@@ -1401,3 +1401,83 @@ def join_role_playing_dates(spark, t):
         )
         .orderBy("order_month", "ship_month")
     )
+
+
+@register(
+    "join_bloom_prune",
+    oracle="""
+    SELECT l.l_returnflag, COUNT(*) AS n_lines,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    tier="P2",
+)
+def join_bloom_prune(spark, t):
+    """Runtime bloom-filter join pruning: the filtered dimension's keys
+    fold into an O(bits) bloom filter that Catalyst injects as a
+    ``might_contain`` predicate on the FACT side *before* its shuffle —
+    rows that can't join are dropped at the scan, so the big side's
+    exchange carries ~selectivity× the bytes. This is the shuffle-join
+    analogue of DPP (``scan_dynamic_partition_pruning`` prunes whole
+    partitions; the bloom filter prunes row-by-row inside them) and the
+    technique that makes selective fact⋈dim shuffle joins survivable at
+    100 TB when the dim is too large to broadcast.
+
+    Spark's injection thresholds assume cluster-scale inputs (the
+    application side must scan ≥10 GB by default, and a broadcastable
+    dim short-circuits the rule — join hints do too, so the broadcast
+    threshold conf is the only way to reproduce the big-cluster shuffle
+    shape locally). The builder therefore loosens the thresholds,
+    forces physical planning (QueryExecution memoizes the executed
+    plan), and restores every session conf — no conf state leaks to
+    later queries, and this DataFrame keeps its bloom-filtered plan.
+    tests/test_plans.py asserts ``bloom_filter_agg`` in this plan; the
+    hash check proves pruning changed no answer.
+    """
+    conf = spark.conf
+    touched = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in touched.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        dim = (
+            t["orders"]
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        fact = t["lineitem"].select(
+            "l_orderkey",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        out = (
+            fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        # force planning NOW, while the loosened thresholds are active;
+        # the memoized executedPlan is what every later action runs
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

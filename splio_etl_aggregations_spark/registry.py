@@ -150,6 +150,7 @@ DRIVER_ORDER: list[str] = [
     "lake_merge_on_read",
     "lake_zorder_cluster",
     "stream_lake_sink",
+    "join_bloom_prune",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

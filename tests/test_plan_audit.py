@@ -43,6 +43,10 @@ SINGLE_PARTITION_OK = {
     "scan_csv_malformed_permissive": (1, "scalar good/corrupt counts"),
     "funnel_time_to_convert": (1, "scalar latency-percentile fold"),
     "lake_time_travel_read": (2, "two scalar per-version folds"),
+    # the injected runtime bloom filter folds the dim's keys into ONE
+    # O(bits) aggregate value — its final merge is a scalar fold by
+    # construction (input = one partial bloom per creation-side partition)
+    "join_bloom_prune": (1, "bloom_filter_agg scalar merge"),
     "text_tfidf": (1, "scalar corpus-size N"),
     "corpus_lm_quality": (1, "scalar corpus-token-total agg"),
     # two-phase global rank: the only partition-less window runs over

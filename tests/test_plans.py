@@ -313,3 +313,17 @@ def test_dpp_injects_runtime_partition_filter(spark):
     df = Q["scan_dynamic_partition_pruning"].run(spark, SF_SMALL)
     text = explain_str(df)
     assert "dynamicpruning" in text.lower(), text
+
+
+def test_bloom_prune_injects_runtime_filter(spark):
+    """join_bloom_prune's memoized plan must carry the injected bloom
+    filter (creation-side bloom_filter_agg + application-side
+    might_contain pushed toward the fact scan)."""
+    from splio_etl_aggregations_spark.plans.checks import explain_str
+    from splio_etl_aggregations_spark.registry import get
+
+    df = get("join_bloom_prune").run(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "bloom_filter_agg" in plan
+    # and the conf shenanigans must not leak into the session
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
