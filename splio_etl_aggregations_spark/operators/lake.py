@@ -799,3 +799,100 @@ def lake_zorder_cluster(spark, t):
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "lake_stats_only_query",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT COUNT(*) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM v1
+    """,
+    tier="P2",
+)
+def lake_stats_only_query(spark, t):
+    """Metadata-only query answering: COUNT(*) / MIN / MAX over the
+    post-merge table computed purely from the transaction log — per-file
+    row counts summed, zone maps folded — without opening a single data
+    file. This is how table formats answer `SELECT count(*)` on a
+    100 TB table in milliseconds: the log already paid for the stats at
+    write time. The hash check against DuckDB actually *scanning* the
+    reconstructed table proves the log's bookkeeping is exact (any
+    commit that lost a file, double-added one, or mis-footered a count
+    lands here). Works because removes/adds keep the live set exact and
+    the merge's rewrite regenerated stats for every touched file.
+    """
+    root = _demo_lake(spark, t)
+    live = _snapshot(root)
+    n_rows = sum(a["rows"] for a in live)
+    mn, mx = _key_bounds(live, _KEY)
+    return spark.createDataFrame(
+        [(n_rows, mn, mx)], "n_rows bigint, min_key bigint, max_key bigint"
+    )
+
+
+@register(
+    "lake_hidden_partitioning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) <  DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def lake_hidden_partitioning(spark, t):
+    """Hidden partitioning (the Iceberg model): the table is clustered
+    by a TRANSFORM of a physical column — day(ts) — that exists only in
+    the layout metadata, never as a data column or a directory name the
+    user must know. The query filters on the *transform* (a week of
+    days); the reader resolves it back to a raw-``ts`` range and prunes
+    via the ordinary zone maps. Contrast with Hive-style partitioning
+    (``sink_parquet_partitioned``): there the user must filter on the
+    physical partition column or read everything — here the engine owns
+    the mapping, so queries stay written against the logical schema and
+    the layout can evolve underneath them. tests assert the pruned file
+    count; the hash check proves the transform→range resolution loses
+    and invents nothing (a boundary error lands in the counts).
+    """
+    import calendar
+
+    root = tempfile.mkdtemp(prefix="lake_hp_")
+    # physical layout: the event time is stored as int64 epoch
+    # MICROSECONDS (what Iceberg stores physically; Spark's session
+    # default here writes timestamps as INT96, which carries NO parquet
+    # min/max stats — int64 micros restores exact zone maps)
+    ev = t["events"].select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    # day(ts) clustering: time-range files, ts_micros zone maps in the
+    # log. (The transform spec itself would live in table metadata; here
+    # it is the operator's contract.)
+    adds = _write_files(
+        ev.repartitionByRange(12, F.col("ts_micros")), root, 0, ["ts_micros"]
+    )
+    _commit(root, 0, adds, [])
+    # user-level predicate: day(ts) in [2024-01-08, 2024-01-15) —
+    # resolved to the raw micros range [lo_day 00:00, hi_day 00:00)
+    # (session timezone is pinned UTC, so day boundaries are UTC epochs)
+    lo = calendar.timegm((2024, 1, 8, 0, 0, 0)) * 1_000_000
+    hi = calendar.timegm((2024, 1, 15, 0, 0, 0)) * 1_000_000
+    pruned = _prune_files(_snapshot(root), "ts_micros", lo, hi - 1)
+    paths = [os.path.join(root, a["path"]) for a in pruned]
+    return (
+        spark.read.parquet(*paths)
+        .filter(
+            (F.col("ts_micros") >= F.lit(lo)) & (F.col("ts_micros") < F.lit(hi))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

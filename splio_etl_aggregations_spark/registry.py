@@ -151,6 +151,8 @@ DRIVER_ORDER: list[str] = [
     "lake_zorder_cluster",
     "stream_lake_sink",
     "join_bloom_prune",
+    "lake_stats_only_query",
+    "lake_hidden_partitioning",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

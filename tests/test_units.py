@@ -1302,3 +1302,30 @@ def test_lake_merge_on_read_writes_no_base_files(spark):
     # every v0 file is still live (no removes), DV rides alongside
     assert v0_paths <= set(snap)
     assert any(a.get("kind") == "dv" for a in snap.values())
+
+
+def test_lake_hidden_partitioning_prunes_by_transform(spark):
+    """The day(ts) transform predicate must resolve to a ts range that
+    skips most of the 12 time-clustered files."""
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    import calendar
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_hp_test_")
+    ev = t["events"].select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_micros"))
+    adds = lake._write_files(
+        ev.repartitionByRange(12, F.col("ts_micros")), root, 0,
+        ["ts_micros"])
+    lake._commit(root, 0, adds, [])
+    lo = calendar.timegm((2024, 1, 8, 0, 0, 0)) * 1_000_000
+    hi = calendar.timegm((2024, 1, 15, 0, 0, 0)) * 1_000_000
+    pruned = lake._prune_files(
+        lake._snapshot(root), "ts_micros", lo, hi - 1)
+    assert 0 < len(pruned) < 12, len(pruned)
+    # pruning is exact: kept files genuinely overlap the micros window
+    for a in pruned:
+        mn, mx = a["stats"]["ts_micros"]
+        assert not (mx < lo or mn > hi - 1)
