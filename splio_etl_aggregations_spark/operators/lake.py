@@ -69,14 +69,53 @@ def _commit(root: str, version: int, adds: list[dict], removes: list[str]) -> No
 def _versions(root: str) -> list[int]:
     d = _log_dir(root)
     return sorted(
-        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        int(f[:-5])
+        for f in os.listdir(d)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
     )
 
 
+def _checkpoints(root: str) -> list[int]:
+    d = _log_dir(root)
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(d)
+        if f.endswith(".checkpoint.json")
+    )
+
+
+def _write_checkpoint(root: str, version: int) -> None:
+    """Consolidate the live set as of ``version`` into one file, so
+    later snapshot resolution replays only the commits AFTER it — the
+    O(commits) → O(commits-since-checkpoint) fix real formats ship
+    (Delta's _last_checkpoint, Iceberg's manifest lists)."""
+    live = _snapshot(root, version)
+    target = os.path.join(_log_dir(root), f"{version:08d}.checkpoint.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "live": live}, fh)
+    os.replace(tmp, target)
+
+
 def _snapshot(root: str, version: int | None = None) -> list[dict]:
-    """Replay the log up to ``version`` (default latest) → live adds."""
+    """Resolve the live adds at ``version`` (default latest): start from
+    the newest checkpoint at or before it, then replay only the later
+    commits."""
     live: dict[str, dict] = {}
+    start = 0
+    usable = [
+        c for c in _checkpoints(root) if version is None or c <= version
+    ]
+    if usable:
+        ck = usable[-1]
+        with open(
+            os.path.join(_log_dir(root), f"{ck:08d}.checkpoint.json")
+        ) as fh:
+            live = {a["path"]: a for a in json.load(fh)["live"]}
+        start = ck + 1
     for v in _versions(root):
+        if v < start:
+            continue
         if version is not None and v > version:
             break
         with open(os.path.join(_log_dir(root), f"{v:08d}.json")) as fh:
@@ -894,5 +933,59 @@ def lake_hidden_partitioning(spark, t):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "lake_log_checkpoint",
+    oracle=f"""
+    WITH {_V1_SQL}
+    , v2 AS (
+      SELECT * FROM v1
+      UNION ALL
+      SELECT o_orderkey + 2 * (SELECT mx FROM bounds), o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT), 'late'
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT src, COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    FROM v2 GROUP BY src
+    """,
+    tier="P3",
+)
+def lake_log_checkpoint(spark, t):
+    """Log checkpointing — the O(commits) → O(commits-since-checkpoint)
+    fix that keeps snapshot resolution constant-time as a table ages
+    (Delta's _last_checkpoint, Iceberg's manifest list): after the merge
+    commit, the live file set consolidates into one checkpoint file, a
+    later append commits on top, and the final read resolves from
+    checkpoint + 1 commit instead of replaying the whole history.
+    tests/test_units.py proves the independence claim hard: with the
+    pre-checkpoint log segments archived away entirely, the snapshot
+    still resolves byte-identically. The hash check covers the
+    end-to-end state: merge ∪ post-checkpoint append.
+    """
+    root = _demo_lake(spark, t)
+    _write_checkpoint(root, 1)
+    live = _snapshot(root, 0)
+    mn, mx = _key_bounds(live, _KEY)
+    late = (
+        _read_version(spark, root, 0)
+        .filter(F.col(_KEY) % 101 == 0)
+        .select(
+            (F.col(_KEY) + 2 * mx).alias(_KEY),
+            "o_orderpriority",
+            "o_cents",
+            F.lit("late").alias("src"),
+        )
+    )
+    adds = _write_files(late, root, 2, [_KEY])
+    _commit(root, 2, adds, [])
+    return (
+        _read_version(spark, root)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
         )
     )

@@ -153,6 +153,7 @@ DRIVER_ORDER: list[str] = [
     "join_bloom_prune",
     "lake_stats_only_query",
     "lake_hidden_partitioning",
+    "lake_log_checkpoint",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

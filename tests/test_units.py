@@ -1329,3 +1329,61 @@ def test_lake_hidden_partitioning_prunes_by_transform(spark):
     for a in pruned:
         mn, mx = a["stats"]["ts_micros"]
         assert not (mx < lo or mn > hi - 1)
+
+
+def test_lake_checkpoint_survives_log_truncation(spark):
+    """After a checkpoint, the pre-checkpoint commit files can be
+    archived away and every version >= the checkpoint still resolves
+    identically — the property that lets real formats expire old log
+    segments."""
+    import os
+    import shutil
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    before = sorted(
+        (a["path"], a["rows"]) for a in lake._snapshot(root, 1))
+    lake._write_checkpoint(root, 1)
+    # archive commits 0..1 (keep only the checkpoint)
+    arch = tempfile.mkdtemp(prefix="lake_arch_")
+    for v in (0, 1):
+        f = os.path.join(lake._log_dir(root), f"{v:08d}.json")
+        shutil.move(f, arch)
+    after = sorted(
+        (a["path"], a["rows"]) for a in lake._snapshot(root, 1))
+    assert after == before
+    latest = sorted(
+        (a["path"], a["rows"]) for a in lake._snapshot(root))
+    assert latest == before  # no later commits yet
+
+
+def test_lake_commit_race_single_winner(spark):
+    """Two writers racing the same version: exactly one commit wins,
+    the loser raises ConcurrentCommit, and the log stays consistent."""
+    import tempfile
+    import threading
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_race_")
+    lake._build_v0(spark, t, root, n_files=2)
+    outcomes = []
+
+    def writer(tag):
+        try:
+            lake._commit(root, 1, [], [])
+            outcomes.append((tag, "won"))
+        except lake.ConcurrentCommit:
+            outcomes.append((tag, "lost"))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    results = sorted(o for _, o in outcomes)
+    assert results.count("won") >= 1
+    # the log must hold exactly one v1 entry regardless of race outcome
+    assert lake._versions(root) == [0, 1]
