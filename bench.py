@@ -115,9 +115,12 @@ EXTRA_SHAPES = [
     "vec_embedding_drift",
     "stream_windowed_topk",
     "agg_spearman_corr",
-    # round-3 lake wave: the transaction-log table format's two hot paths
+    # round-3 lake wave: the transaction-log table format's two hot paths,
+    # the streaming commit sink, and the injected runtime bloom filter
     "lake_merge_upsert",
     "lake_zone_map_skip_scan",
+    "stream_lake_sink",
+    "join_bloom_prune",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

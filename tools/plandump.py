@@ -31,9 +31,11 @@ SHOWCASE = [
     ),
     (
         "join_multi_star",
-        "Star join: nation broadcasts (BroadcastHashJoin), the "
-        "customer⋈orders⋈lineitem chain shuffles on its keys, and the final "
-        "25-group aggregate is partial+final HashAggregate.",
+        "Star join (r3 rewrite): the fact pre-aggregates to the order key "
+        "with a map-side partial_sum BEFORE the join chain, so the dominant "
+        "exchange carries order-level rows; orders/customer join on their "
+        "keys, nation broadcasts, and the final 25-group aggregate is "
+        "partial+final HashAggregate over order partials.",
     ),
     (
         "sql_returned_item_ranking",
