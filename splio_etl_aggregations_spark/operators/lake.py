@@ -989,3 +989,93 @@ def lake_log_checkpoint(spark, t):
             F.sum("o_cents").alias("revenue_cents"),
         )
     )
+
+
+# ------------------------------------------------- per-file bloom index
+
+_BLOOM_BITS = 16384  # 2 KB per file
+_BLOOM_K = 3
+
+
+def _bloom_positions(value: int) -> list[int]:
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{value}:{i}".encode()).digest()[:8], "big"
+        )
+        % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _file_bloom(path: str, key: str) -> str:
+    """Build the file's key bloom at write time from the parquet data
+    (one column read, driver-side — real formats do this in the writer
+    task and ship the bits home in the commit message)."""
+    import pyarrow.parquet as pq
+
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in pq.read_table(path, columns=[key]).column(key).to_pylist():
+        for pos in _bloom_positions(int(v)):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return bytes(bits).hex()
+
+
+def _bloom_might_contain(bloom_hex: str, value: int) -> bool:
+    bits = bytes.fromhex(bloom_hex)
+    return all(
+        bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_positions(value)
+    )
+
+
+@register(
+    "lake_point_lookup_bloom",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT o_orderkey, o_orderpriority, o_cents, src
+    FROM v1
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+                        WHERE o_orderkey % 97 = 0)
+                       + (SELECT mx FROM bounds)
+    """,
+    tier="P3",
+)
+def lake_point_lookup_bloom(spark, t):
+    """Point lookup through a per-file bloom index: each commit stores a
+    2 KB key bloom per data file in the log (built at write time from
+    the file's own column — the index real formats persist as bloom
+    filter indexes / puffin files), and a key-equality query consults
+    the blooms BEFORE the zone maps open anything: with range-clustered
+    keys the zone maps alone already narrow to one file, but after a
+    merge the inserts live in an unclustered file whose key RANGE spans
+    everything — the bloom still excludes it unless the key is probably
+    there. Candidate files re-filter exactly (blooms have false
+    positives, never false negatives), so the hash check proves the
+    index loses nothing. At 100 TB this is the difference between a
+    key lookup opening 1-2 files and scanning a partition.
+    """
+    root = _demo_lake(spark, t)
+    live = _snapshot(root)
+    for a in live:
+        a["bloom"] = _file_bloom(os.path.join(root, a["path"]), _KEY)
+    mn, mx = _key_bounds(_snapshot(root, 0), _KEY)
+    # deterministic probe: the highest inserted key (exists by
+    # construction: inserts are key+mx for key % 97 == 0)
+    base_max97 = max(
+        r[_KEY]
+        for r in _read_version(spark, root, 0)
+        .filter(F.col(_KEY) % 97 == 0)
+        .agg(F.max(_KEY).alias(_KEY))
+        .collect()
+    )
+    probe = base_max97  # oracle probes v1 where this key exists as insert+mx
+    probe_key = probe + mx
+    candidates = [
+        a for a in live if _bloom_might_contain(a["bloom"], probe_key)
+    ]
+    assert candidates, "bloom index lost the probe key (false negative)"
+    paths = [os.path.join(root, a["path"]) for a in candidates]
+    return spark.read.parquet(*paths).filter(
+        F.col(_KEY) == F.lit(probe_key)
+    ).select(_KEY, "o_orderpriority", "o_cents", "src")

@@ -154,6 +154,7 @@ DRIVER_ORDER: list[str] = [
     "lake_stats_only_query",
     "lake_hidden_partitioning",
     "lake_log_checkpoint",
+    "lake_point_lookup_bloom",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

@@ -1387,3 +1387,38 @@ def test_lake_commit_race_single_winner(spark):
     assert results.count("won") >= 1
     # the log must hold exactly one v1 entry regardless of race outcome
     assert lake._versions(root) == [0, 1]
+
+
+def test_lake_bloom_index_no_false_negatives_and_prunes(spark):
+    """Every present key must pass its file's bloom; absent keys should
+    prune most files (probabilistic, but overwhelming at 2 KB/file)."""
+    import os
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_bloom_test_")
+    lake._build_v0(spark, t, root, n_files=4)
+    live = lake._snapshot(root)
+    blooms = {
+        a["path"]: lake._file_bloom(
+            os.path.join(root, a["path"]), lake._KEY)
+        for a in live
+    }
+    # no false negatives: every key passes the bloom of its own file
+    import pyarrow.parquet as pq
+
+    for a in live:
+        keys = pq.read_table(
+            os.path.join(root, a["path"]), columns=[lake._KEY]
+        ).column(lake._KEY).to_pylist()
+        for k in keys[:200]:
+            assert lake._bloom_might_contain(blooms[a["path"]], int(k))
+    # absent keys: far outside the keyspace, expect ~zero candidates
+    mn, mx = lake._key_bounds(live, lake._KEY)
+    hits = sum(
+        lake._bloom_might_contain(b, probe)
+        for b in blooms.values()
+        for probe in range(mx * 10, mx * 10 + 50)
+    )
+    assert hits <= 0.05 * 4 * 50, hits  # fpr ~2.5% per (file, probe)
