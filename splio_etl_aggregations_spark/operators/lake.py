@@ -68,6 +68,8 @@ def _commit(root: str, version: int, adds: list[dict], removes: list[str]) -> No
 
 def _versions(root: str) -> list[int]:
     d = _log_dir(root)
+    if not os.path.isdir(d):  # no commits yet: an empty table, not an error
+        return []
     return sorted(
         int(f[:-5])
         for f in os.listdir(d)
@@ -77,6 +79,8 @@ def _versions(root: str) -> list[int]:
 
 def _checkpoints(root: str) -> list[int]:
     d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
     return sorted(
         int(f.split(".")[0])
         for f in os.listdir(d)

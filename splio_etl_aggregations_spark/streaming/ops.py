@@ -655,13 +655,24 @@ def stream_lake_sink(spark, t):
     schema = "event_id long, ts timestamp, event_type string, value double"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.lake import ConcurrentCommit
+
         out = batch_df.select(
             "event_id",
             "event_type",
             F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
         )
         adds = _write_files(out, root, int(batch_id), ["event_id"])
-        _commit(root, int(batch_id), adds, [])
+        try:
+            _commit(root, int(batch_id), adds, [])
+        except ConcurrentCommit:
+            # replayed batch after a restart: this version already
+            # committed, so the work is already durable — skip, don't
+            # double-write (the Delta txn-version idempotence pattern;
+            # the rewritten-but-unreferenced files are vacuum fodder).
+            # tests/test_streaming.py drives a stop/restart through this
+            # path and asserts the final state is unchanged.
+            pass
 
     query = (
         spark.readStream.schema(schema)

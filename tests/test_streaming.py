@@ -405,3 +405,84 @@ def test_lake_sink_commits_one_version_per_batch(spark):
     ]
     assert cum == sorted(cum) and cum[-1] == total, (cum, total)
     assert all(b > a for a, b in zip(cum, cum[1:])), cum
+
+
+def test_lake_sink_restart_is_exactly_once(spark):
+    """Stop the streaming sink after its first micro-batch, restart from
+    the SAME checkpoint, and drive to completion: Spark replays or
+    resumes batches, the put-if-absent commit turns any replay into a
+    no-op, and the final table equals the batch answer with exactly one
+    commit per batch id — the restart-safety half of exactly-once."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as FF
+    from splio_etl_aggregations_spark.operators import lake
+    from splio_etl_aggregations_spark.operators.lake import (
+        _commit, _read_version, _write_files,
+    )
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    events = load(spark, SF_SMALL)["events"]
+    tmp = tempfile.mkdtemp(prefix="lake_sink_restart_")
+    feed, root, ckpt = [_os.path.join(tmp, d) for d in ("feed", "table", "ck")]
+    _os.makedirs(feed)
+    stage = _os.path.join(tmp, "stage")
+    (events.select("event_id", "ts", "event_type", "value")
+     .repartitionByRange(3, "ts", "event_id")
+     .sortWithinPartitions("ts", "event_id")
+     .write.mode("overwrite").parquet(stage))
+    t0 = _time.time()
+    for i, src in enumerate(sorted(_glob.glob(_os.path.join(stage, "part-*.parquet")))):
+        dst = _os.path.join(feed, f"batch_{i}.parquet")
+        _os.rename(src, dst)
+        _os.utime(dst, (t0 + i, t0 + i))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    seen = []
+
+    def commit_batch(bdf, bid):
+        adds = _write_files(
+            bdf.select("event_id", "event_type",
+                       FF.round(FF.col("value") * 100).cast("bigint")
+                       .alias("value_cents")),
+            root, int(bid), ["event_id"])
+        seen.append(int(bid))
+        try:
+            _commit(root, int(bid), adds, [])
+        except lake.ConcurrentCommit:
+            pass
+
+    def start():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(feed)
+                .writeStream.foreachBatch(commit_batch)
+                .option("checkpointLocation", ckpt).start())
+
+    # first run: let at least one batch commit, then stop mid-stream
+    q = start()
+    deadline = _time.time() + 60
+    while not lake._versions(root) and _time.time() < deadline:
+        _time.sleep(0.2)
+    q.stop()
+    assert lake._versions(root), "no batch committed before stop"
+    # restart from the same checkpoint and drain
+    q2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream.foreachBatch(commit_batch)
+          .trigger(availableNow=True)
+          .option("checkpointLocation", ckpt).start())
+    assert q2.awaitTermination(120)
+    assert lake._versions(root) == [0, 1, 2]
+    got = {(r["event_type"]): (r["n"], r["cents"]) for r in
+           _read_version(spark, root)
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("value_cents").alias("cents")).collect()}
+    want = {(r["event_type"]): (r["n"], r["cents"]) for r in
+            events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("cents")).collect()}
+    assert got == want

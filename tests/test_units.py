@@ -1422,3 +1422,27 @@ def test_lake_bloom_index_no_false_negatives_and_prunes(spark):
         for probe in range(mx * 10, mx * 10 + 50)
     )
     assert hits <= 0.05 * 4 * 50, hits  # fpr ~2.5% per (file, probe)
+
+
+def test_lake_ignores_crashed_writer_artifacts(spark):
+    """A writer that died mid-commit leaves a .tmp file (or garbage) in
+    the log dir; readers must see the table exactly as before, and the
+    next writer must still be able to commit the contested version."""
+    import os
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_crash_")
+    lake._build_v0(spark, t, root, n_files=2)
+    before = sorted(a["path"] for a in lake._snapshot(root))
+    # simulate a crash: half-written commit + an unrelated stray file
+    with open(os.path.join(lake._log_dir(root), "00000001.json.tmp"), "w") as fh:
+        fh.write('{"version": 1, "adds": [{"path": "data/bo')  # truncated
+    with open(os.path.join(lake._log_dir(root), "garbage.txt"), "w") as fh:
+        fh.write("not a commit")
+    assert sorted(a["path"] for a in lake._snapshot(root)) == before
+    assert lake._versions(root) == [0]
+    # the crashed version number is still claimable by a healthy writer
+    lake._commit(root, 1, [], [])
+    assert lake._versions(root) == [0, 1]
