@@ -655,8 +655,20 @@ def stream_lake_sink(spark, t):
     schema = "event_id long, ts timestamp, event_type string, value double"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.lake import ConcurrentCommit
+        from ..operators.lake import ConcurrentCommit, _versions
 
+        # replayed batch after a restart: the version is already durable
+        # — return BEFORE writing, because the commit-dir overwrite
+        # would wipe the committed files (they carry different UUID
+        # names than the replay would produce). This check-then-write is
+        # the Delta txn-version idempotence pattern; the residual race
+        # (another writer commits between check and commit) still lands
+        # in the ConcurrentCommit backstop below, which can only fire
+        # for an UNcommitted dir and therefore clobbers nothing.
+        # tests/test_streaming.py drives a stop/restart through this
+        # path and asserts the final state is unchanged.
+        if int(batch_id) in _versions(root):
+            return
         out = batch_df.select(
             "event_id",
             "event_type",
@@ -666,12 +678,6 @@ def stream_lake_sink(spark, t):
         try:
             _commit(root, int(batch_id), adds, [])
         except ConcurrentCommit:
-            # replayed batch after a restart: this version already
-            # committed, so the work is already durable — skip, don't
-            # double-write (the Delta txn-version idempotence pattern;
-            # the rewritten-but-unreferenced files are vacuum fodder).
-            # tests/test_streaming.py drives a stop/restart through this
-            # path and asserts the final state is unchanged.
             pass
 
     query = (

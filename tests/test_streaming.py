@@ -443,6 +443,11 @@ def test_lake_sink_restart_is_exactly_once(spark):
     seen = []
 
     def commit_batch(bdf, bid):
+        # same check-then-write idempotence as the registered sink: a
+        # replayed batch must not overwrite its committed data dir
+        if int(bid) in lake._versions(root):
+            seen.append(int(bid))
+            return
         adds = _write_files(
             bdf.select("event_id", "event_type",
                        FF.round(FF.col("value") * 100).cast("bigint")
