@@ -408,11 +408,12 @@ def test_lake_sink_commits_one_version_per_batch(spark):
 
 
 def test_lake_sink_restart_is_exactly_once(spark):
-    """Stop the streaming sink after its first micro-batch, restart from
-    the SAME checkpoint, and drive to completion: Spark replays or
-    resumes batches, the put-if-absent commit turns any replay into a
-    no-op, and the final table equals the batch answer with exactly one
-    commit per batch id — the restart-safety half of exactly-once."""
+    """Drive the streaming sink to completion, then restart it with a
+    lost streaming checkpoint: all three micro-batches replay under
+    their original ids, the log's check-then-skip turns every one into
+    a no-op, and the final table equals the batch answer with exactly
+    one commit per batch id — the restart-safety half of exactly-once,
+    anchored in the LAKE log rather than the streaming checkpoint."""
     import glob as _glob
     import os as _os
     import tempfile
@@ -465,21 +466,34 @@ def test_lake_sink_restart_is_exactly_once(spark):
                 .writeStream.foreachBatch(commit_batch)
                 .option("checkpointLocation", ckpt).start())
 
-    # first run: let at least one batch commit, then stop mid-stream
-    q = start()
-    deadline = _time.time() + 60
-    while not lake._versions(root) and _time.time() < deadline:
-        _time.sleep(0.2)
-    q.stop()
-    assert lake._versions(root), "no batch committed before stop"
-    # restart from the same checkpoint and drain
+    # first run: drain all three micro-batches to completion
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(feed)
+         .writeStream.foreachBatch(commit_batch)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    assert q.awaitTermination(120)
+    assert lake._versions(root) == [0, 1, 2]
+    # force a deterministic full replay: restart with a FRESH streaming
+    # checkpoint (the checkpoint-loss disaster). Spark reprocesses all
+    # three feed files as batches 0/1/2 again (same ids: mtime order ×
+    # maxFilesPerTrigger=1), and every commit must hit the
+    # check-then-skip path — the lake log, not the streaming
+    # checkpoint, is what makes the sink exactly-once. (Editing the
+    # existing checkpoint in place is blocked by Spark 4's
+    # concurrent-modification fencing, which is itself the first line
+    # of defense this test leans past.)
+    n_seen_before = len(seen)
     q2 = (spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(feed)
           .writeStream.foreachBatch(commit_batch)
           .trigger(availableNow=True)
-          .option("checkpointLocation", ckpt).start())
+          .option("checkpointLocation", ckpt + "_lost").start())
     assert q2.awaitTermination(120)
-    assert lake._versions(root) == [0, 1, 2]
+    assert len(seen) == n_seen_before + 3, seen
+    for bid in (0, 1, 2):
+        assert seen.count(bid) == 2, seen  # each batch ran twice...
+    assert lake._versions(root) == [0, 1, 2]  # ...and committed once
     got = {(r["event_type"]): (r["n"], r["cents"]) for r in
            _read_version(spark, root)
            .groupBy("event_type")
