@@ -1025,7 +1025,8 @@ def etl_gdpr_erasure(spark, t):
            COUNT(DISTINCT e.custkey || '#' || CAST(e.valid_from AS VARCHAR))
              AS n_eras,
            COUNT(*) AS n_orders,
-           round(SUM(o.o_totalprice), 4) AS era_revenue
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             AS era_revenue_cents
     FROM eras e
     JOIN orders o
       ON o.o_custkey = e.custkey
@@ -1088,7 +1089,11 @@ def join_scd2_point_in_time(spark, t):
     return joined.groupBy(F.col("priority").alias("era_priority")).agg(
         F.countDistinct(era_key).alias("n_eras"),
         F.count(F.lit(1)).alias("n_orders"),
-        r4(F.sum("o_totalprice")).alias("era_revenue"),
+        # exact integer-cent fold (the 4-dp float round of a ~7e9 sum
+        # flipped its last digit cross-engine at sf0.1 — r3 sweep)
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "era_revenue_cents"
+        ),
     )
 
 
@@ -1096,28 +1101,30 @@ def join_scd2_point_in_time(spark, t):
     "etl_reconcile_sources",
     oracle="""
     WITH o AS (
-      SELECT o_custkey AS k, round(SUM(o_totalprice), 4) AS order_total
+      SELECT o_custkey AS k,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS order_cents
       FROM orders GROUP BY o_custkey
     ),
     e AS (
-      SELECT user_id AS k, round(SUM(value), 4) AS event_total
+      SELECT user_id AS k,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS event_cents
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     j AS (
-      SELECT COALESCE(o.k, e.k) AS custkey, o.order_total, e.event_total
+      SELECT COALESCE(o.k, e.k) AS custkey, o.order_cents, e.event_cents
       FROM o FULL JOIN e ON o.k = e.k
     )
     SELECT CASE
-             WHEN order_total IS NULL THEN 'events_only'
-             WHEN event_total IS NULL THEN 'orders_only'
-             WHEN abs(order_total - event_total)
-                  <= 0.01 * greatest(order_total, event_total)
+             WHEN order_cents IS NULL THEN 'events_only'
+             WHEN event_cents IS NULL THEN 'orders_only'
+             WHEN abs(order_cents - event_cents) * 100
+                  <= greatest(order_cents, event_cents)
                THEN 'reconciled'
              ELSE 'drifted'
            END AS status,
            COUNT(*) AS n_customers,
-           round(SUM(COALESCE(order_total, 0)), 4) AS orders_sum,
-           round(SUM(COALESCE(event_total, 0)), 4) AS events_sum
+           SUM(COALESCE(order_cents, 0)) AS orders_sum_cents,
+           SUM(COALESCE(event_cents, 0)) AS events_sum_cents
     FROM j GROUP BY status
     """,
     tier="P2",
@@ -1132,28 +1139,32 @@ def etl_reconcile_sources(spark, t):
 
     One keyed aggregate per source, a full outer join on the entity
     key (preserving single-sided entities — the rows a plain inner
-    join would silently hide), and a codegen CASE classifier. The 1 %
-    band compares 4-dp-rounded totals so the class boundary is
-    deterministic cross-engine.
+    join would silently hide), and a codegen CASE classifier. Money
+    flows as integer CENTS end to end — per-entity sums, the 1 % band
+    (|o-e|·100 ≤ max(o,e), pure integer arithmetic), and the per-class
+    totals are all exact bigints, so no scale of data can push a
+    double's last ulp across a rounding or classification boundary
+    (the r3 sf0.1 sweep caught exactly that in the 4-dp float form).
     """
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
     o = (
         t["orders"]
         .groupBy(F.col("o_custkey").alias("k"))
-        .agg(r4(F.sum("o_totalprice")).alias("order_total"))
+        .agg(F.sum(cents("o_totalprice")).alias("order_cents"))
     )
     e = (
         t["events"]
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id").alias("ek"))
-        .agg(r4(F.sum("value")).alias("event_total"))
+        .agg(F.sum(cents("value")).alias("event_cents"))
     )
     j = o.join(e, F.col("k") == F.col("ek"), "full")
     status = (
-        F.when(F.col("order_total").isNull(), "events_only")
-        .when(F.col("event_total").isNull(), "orders_only")
+        F.when(F.col("order_cents").isNull(), "events_only")
+        .when(F.col("event_cents").isNull(), "orders_only")
         .when(
-            F.abs(F.col("order_total") - F.col("event_total"))
-            <= 0.01 * F.greatest("order_total", "event_total"),
+            F.abs(F.col("order_cents") - F.col("event_cents")) * 100
+            <= F.greatest("order_cents", "event_cents"),
             "reconciled",
         )
         .otherwise("drifted")
@@ -1161,17 +1172,17 @@ def etl_reconcile_sources(spark, t):
     return (
         j.select(
             status.alias("status"),
-            "order_total",
-            "event_total",
+            "order_cents",
+            "event_cents",
         )
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            r4(F.sum(F.coalesce("order_total", F.lit(0.0)))).alias(
-                "orders_sum"
+            F.sum(F.coalesce("order_cents", F.lit(0))).alias(
+                "orders_sum_cents"
             ),
-            r4(F.sum(F.coalesce("event_total", F.lit(0.0)))).alias(
-                "events_sum"
+            F.sum(F.coalesce("event_cents", F.lit(0))).alias(
+                "events_sum_cents"
             ),
         )
     )

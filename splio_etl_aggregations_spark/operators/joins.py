@@ -372,7 +372,8 @@ def join_asof(spark, t):
     "join_bucketed_colocated",
     oracle="""
     SELECT o.o_orderpriority, COUNT(*) AS n_items,
-           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS revenue_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -405,7 +406,8 @@ def join_bucketed_colocated(spark, t):
         8, "o_orderkey"
     ).sortBy("o_orderkey").mode("overwrite").saveAsTable("bkt_orders")
     t["lineitem"].select(
-        "l_orderkey", net_price().alias("net")
+        "l_orderkey",
+        F.round(net_price() * 100).cast("bigint").alias("net_cents"),
     ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
         "overwrite"
     ).saveAsTable("bkt_lineitem")
@@ -421,7 +423,10 @@ def join_bucketed_colocated(spark, t):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            r4(F.sum("net")).alias("revenue"),
+            # exact integer-cent fold: at sf0.1 the 4-dp round of a ~6e9
+            # double sum sat on the association-dependent last ulp (r3
+            # sf0.1 sweep); per-row cents are bit-identical cross-engine
+            F.sum("net_cents").alias("revenue_cents"),
         )
     )
 

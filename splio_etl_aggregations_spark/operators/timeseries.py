@@ -267,9 +267,10 @@ def ts_anomaly_mad(spark, t):
     )
     SELECT user_id,
            COUNT(gap_us)::BIGINT AS n_gaps,
-           round(AVG(gap_us / 1000000.0), 4) AS avg_gap_s,
-           round(MIN(gap_us) / 1000000.0, 4) AS min_gap_s,
-           round(MAX(gap_us) / 1000000.0, 4) AS max_gap_s
+           round(SUM(gap_us) / (COUNT(gap_us) * 1000000.0), 4)
+             AS avg_gap_s,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
     FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
     """,
     tier="P2",
@@ -289,9 +290,17 @@ def ts_gap_stats(spark, t):
     g = t["events"].select("user_id", gap).filter(F.col("gap_us").isNotNull())
     return g.groupBy("user_id").agg(
         F.count("gap_us").cast("bigint").alias("n_gaps"),
-        r4(F.avg(F.col("gap_us") / 1_000_000.0)).alias("avg_gap_s"),
-        r4(F.min("gap_us") / 1_000_000.0).alias("min_gap_s"),
-        r4(F.max("gap_us") / 1_000_000.0).alias("max_gap_s"),
+        # exact-integer mean: SUM(µs) is an exact bigint both engines,
+        # so the single division is bit-identical (a double AVG's
+        # association flipped the 4th dp at sf0.1 — r3 sweep)
+        r4(
+            F.sum("gap_us") / (F.count("gap_us") * F.lit(1_000_000.0))
+        ).alias("avg_gap_s"),
+        # min/max stay exact integer µs: the 4-dp seconds form hit a
+        # .xxxx5 representation boundary at sf0.1 (gap 1653.21735 s
+        # rounded .2174 vs .2173 across engines)
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
     )
 
 
