@@ -1083,3 +1083,124 @@ def lake_point_lookup_bloom(spark, t):
     return spark.read.parquet(*paths).filter(
         F.col(_KEY) == F.lit(probe_key)
     ).select(_KEY, "o_orderpriority", "o_cents", "src")
+
+
+@register(
+    "lake_incremental_rollup",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           SUM(o_cents) AS revenue_cents
+    FROM v1 GROUP BY o_orderpriority
+    """,
+    tier="P3",
+)
+def lake_incremental_rollup(spark, t):
+    """Incremental materialized-view maintenance from the commit log:
+    a per-priority rollup bootstrapped once at v0 is advanced to v1 by
+    reading ONLY the files commit 1 touched — removed files contribute
+    with sign -1, added files with sign +1 — and folding the signed
+    partial aggregates into the materialized state. No row of the
+    untouched ~3/4 of the table flows through the maintenance job
+    (asserted in tests/test_units.py by path inspection), which is the
+    Materialize/DLT-style cost model: refresh ∝ |changed files| +
+    |rollup|, not |table|. Works for any abelian aggregate (count, sum);
+    the hash check proves the maintained state equals a full v1
+    recompute. All money is integer cents, so the signed fold is exact.
+    """
+    root = _demo_lake(spark, t)
+    state = (
+        _read_version(spark, root, 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+    with open(os.path.join(_log_dir(root), f"{1:08d}.json")) as fh:
+        entry = json.load(fh)
+    removed = [os.path.join(root, p) for p in entry["removes"]]
+    added = [os.path.join(root, a["path"]) for a in entry["adds"]]
+
+    def signed(paths: list[str], sign: int):
+        return spark.read.parquet(*paths).select(
+            "o_orderpriority", F.lit(sign).alias("sign"), "o_cents"
+        )
+
+    delta = (
+        signed(removed, -1)
+        .unionByName(signed(added, 1))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").alias("n_rows"),
+            F.sum(F.col("sign") * F.col("o_cents")).alias("revenue_cents"),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .filter(F.col("n_rows") > 0)  # drop groups the delta emptied
+    )
+
+
+def _vacuum(root: str, retain_versions: list[int]) -> list[str]:
+    """Delete every data file not referenced by any retained snapshot.
+    Returns the deleted relative paths. The log itself is kept (history
+    stays auditable); only the storage behind expired versions goes."""
+    referenced: set[str] = set()
+    for v in retain_versions:
+        referenced |= {a["path"] for a in _snapshot(root, v)}
+    deleted = []
+    data_dir = os.path.join(root, "data")
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            if rel not in referenced:
+                os.remove(os.path.join(dirpath, f))
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+@register(
+    "lake_vacuum_retention",
+    oracle=f"""
+    WITH {_V1_SQL}
+    SELECT src, COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    FROM v1 GROUP BY src
+    """,
+    tier="P3",
+)
+def lake_vacuum_retention(spark, t):
+    """VACUUM with a retention horizon: copy-on-write leaves the files
+    of expired versions on disk (that is what makes time travel and
+    rollback metadata-only), so storage grows with churn until a vacuum
+    reclaims files no retained snapshot references. Retaining only the
+    latest version here deletes exactly the v0 files the merge rewrote
+    (a strict subset — carried-over files are still referenced and MUST
+    survive; tests/test_units.py asserts the deleted set equals commit
+    1's removes and that v0 reads fail afterwards while v1 reads do
+    not). The hash check proves the post-vacuum latest read is intact.
+    Scale: reference resolution is log-only; deletion is O(expired
+    files) storage calls, no data scan — same cost model as Delta's
+    VACUUM.
+    """
+    root = _demo_lake(spark, t)
+    latest = _versions(root)[-1]
+    deleted = _vacuum(root, [latest])
+    assert deleted, "vacuum found nothing to reclaim after a CoW merge"
+    live = {a["path"] for a in _snapshot(root, latest)}
+    assert not (set(deleted) & live), "vacuum deleted a live file"
+    return (
+        _read_version(spark, root, latest)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )

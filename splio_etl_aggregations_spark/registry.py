@@ -155,6 +155,8 @@ DRIVER_ORDER: list[str] = [
     "lake_hidden_partitioning",
     "lake_log_checkpoint",
     "lake_point_lookup_bloom",
+    "lake_incremental_rollup",
+    "lake_vacuum_retention",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

@@ -1446,3 +1446,63 @@ def test_lake_ignores_crashed_writer_artifacts(spark):
     # the crashed version number is still claimable by a healthy writer
     lake._commit(root, 1, [], [])
     assert lake._versions(root) == [0, 1]
+
+
+def test_lake_incremental_rollup_reads_only_touched_files(spark):
+    """The IVM delta job's inputs must be exactly commit 1's removes +
+    adds — no carried-over file may flow through maintenance — and the
+    signed fold must equal a full v1 recompute, group by group."""
+    import json
+    import os
+    from pyspark.sql import functions as F
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    with open(os.path.join(lake._log_dir(root), f"{1:08d}.json")) as fh:
+        entry = json.load(fh)
+    touched = set(entry["removes"]) | {a["path"] for a in entry["adds"]}
+    carried = {a["path"] for a in lake._snapshot(root, 0)} & {
+        a["path"] for a in lake._snapshot(root, 1)
+    }
+    assert carried and not (touched & carried), (
+        "maintenance input overlaps carried-over files"
+    )
+    # signed fold == full recompute (exact integers, collected + sorted)
+    full = {
+        r["o_orderpriority"]: (r["n"], r["cents"])
+        for r in lake._read_version(spark, root, 1)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_cents").alias("cents"))
+        .collect()
+    }
+    maintained = {
+        r["o_orderpriority"]: (r["n_rows"], r["revenue_cents"])
+        for r in lake.lake_incremental_rollup(spark, t).collect()
+    }
+    assert maintained == full
+
+
+def test_lake_vacuum_deletes_exactly_expired_files(spark):
+    """Retaining only the latest version must delete exactly the files
+    the merge dereferenced (commit 1's removes): carried-over files
+    survive on disk, v1 still reads, v0 no longer can."""
+    import json
+    import os
+    import pytest
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    with open(os.path.join(lake._log_dir(root), f"{1:08d}.json")) as fh:
+        removes = set(json.load(fh)["removes"])
+    latest = lake._versions(root)[-1]
+    deleted = set(lake._vacuum(root, [latest]))
+    assert deleted == removes
+    for rel in {a["path"] for a in lake._snapshot(root, latest)}:
+        assert os.path.exists(os.path.join(root, rel))
+    assert lake._read_version(spark, root, latest).count() > 0
+    with pytest.raises(Exception, match="(?i)path does not exist|file"):
+        lake._read_version(spark, root, 0).count()
+    # idempotent: a second vacuum finds nothing
+    assert lake._vacuum(root, [latest]) == []
