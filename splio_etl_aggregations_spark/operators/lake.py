@@ -163,10 +163,13 @@ def _footer_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
 
 
 def _write_files(
-    df, root: str, version: int, stat_cols: list[str]
+    df, root: str, version: int | str, stat_cols: list[str]
 ) -> list[dict]:
-    """Write a commit's data files under data/v{N}/ and footer-scan them."""
-    rel_dir = os.path.join("data", f"v{version:06d}")
+    """Write a commit's data files under data/v{N}/ (or data/{label}/ for
+    version-independent transactional writes) and footer-scan them."""
+    rel_dir = os.path.join(
+        "data", version if isinstance(version, str) else f"v{version:06d}"
+    )
     out = os.path.join(root, rel_dir)
     df.write.mode("overwrite").parquet(out)
     adds = []
@@ -205,6 +208,107 @@ def _key_bounds(adds: list[dict], key: str) -> tuple[int, int]:
     mins = [a["stats"][key][0] for a in adds if key in a["stats"]]
     maxs = [a["stats"][key][1] for a in adds if key in a["stats"]]
     return min(mins), max(maxs)
+
+
+# --------------------------------------- optimistic transactions (OCC)
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this transaction's read set —
+    the caller must re-run its logic on a fresh snapshot (Delta's
+    ConcurrentAppend / ConcurrentDeleteRead semantics)."""
+
+
+class Txn:
+    """Optimistic-concurrency transaction over the JSON log: snapshot
+    isolation while reading, write-serializable validation at commit.
+
+    The transaction records its READ SET — the key-predicate ranges it
+    scanned plus the concrete files zone-map pruning handed it — and
+    its intended ``adds``/``removes``. ``commit()`` validates every
+    commit that landed after the transaction's snapshot:
+
+    - a later commit REMOVED a file this txn read or also removes →
+      ``CommitConflict`` (concurrent-delete-read / write-write: the
+      computation consumed data that no longer exists);
+    - a later commit ADDED a file whose key zone map overlaps any read
+      range → ``CommitConflict`` (phantom append: "no rows in my
+      range" was observed, then rows appeared — the anomaly
+      serializability forbids);
+    - otherwise the intervening commits are disjoint from everything
+      this txn depends on, and the commit REBASES: it retries at
+      ``latest+1`` until the put-if-absent rename wins.
+
+    This is the same validation real formats run driver-side: O(log
+    entries since snapshot) JSON reads against O(read set) ranges — no
+    data is scanned to decide a conflict, so validation cost is
+    independent of table size.
+    """
+
+    def __init__(self, root: str):
+        vs = _versions(root)
+        self.root = root
+        self.read_version = vs[-1] if vs else -1
+        self.read_files: set[str] = set()
+        self.read_ranges: list[tuple[int, int]] = []
+        self.adds: list[dict] = []
+        self.removes: list[str] = []
+
+    def read_range(self, spark, lo: int, hi: int):
+        """Zone-map-pruned read of ``[lo, hi]`` at the txn's snapshot.
+        Records the predicate range even when pruning yields no files:
+        the *absence* of rows is an observation later appends can
+        invalidate. Returns None for the empty-by-pruning case."""
+        live = _snapshot(self.root, self.read_version)
+        files = _prune_files(live, _KEY, lo, hi)
+        self.read_ranges.append((lo, hi))
+        self.read_files |= {a["path"] for a in files}
+        if not files:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.root, a["path"]) for a in files]
+        ).filter((F.col(_KEY) >= lo) & (F.col(_KEY) <= hi))
+
+    def write(self, df, tag: str) -> None:
+        """Stage a data write under ``data/txn-{tag}/`` — file names are
+        version-independent (like Delta's GUID part files), so a rebase
+        republishes the same files under a later version untouched."""
+        self.adds.extend(_write_files(df, self.root, f"txn-{tag}", [_KEY]))
+
+    def commit(self) -> int:
+        """Validate against intervening commits, then publish atomically.
+        Returns the committed version; raises CommitConflict if any
+        intervening commit intersects the read set."""
+        while True:
+            vs = _versions(self.root)
+            latest = vs[-1] if vs else -1
+            for v in range(self.read_version + 1, latest + 1):
+                with open(
+                    os.path.join(_log_dir(self.root), f"{v:08d}.json")
+                ) as fh:
+                    entry = json.load(fh)
+                clash = set(entry["removes"]) & (
+                    set(self.removes) | self.read_files
+                )
+                if clash:
+                    raise CommitConflict(
+                        f"v{v} removed file(s) this txn read or rewrites: "
+                        f"{sorted(clash)[:3]}"
+                    )
+                for a in entry["adds"]:
+                    st = a["stats"].get(_KEY)
+                    for lo, hi in self.read_ranges:
+                        # no stats → cannot prove disjoint → conflict
+                        if st is None or not (st[1] < lo or st[0] > hi):
+                            raise CommitConflict(
+                                f"v{v} added {a['path']} into read range "
+                                f"[{lo}, {hi}]"
+                            )
+            try:
+                _commit(self.root, latest + 1, self.adds, self.removes)
+                return latest + 1
+            except ConcurrentCommit:
+                continue  # lost the rename race; re-validate and retry
 
 
 # ------------------------------------------------------ the demo lake
@@ -1198,6 +1302,118 @@ def lake_vacuum_retention(spark, t):
     assert not (set(deleted) & live), "vacuum deleted a live file"
     return (
         _read_version(spark, root, latest)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "lake_concurrent_txn_rebase",
+    oracle=f"""
+    WITH {_V1_SQL},
+    final AS (
+      SELECT * FROM v1
+      UNION ALL
+      SELECT o_orderkey + 3 * (SELECT mx FROM bounds), o_orderpriority,
+             o_cents, 'a' AS src
+      FROM v1
+      WHERE o_orderkey % 103 = 0 AND o_orderkey > 0
+        AND o_orderkey <= (SELECT hicut FROM bounds)
+      UNION ALL
+      SELECT o_orderkey + 2 * (SELECT mx FROM bounds), o_orderpriority,
+             o_cents * 2, 'c' AS src
+      FROM v1
+      WHERE o_orderkey % 101 = 0 AND o_orderkey > 0
+        AND o_orderkey <= (SELECT hicut FROM bounds)
+    )
+    SELECT src, COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    FROM final GROUP BY src
+    """,
+    tier="P3",
+)
+def lake_concurrent_txn_rebase(spark, t):
+    """Optimistic concurrency on the transaction log: three writers all
+    begin at the post-merge snapshot v1 and race.
+
+    - B appends rows keyed into (2mx, 3mx) and commits first → v2.
+    - A appends rows keyed into (3mx, 4mx) after reading the full v1
+      span. Its commit finds B's intervening v2, proves disjointness
+      (B's adds sit entirely above A's read range, no remove clashes)
+      and REBASES to v3 — the same files publish under a later version,
+      no recompute, which is what lets many appenders share a table.
+    - C read the (then-empty) region (2mx, 3mx] at v1 intending an
+      idempotent fix-up there. Its commit detects B's phantom append
+      into that range and raises CommitConflict — committing would have
+      silently ignored B's rows, the exact anomaly serializability
+      forbids. C re-runs on the fresh snapshot, now sees B's rows,
+      rewrites them (cents doubled, src='c', CoW-removing exactly B's
+      files) → v4.
+
+    The final state is therefore the SERIAL order B → A → C, which the
+    oracle reconstructs relationally; the conflict/rebase decisions are
+    structurally asserted here and in tests/test_units.py. Validation
+    is log-only (O(intervening commits) JSON reads, no data scan), so
+    at 100 TB its cost tracks commit rate, not table size.
+    """
+    root = _demo_lake(spark, t)
+    live0 = _snapshot(root, 0)
+    mn, mx = _key_bounds(live0, _KEY)
+    hicut = mx - (mx - mn) // 10
+
+    txa, txb, txc = Txn(root), Txn(root), Txn(root)
+    assert (txa.read_version, txb.read_version, txc.read_version) == (1, 1, 1)
+
+    def appended(txn, modulus: int, shift: int, src: str):
+        span = txn.read_range(spark, mn, 2 * mx)
+        return span.filter(
+            (F.col(_KEY) % modulus == 0)
+            & (F.col(_KEY) > 0)
+            & (F.col(_KEY) <= F.lit(hicut))
+        ).select(
+            (F.col(_KEY) + F.lit(shift * mx)).alias(_KEY),
+            "o_orderpriority",
+            "o_cents",
+            F.lit(src).alias("src"),
+        )
+
+    txb.write(appended(txb, 101, 2, "b"), "b")
+    vb = txb.commit()
+    assert vb == 2, f"B expected v2, got v{vb}"
+
+    txa.write(appended(txa, 103, 3, "a"), "a")
+    va = txa.commit()  # validates past B's v2: disjoint → rebase
+    assert va == 3, f"A expected rebase to v3, got v{va}"
+
+    assert txc.read_range(spark, 2 * mx + 1, 3 * mx) is None  # empty region
+    try:
+        txc.commit()
+        raise AssertionError("phantom append went undetected")
+    except CommitConflict:
+        pass
+
+    txc2 = Txn(root)
+    region = txc2.read_range(spark, 2 * mx + 1, 3 * mx)
+    with open(os.path.join(_log_dir(root), f"{2:08d}.json")) as fh:
+        b_files = {a["path"] for a in json.load(fh)["adds"]}
+    assert txc2.read_files == b_files, "C's pruned read set is not exactly B's files"
+    txc2.write(
+        region.select(
+            _KEY,
+            "o_orderpriority",
+            (F.col("o_cents") * 2).alias("o_cents"),
+            F.lit("c").alias("src"),
+        ),
+        "c",
+    )
+    txc2.removes = sorted(txc2.read_files)
+    vc = txc2.commit()
+    assert vc == 4, f"C expected v4, got v{vc}"
+
+    return (
+        _read_version(spark, root, 4)
         .groupBy("src")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

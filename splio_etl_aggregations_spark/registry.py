@@ -157,6 +157,7 @@ DRIVER_ORDER: list[str] = [
     "lake_point_lookup_bloom",
     "lake_incremental_rollup",
     "lake_vacuum_retention",
+    "lake_concurrent_txn_rebase",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

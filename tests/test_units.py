@@ -1506,3 +1506,62 @@ def test_lake_vacuum_deletes_exactly_expired_files(spark):
         lake._read_version(spark, root, 0).count()
     # idempotent: a second vacuum finds nothing
     assert lake._vacuum(root, [latest]) == []
+
+
+def test_lake_txn_delete_read_conflict_and_rename_race(spark):
+    """Two OCC behaviors the registered operator doesn't reach: (a) a
+    writer whose read files a concurrent commit REMOVED must conflict
+    (delete-read: its computation consumed data that no longer exists),
+    and (b) a transaction that loses the put-if-absent rename race
+    after validating must silently retry at the next version."""
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    live = lake._snapshot(root, 0)
+    mn, mx = lake._key_bounds(live, lake._KEY)
+
+    # (a) D reads the low decile, then a competing commit removes one of
+    # the files D read; D's commit must raise, whatever D staged.
+    txd = lake.Txn(root)
+    locut = mn + (mx - mn) // 10
+    assert txd.read_range(spark, mn, locut) is not None
+    victim = sorted(txd.read_files)[0]
+    lake._commit(root, 2, [], [victim])
+    with pytest.raises(lake.CommitConflict, match="removed file"):
+        txd.commit()
+
+    # (b) E validates cleanly but loses the rename race: a competitor
+    # claims E's target version between validation and rename. commit()
+    # must loop, revalidate the competitor (disjoint here), and land on
+    # the next version — no exception, no lost staged files.
+    txe = lake.Txn(root)  # begins at v2, reads nothing (pure append)
+    txe.write(
+        spark.range(1).select(
+            F.lit(10 * mx).alias(lake._KEY),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+            F.lit(1).cast("bigint").alias("o_cents"),
+            F.lit("e").alias("src"),
+        ),
+        "e",
+    )
+    real_commit = lake._commit
+    raced = {"done": False}
+
+    def racing_commit(root_, version, adds, removes):
+        if not raced["done"]:
+            raced["done"] = True
+            real_commit(root_, version, [], [])  # competitor wins v3
+        return real_commit(root_, version, adds, removes)
+
+    lake._commit = racing_commit
+    try:
+        ve = txe.commit()
+    finally:
+        lake._commit = real_commit
+    assert ve == 4 and raced["done"]
+    stored = {a["path"] for a in lake._snapshot(root, 4)}
+    assert any(p.startswith(os.path.join("data", "txn-e")) for p in stored)
