@@ -429,3 +429,84 @@ def test_lake_model_based_commit_sequences(spark):
             assert _lake_read_model(spark, lake, root, v) == snap, (
                 f"seed={seed} time-travel v={v}"
             )
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_txn_validation_matches_serializability_oracle(tmp_path_factory, data):
+    """Pure-log property check of Txn.commit() validation (no Spark):
+    a transaction begun at snapshot S and committed after interleaved
+    commits must raise CommitConflict IFF some intervening commit
+    (a) removed a file the txn read or removes, or (b) added a file
+    whose key range overlaps a txn read range. When it commits, the
+    resulting log must equal applying the txn's adds/removes on top of
+    the interleaved history (first-committer-wins serial order)."""
+    import json
+    import os
+
+    from splio_etl_aggregations_spark.operators import lake
+
+    root = str(tmp_path_factory.mktemp("txnprop"))
+
+    def fake_add(tag, lo, hi):
+        return {"path": f"data/{tag}.parquet", "rows": hi - lo + 1,
+                "stats": {lake._KEY: [lo, hi]}}
+
+    # base: four disjoint files covering [0,400)
+    base = [fake_add(f"base{i}", i * 100, i * 100 + 99) for i in range(4)]
+    lake._commit(root, 0, base, [])
+
+    # the txn under test: reads 0-2 of the base files + 0-2 key ranges
+    txn = lake.Txn(root)
+    n_read = data.draw(st.integers(0, 2), label="n_read_files")
+    txn.read_files = {a["path"] for a in base[:n_read]}
+    n_rng = data.draw(st.integers(0, 2), label="n_read_ranges")
+    for i in range(n_rng):
+        lo = data.draw(st.integers(0, 500), label=f"lo{i}")
+        txn.read_ranges.append((lo, lo + data.draw(st.integers(0, 120))))
+    txn.adds = [fake_add("mine", 1000, 1099)]
+    if data.draw(st.booleans(), label="txn_removes"):
+        txn.removes = [base[3]["path"]]
+
+    # interleaved commits by other writers
+    n_mid = data.draw(st.integers(0, 3), label="n_mid")
+    for v in range(1, n_mid + 1):
+        removes = [
+            a["path"] for a in base
+            if data.draw(st.booleans(), label=f"v{v}rm{a['path']}")
+        ]
+        adds = []
+        if data.draw(st.booleans(), label=f"v{v}adds"):
+            lo = data.draw(st.integers(0, 600), label=f"v{v}lo")
+            adds = [fake_add(f"v{v}", lo, lo + 50)]
+        lake._commit(root, v, adds, removes)
+
+    def overlaps(st_, rng):
+        return not (st_[1] < rng[0] or st_[0] > rng[1])
+
+    expect_conflict = False
+    for v in range(1, n_mid + 1):
+        with open(os.path.join(lake._log_dir(root), f"{v:08d}.json")) as fh:
+            entry = json.load(fh)
+        if set(entry["removes"]) & (set(txn.removes) | txn.read_files):
+            expect_conflict = True
+        for a in entry["adds"]:
+            if any(overlaps(a["stats"][lake._KEY], r)
+                   for r in txn.read_ranges):
+                expect_conflict = True
+
+    before = {a["path"]: a for a in lake._snapshot(root)}
+    try:
+        v = txn.commit()
+        conflicted = False
+    except lake.CommitConflict:
+        conflicted = True
+    assert conflicted == expect_conflict
+    if not conflicted:
+        assert v == n_mid + 1
+        expected = dict(before)
+        for rel in txn.removes:
+            expected.pop(rel, None)
+        for a in txn.adds:
+            expected[a["path"]] = a
+        assert {a["path"]: a for a in lake._snapshot(root)} == expected
