@@ -53,17 +53,89 @@ def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
 
-def _commit(root: str, version: int, adds: list[dict], removes: list[str]) -> None:
-    """Atomically publish a commit: temp file + rename, put-if-absent."""
+def _commit(
+    root: str,
+    version: int,
+    adds: list[dict],
+    removes: list[str],
+    txn: dict | None = None,
+) -> None:
+    """Atomically publish a commit: temp file + rename, put-if-absent.
+    ``txn`` is optional application-transaction metadata (Delta's
+    ``txn`` action: {"appId": ..., "batchId": ...}) letting idempotent
+    writers ask "did MY write land?" independently of the version
+    number it landed at."""
     os.makedirs(_log_dir(root), exist_ok=True)
     target = os.path.join(_log_dir(root), f"{version:08d}.json")
     if os.path.exists(target):
         raise ConcurrentCommit(f"version {version} already committed")
     entry = {"version": version, "adds": adds, "removes": removes}
+    if txn is not None:
+        entry["txn"] = txn
     tmp = target + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(entry, fh)
     os.replace(tmp, target)
+
+
+def _txn_committed(root: str, app_id: str, batch_id: int) -> bool:
+    """True if any log entry carries this (appId, batchId) txn action.
+    O(log segments) JSON reads, no data access. Lookback is bounded by
+    log retention: if pre-checkpoint segments are archived (see
+    lake_log_checkpoint), idempotence checks only reach the retained
+    tail — the same contract as Delta, whose checkpoints carry txn
+    actions forward for exactly this reason."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return False
+    for v in _versions(root):
+        with open(os.path.join(d, f"{v:08d}.json")) as fh:
+            txn = json.load(fh).get("txn")
+        if txn and txn.get("appId") == app_id and txn.get("batchId") == batch_id:
+            return True
+    return False
+
+
+def sink_commit(
+    root: str, app_id: str, batch_id: int, df, stat_cols: list[str]
+) -> int | None:
+    """Idempotent streaming commit for foreachBatch sinks, safe on a
+    table SHARED with other writers: skip (before writing anything — a
+    replay overwrite would wipe the committed files) when this
+    (appId, batchId) already landed, else publish version-independent
+    data files and claim the next free version, carrying the txn
+    action. A competing commit between the version probe and the
+    rename just moves the claim forward — batch ids and versions are
+    decoupled, unlike the version==batchId scheme, which corrupts the
+    mapping the moment an interleaved writer takes a version number.
+    Each ATTEMPT writes to its own directory (the miniature of Delta's
+    UUID part names): a duplicate attempt that loses can never clobber
+    the winner's committed files — its directory just becomes an
+    unreferenced orphan, exactly what lake_vacuum_retention reclaims.
+    Returns the committed version, or None for a replayed no-op."""
+    if _txn_committed(root, app_id, batch_id):
+        return None
+    attempt = 0
+    while os.path.exists(
+        os.path.join(root, "data", f"txn-{app_id}-{batch_id}-a{attempt}")
+    ):
+        attempt += 1
+    adds = _write_files(
+        df, root, f"txn-{app_id}-{batch_id}-a{attempt}", stat_cols
+    )
+    vs = _versions(root)
+    version = (vs[-1] + 1) if vs else 0
+    while True:
+        try:
+            _commit(
+                root, version, adds, [],
+                txn={"appId": app_id, "batchId": batch_id},
+            )
+            return version
+        except ConcurrentCommit:
+            if _txn_committed(root, app_id, batch_id):
+                return None  # a parallel replay of this very batch won
+            version = _versions(root)[-1] + 1
 
 
 def _versions(root: str) -> list[int]:

@@ -618,17 +618,19 @@ def stream_lake_sink(spark, t):
     as a lake version — data files written by Spark, footer zone maps
     collected, the atomic put-if-absent JSON commit published per
     batch. This is what a Delta/Iceberg streaming sink does under the
-    hood (exactly-once via "batch id == commit version": a replayed
-    batch would hit the already-committed version and fail loudly
-    instead of double-writing — the put-if-absent check IS the
-    idempotence guard).
+    hood: exactly-once via a txn action per commit ({appId, batchId},
+    operators/lake.py::sink_commit) — a replayed batch finds its txn
+    already in the log and skips BEFORE writing, and because batch ids
+    are decoupled from version numbers the sink stays correct on a
+    table shared with concurrent writers (an interleaved commit just
+    shifts which version the claim lands on).
 
     The final snapshot read must fold to exactly the batch answer over
     the whole table (hash-checked); tests/test_streaming.py asserts the
     version history itself — one commit per micro-batch, cumulative row
     counts monotone to the table total.
     """
-    from ..operators.lake import _commit, _read_version, _write_files
+    from ..operators.lake import _read_version, sink_commit
 
     events = t["events"]
     tmp = tempfile.mkdtemp(prefix="lake_sink_")
@@ -655,30 +657,25 @@ def stream_lake_sink(spark, t):
     schema = "event_id long, ts timestamp, event_type string, value double"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.lake import ConcurrentCommit, _versions
-
-        # replayed batch after a restart: the version is already durable
-        # — return BEFORE writing, because the commit-dir overwrite
-        # would wipe the committed files (they carry different UUID
-        # names than the replay would produce). This check-then-write is
-        # the Delta txn-version idempotence pattern; the residual race
-        # (another writer commits between check and commit) still lands
-        # in the ConcurrentCommit backstop below, which can only fire
-        # for an UNcommitted dir and therefore clobbers nothing.
-        # tests/test_streaming.py drives a stop/restart through this
-        # path and asserts the final state is unchanged.
-        if int(batch_id) in _versions(root):
-            return
-        out = batch_df.select(
-            "event_id",
-            "event_type",
-            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        # sink_commit is check-then-write: a replayed batch (restart
+        # with a lost streaming checkpoint) finds its txn action in the
+        # log and returns before touching the data dir — writing first
+        # would wipe the committed files via the overwrite. Driven
+        # through stop/restart and shared-table interleaving in
+        # tests/test_streaming.py and tests/test_units.py.
+        sink_commit(
+            root,
+            "stream_lake_sink",
+            int(batch_id),
+            batch_df.select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value") * 100)
+                .cast("bigint")
+                .alias("value_cents"),
+            ),
+            ["event_id"],
         )
-        adds = _write_files(out, root, int(batch_id), ["event_id"])
-        try:
-            _commit(root, int(batch_id), adds, [])
-        except ConcurrentCommit:
-            pass
 
     query = (
         spark.readStream.schema(schema)

@@ -422,7 +422,7 @@ def test_lake_sink_restart_is_exactly_once(spark):
     from pyspark.sql import functions as FF
     from splio_etl_aggregations_spark.operators import lake
     from splio_etl_aggregations_spark.operators.lake import (
-        _commit, _read_version, _write_files,
+        _read_version, sink_commit,
     )
     from splio_etl_aggregations_spark.sources.loader import load
 
@@ -444,21 +444,15 @@ def test_lake_sink_restart_is_exactly_once(spark):
     seen = []
 
     def commit_batch(bdf, bid):
-        # same check-then-write idempotence as the registered sink: a
-        # replayed batch must not overwrite its committed data dir
-        if int(bid) in lake._versions(root):
-            seen.append(int(bid))
-            return
-        adds = _write_files(
+        # the registered sink's txn-action idempotence: a replayed
+        # batch must not overwrite its committed data dir
+        seen.append(int(bid))
+        sink_commit(
+            root, "restart_test", int(bid),
             bdf.select("event_id", "event_type",
                        FF.round(FF.col("value") * 100).cast("bigint")
                        .alias("value_cents")),
-            root, int(bid), ["event_id"])
-        seen.append(int(bid))
-        try:
-            _commit(root, int(bid), adds, [])
-        except lake.ConcurrentCommit:
-            pass
+            ["event_id"])
 
     def start():
         return (spark.readStream.schema(schema)

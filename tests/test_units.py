@@ -1565,3 +1565,66 @@ def test_lake_txn_delete_read_conflict_and_rename_race(spark):
     assert ve == 4 and raced["done"]
     stored = {a["path"] for a in lake._snapshot(root, 4)}
     assert any(p.startswith(os.path.join("data", "txn-e")) for p in stored)
+
+
+def test_sink_commit_is_idempotent_on_a_shared_table(spark):
+    """The streaming sink's txn-action idempotence on a table OTHER
+    writers also commit to: interleaved commits shift which version a
+    batch claims (ids decouple from versions), a replayed batch is a
+    no-op that leaves the committed data dir untouched, and a replay
+    losing the version race to a competitor still commits exactly
+    once."""
+    import os
+    import tempfile
+    from pyspark.sql import functions as F
+    from splio_etl_aggregations_spark.operators import lake
+
+    root = tempfile.mkdtemp(prefix="shared_sink_")
+
+    def batch(i):
+        return spark.range(5).select(
+            (F.col("id") + 10 * i).alias("event_id"),
+            F.lit(f"t{i}").alias("event_type"),
+            F.lit(100 + i).cast("bigint").alias("value_cents"),
+        )
+
+    assert lake.sink_commit(root, "app", 0, batch(0), ["event_id"]) == 0
+    # a concurrent OCC writer takes the next version
+    lake._commit(root, 1, [], [], txn={"appId": "other", "batchId": 0})
+    # batch 1 lands on v2 — id/version decoupled, no corruption
+    assert lake.sink_commit(root, "app", 1, batch(1), ["event_id"]) == 2
+    # replay of batch 0: no-op, committed files untouched
+    files_before = {a["path"] for a in lake._snapshot(root)}
+    mtimes = {
+        p: os.path.getmtime(os.path.join(root, p)) for p in files_before
+    }
+    assert lake.sink_commit(root, "app", 0, batch(0), ["event_id"]) is None
+    assert {a["path"] for a in lake._snapshot(root)} == files_before
+    assert all(
+        os.path.getmtime(os.path.join(root, p)) == mtimes[p]
+        for p in files_before
+    )
+    # a fresh batch racing a competitor for the version number: the
+    # competitor wins the rename at the probed slot, sink_commit must
+    # revalidate and land at the next one without re-writing its files
+    real_commit = lake._commit
+    raced = {"done": False}
+
+    def racing(root_, version, adds, removes, txn=None):
+        if not raced["done"]:
+            raced["done"] = True
+            real_commit(
+                root_, version, [], [],
+                txn={"appId": "other2", "batchId": 0},
+            )
+        return real_commit(root_, version, adds, removes, txn=txn)
+
+    lake._commit = racing
+    try:
+        v = lake.sink_commit(root, "app", 2, batch(2), ["event_id"])
+    finally:
+        lake._commit = real_commit
+    assert v == 4 and raced["done"]
+    # the final table: one copy of each of the three batches
+    n = lake._read_version(spark, root).count()
+    assert n == 15, n
