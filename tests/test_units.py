@@ -1628,3 +1628,30 @@ def test_sink_commit_is_idempotent_on_a_shared_table(spark):
     # the final table: one copy of each of the three batches
     n = lake._read_version(spark, root).count()
     assert n == 15, n
+
+
+def test_vacuum_reclaims_orphaned_sink_attempts(spark):
+    """A duplicate sink attempt that never commits leaves an orphaned
+    per-attempt directory; vacuum must reclaim those files while every
+    committed file survives — closing the loop the sink_commit
+    docstring promises."""
+    import os
+    import tempfile
+    from pyspark.sql import functions as F
+    from splio_etl_aggregations_spark.operators import lake
+
+    root = tempfile.mkdtemp(prefix="orphan_vac_")
+    df = spark.range(5).select(
+        F.col("id").alias("event_id"),
+        F.lit("t").alias("event_type"),
+        F.lit(1).cast("bigint").alias("value_cents"),
+    )
+    assert lake.sink_commit(root, "app", 0, df, ["event_id"]) == 0
+    # simulate the losing duplicate attempt: files written, no commit
+    lake._write_files(df, root, "txn-app-0-a1", ["event_id"])
+    committed = {a["path"] for a in lake._snapshot(root, 0)}
+    deleted = lake._vacuum(root, [0])
+    assert deleted and all(p.startswith("data/txn-app-0-a1") for p in deleted)
+    for rel in committed:
+        assert os.path.exists(os.path.join(root, rel))
+    assert lake._read_version(spark, root, 0).count() == 5
