@@ -121,6 +121,15 @@ SHOWCASE = [
         "Spark planned), and the key-range predicate still lands in "
         "PushedFilters for row-group skipping inside them.",
     ),
+    (
+        "lake_incremental_rollup",
+        "Incremental rollup maintenance (r3): the delta branch's "
+        "InMemoryFileIndex lists ONLY the files commit 1 removed or added "
+        "(data/v000000 removes + data/v000001 adds) — the carried-over "
+        "majority of the table never appears in any scan of the "
+        "maintenance job; the bootstrap branch reads v0 once, and both "
+        "fold through ordinary partial hash aggregates.",
+    ),
 ]
 
 
