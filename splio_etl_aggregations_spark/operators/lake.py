@@ -418,18 +418,27 @@ def _build_v0(spark, t, root: str, n_files: int = 8):
 
 
 def _merge_v1(spark, root: str):
-    """The CoW MERGE commit described above. Returns (locut, hicut, mx)."""
-    live = _snapshot(root, 0)
+    """The CoW MERGE commit described above, run as an OCC transaction
+    (read set: the two modified deciles plus the insert-source full
+    span; removes: the decile-overlapping files) — so a writer that
+    raced this merge into the log would surface as CommitConflict
+    instead of silently merging over a stale snapshot. Returns
+    (locut, hicut, mx)."""
+    txn = Txn(root)
+    live = _snapshot(root, txn.read_version)
     mn, mx = _key_bounds(live, _KEY)
     locut = mn + (mx - mn) // 10
     hicut = mx - (mx - mn) // 10
 
-    # files whose key range touches either modified decile
+    # files whose key range touches either modified decile — recorded
+    # as the txn's read ranges so the conflict check guards them
     touched = {
         a["path"]
         for a in _prune_files(live, _KEY, mn, locut)
         + _prune_files(live, _KEY, hicut + 1, mx)
     }
+    txn.read_ranges += [(mn, locut), (hicut + 1, mx)]
+    txn.read_files |= touched
     untouched = [a for a in live if a["path"] not in touched]
     touched_paths = [os.path.join(root, p) for p in sorted(touched)]
 
@@ -460,8 +469,12 @@ def _merge_v1(spark, root: str):
             F.lit("inserted").alias("src"),
         )
     )
+    txn.read_ranges.append((mn, mx))  # the insert-source full-span read
     adds = _write_files(rewritten.unionByName(inserts), root, 1, [_KEY])
-    _commit(root, 1, adds, sorted(touched))
+    txn.adds = adds
+    txn.removes = sorted(touched)
+    committed = txn.commit()
+    assert committed == 1, f"merge expected v1, got v{committed}"
     assert untouched, "CoW degenerated to full rewrite on this layout"
     return locut, hicut, mx
 
