@@ -1655,3 +1655,82 @@ def test_vacuum_reclaims_orphaned_sink_attempts(spark):
     for rel in committed:
         assert os.path.exists(os.path.join(root, rel))
     assert lake._read_version(spark, root, 0).count() == 5
+
+
+def test_incremental_rollup_composes_across_a_multi_commit_history(spark):
+    """The signed-fold maintenance algebra must compose over an
+    arbitrary commit history, not just the single demo merge: bootstrap
+    the rollup at v1, then advance it commit-by-commit through an OCC
+    append (v2) and a CoW rewrite with removes (v3); the maintained
+    state must equal a full recompute at every intermediate version."""
+    import json
+    import os
+    from pyspark.sql import functions as F
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = lake._demo_lake(spark, t)
+    mn, mx = lake._key_bounds(lake._snapshot(root, 0), lake._KEY)
+
+    # v2: append a slice of shifted keys via the OCC path
+    txn = lake.Txn(root)
+    span = txn.read_range(spark, mn, 2 * mx)
+    txn.write(
+        span.filter((F.col(lake._KEY) % 11 == 0) & (F.col(lake._KEY) > 0))
+        .select((F.col(lake._KEY) + 5 * mx).alias(lake._KEY),
+                "o_orderpriority", "o_cents", F.lit("x").alias("src")),
+        "x",
+    )
+    assert txn.commit() == 2
+
+    # v3: CoW-rewrite the appended slice (cents tripled) — a commit
+    # with BOTH removes and adds, like a real merge
+    txn2 = lake.Txn(root)
+    region = txn2.read_range(spark, 5 * mx, 7 * mx)
+    txn2.write(
+        region.select(lake._KEY, "o_orderpriority",
+                      (F.col("o_cents") * 3).alias("o_cents"),
+                      F.lit("y").alias("src")),
+        "y",
+    )
+    txn2.removes = sorted(txn2.read_files)
+    assert txn2.commit() == 3
+
+    def rollup(df):
+        return df.groupBy("src").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_cents").alias("cents"))
+
+    def as_map(df):
+        return {r["src"]: (r["n"], r["cents"]) for r in df.collect()}
+
+    state = as_map(rollup(lake._read_version(spark, root, 1)))
+    for v in (2, 3):
+        with open(os.path.join(lake._log_dir(root), f"{v:08d}.json")) as fh:
+            entry = json.load(fh)
+        frames = []
+        if entry["removes"]:
+            frames.append(
+                spark.read.parquet(
+                    *[os.path.join(root, p) for p in entry["removes"]]
+                ).select("src", F.lit(-1).alias("sign"), "o_cents"))
+        if entry["adds"]:
+            frames.append(
+                spark.read.parquet(
+                    *[os.path.join(root, a["path"]) for a in entry["adds"]]
+                ).select("src", F.lit(1).alias("sign"), "o_cents"))
+        delta = frames[0]
+        for f in frames[1:]:
+            delta = delta.unionByName(f)
+        for r in (
+            delta.groupBy("src")
+            .agg(F.sum("sign").alias("n"),
+                 F.sum(F.col("sign") * F.col("o_cents")).alias("cents"))
+            .collect()
+        ):
+            n0, c0 = state.get(r["src"], (0, 0))
+            n1, c1 = n0 + r["n"], c0 + r["cents"]
+            if n1 == 0:
+                state.pop(r["src"], None)
+            else:
+                state[r["src"]] = (n1, c1)
+        assert state == as_map(rollup(lake._read_version(spark, root, v))), v
