@@ -121,6 +121,7 @@ EXTRA_SHAPES = [
     "lake_zone_map_skip_scan",
     "stream_lake_sink",
     "join_bloom_prune",
+    "pipeline_lakehouse_ivm",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

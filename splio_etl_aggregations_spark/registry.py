@@ -158,6 +158,7 @@ DRIVER_ORDER: list[str] = [
     "lake_incremental_rollup",
     "lake_vacuum_retention",
     "lake_concurrent_txn_rebase",
+    "pipeline_lakehouse_ivm",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",

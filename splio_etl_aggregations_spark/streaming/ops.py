@@ -630,7 +630,24 @@ def stream_lake_sink(spark, t):
     version history itself — one commit per micro-batch, cumulative row
     counts monotone to the table total.
     """
-    from ..operators.lake import _read_version, sink_commit
+    from ..operators.lake import _read_version
+
+    root = _ingest_events_to_lake(spark, t)
+    return (
+        _read_version(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+def _ingest_events_to_lake(spark, t) -> str:
+    """The sink's ingestion path, shared with the lakehouse-IVM
+    composite: replay events through 3 chronological micro-batches,
+    sink_commit each into a fresh lake table, return the table root."""
+    from ..operators.lake import sink_commit
 
     events = t["events"]
     tmp = tempfile.mkdtemp(prefix="lake_sink_")
@@ -689,11 +706,59 @@ def stream_lake_sink(spark, t):
     if not query.awaitTermination(120):
         query.stop()
         raise TimeoutError("stream_lake_sink replay did not finish in 120 s")
+    return root
+
+
+@register(
+    "pipeline_lakehouse_ivm",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    tier="P2",
+)
+def pipeline_lakehouse_ivm(spark, t):
+    """End-to-end lakehouse maintenance: events stream into the
+    transaction-log table via the exactly-once sink (3 micro-batch
+    commits), and a per-event-type rollup is maintained PURELY from the
+    commit log — one partial aggregate over each commit's added files,
+    folded together. No snapshot read, no full-table scan: every data
+    file flows through maintenance exactly once, as its commit lands
+    (asserted structurally in tests/test_units.py). The maintained
+    state must hash-match the batch answer over the raw events table —
+    the continuous-ingestion + incremental-view workflow a training
+    -data pipeline runs against a 100 TB table, where recomputing the
+    view per commit is the thing you cannot afford. Append-only commits
+    need only +1 folds; the removes case of the same algebra is
+    lake_incremental_rollup (operators/lake.py), and the multi-commit
+    composition of both is proven in
+    tests/test_units.py::test_incremental_rollup_composes_across_a_multi_commit_history.
+    """
+    import json
+
+    from ..operators.lake import _log_dir, _versions
+
+    root = _ingest_events_to_lake(spark, t)
+    partials = None
+    for v in _versions(root):
+        with open(os.path.join(_log_dir(root), f"{v:08d}.json")) as fh:
+            entry = json.load(fh)
+        part = (
+            spark.read.parquet(
+                *[os.path.join(root, a["path"]) for a in entry["adds"]]
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_cents").alias("value_cents"),
+            )
+        )
+        partials = part if partials is None else partials.unionByName(part)
     return (
-        _read_version(spark, root)
-        .groupBy("event_type")
+        partials.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_events").alias("n_events"),
             F.sum("value_cents").alias("value_cents"),
         )
     )

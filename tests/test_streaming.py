@@ -499,3 +499,50 @@ def test_lake_sink_restart_is_exactly_once(spark):
                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
                  .alias("cents")).collect()}
     assert got == want
+
+
+def test_lakehouse_ivm_partials_partition_the_commit_history(spark):
+    """pipeline_lakehouse_ivm's claim — every data file flows through
+    maintenance exactly once — rests on the commit adds partitioning
+    the live file set: pairwise disjoint across versions, union equal
+    to the final snapshot. Assert that on the sink's log, and that the
+    maintained rollup equals both the snapshot rollup and the raw batch
+    answer."""
+    import glob as _glob
+    import os as _os
+
+    from splio_etl_aggregations_spark.operators import lake
+    from splio_etl_aggregations_spark.registry import get
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    df = get("pipeline_lakehouse_ivm").run(spark, SF_SMALL)
+    maintained = {r["event_type"]: (r["n_events"], r["value_cents"])
+                  for r in df.collect()}
+    roots = sorted(_glob.glob("/tmp/lake_sink_*/table/_log"),
+                   key=_os.path.getmtime)
+    assert roots
+    root = _os.path.dirname(roots[-1])
+    import json as _json
+    per_version = []
+    for v in lake._versions(root):
+        with open(_os.path.join(lake._log_dir(root), f"{v:08d}.json")) as fh:
+            per_version.append({a["path"] for a in _json.load(fh)["adds"]})
+    assert len(per_version) == 3
+    for i in range(len(per_version)):
+        for j in range(i + 1, len(per_version)):
+            assert not (per_version[i] & per_version[j])
+    live = {a["path"] for a in lake._snapshot(root)}
+    assert set().union(*per_version) == live
+    snapshot = {r["event_type"]: (r["n"], r["cents"]) for r in
+                lake._read_version(spark, root)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value_cents").alias("cents")).collect()}
+    assert maintained == snapshot
+    events = load(spark, SF_SMALL)["events"]
+    batch = {r["event_type"]: (r["n"], r["cents"]) for r in
+             events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("cents")).collect()}
+    assert maintained == batch
