@@ -1788,8 +1788,8 @@ _LOOKBACK_US = 7 * 86_400 * 1_000_000
     )
     SELECT event_type AS channel,
            round(SUM(COALESCE(credit, 0)), 4) AS credited_revenue,
-           SUM(CASE WHEN credit IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_credited_touches
+           CAST(SUM(CASE WHEN credit IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_credited_touches
     FROM w3 WHERE event_type <> 'purchase'
     GROUP BY event_type
     """,
@@ -2658,9 +2658,10 @@ def win_time_in_state(spark, t):
       FROM events
     )
     SELECT w.week,
-           SUM(CASE WHEN f.first_day >= w.week THEN 1 ELSE 0 END) AS n_new,
-           SUM(CASE WHEN f.first_day < w.week THEN 1 ELSE 0 END)
-             AS n_returning,
+           CAST(SUM(CASE WHEN f.first_day >= w.week THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN f.first_day < w.week THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning,
            round(SUM(CASE WHEN f.first_day < w.week THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 6) AS returning_share
     FROM weekly w JOIN first_seen f USING (user_id)
@@ -2773,7 +2774,7 @@ def agg_topk_with_others(spark, t):
       SELECT COUNT(*) AS n, SUM(purchased) AS k
       FROM per_user WHERE clicked = 1
     )
-    SELECT n AS n_clickers, k AS n_converted,
+    SELECT n AS n_clickers, CAST(k AS BIGINT) AS n_converted,
            round(k * 1.0 / n, 6) AS rate,
            round((k * 1.0 / n + 1.9208 / n
                   - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
@@ -2857,7 +2858,8 @@ def agg_conversion_wilson(spark, t):
                           AND 1 PRECEDING), 0) AS n_risk
       FROM grid
     )
-    SELECT t_days, n_risk, d AS n_events, c AS n_censored,
+    SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
            CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY t_days) = 1
                 THEN 0.0
@@ -2971,7 +2973,8 @@ def agg_survival_km(spark, t):
     ),
     tot AS (SELECT SUM(n_purchasers)::DOUBLE AS total_p,
                    SUM(n_users)::DOUBLE AS total_u FROM cells)
-    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_purchasers,
+    SELECT CAST(decile AS BIGINT) AS decile, n_users,
+           CAST(n_purchasers AS BIGINT) AS n_purchasers,
            round(n_purchasers / t.total_p, 6) AS capture_share,
            round(SUM(n_purchasers) OVER (ORDER BY decile) / t.total_p, 6)
              AS cum_capture,
@@ -3108,8 +3111,8 @@ def agg_basket_size_hist(spark, t):
       FROM ranked GROUP BY user_id
     )
     SELECT COUNT(*) AS n_buyers,
-           SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)
-             AS n_repeat_buyers,
+           CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_repeat_buyers,
            round(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 6) AS repeat_rate,
            round(AVG((epoch_us(second_ts) - epoch_us(first_ts))
@@ -3385,7 +3388,7 @@ def agg_abc_xyz_classes(spark, t):
             - ((SELECT mean_qty FROM cells WHERE treated=0 AND post=1)
                - (SELECT mean_qty FROM cells WHERE treated=0 AND post=0)), 6)
         AS did_estimate,
-      (SELECT SUM(n) FROM cells) AS n_lines
+      CAST((SELECT SUM(n) FROM cells) AS BIGINT) AS n_lines
     """,
     tier="P2",
 )
@@ -3765,8 +3768,8 @@ def agg_customer_migration_matrix(spark, t):
     )
     SELECT event_type AS channel,
            round(SUM(COALESCE(credit, 0)), 4) AS credited_revenue,
-           SUM(CASE WHEN credit IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_credited_touches
+           CAST(SUM(CASE WHEN credit IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_credited_touches
     FROM w3 WHERE event_type <> 'purchase'
     GROUP BY event_type
     """,
@@ -3958,7 +3961,8 @@ def agg_theil_decomposition(spark, t):
     )
     SELECT entry_type,
            COUNT(*) AS n_sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bounces,
            round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS bounce_rate
     FROM per_session
@@ -4044,9 +4048,9 @@ def agg_bounce_rate(spark, t):
       GROUP BY day + 1
     )
     SELECT COALESCE(c.day, ch.day) AS day,
-           COALESCE(c.n_new, 0) AS n_new,
-           COALESCE(c.n_retained, 0) AS n_retained,
-           COALESCE(c.n_resurrected, 0) AS n_resurrected,
+           CAST(COALESCE(c.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(c.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(c.n_resurrected, 0) AS BIGINT) AS n_resurrected,
            COALESCE(ch.n_churned, 0) AS n_churned
     FROM cls c FULL OUTER JOIN churn ch ON ch.day = c.day
     ORDER BY day

@@ -412,14 +412,18 @@ def dedup_keep_best(spark, t):
                       THEN 1 ELSE 0 END) AS o4
       FROM per
     )
-    SELECT 'too_short' AS filter, s1 AS n_fail, o1 AS n_sole_fail,
+    SELECT 'too_short' AS filter, CAST(s1 AS BIGINT) AS n_fail,
+           CAST(o1 AS BIGINT) AS n_sole_fail,
            round(s1 * 1.0 / n_docs, 4) AS pct_fail FROM s
     UNION ALL
-    SELECT 'too_long', s2, o2, round(s2 * 1.0 / n_docs, 4) FROM s
+    SELECT 'too_long', CAST(s2 AS BIGINT), CAST(o2 AS BIGINT),
+           round(s2 * 1.0 / n_docs, 4) FROM s
     UNION ALL
-    SELECT 'low_ttr', s3, o3, round(s3 * 1.0 / n_docs, 4) FROM s
+    SELECT 'low_ttr', CAST(s3 AS BIGINT), CAST(o3 AS BIGINT),
+           round(s3 * 1.0 / n_docs, 4) FROM s
     UNION ALL
-    SELECT 'high_repetition', s4, o4, round(s4 * 1.0 / n_docs, 4) FROM s
+    SELECT 'high_repetition', CAST(s4 AS BIGINT), CAST(o4 AS BIGINT),
+           round(s4 * 1.0 / n_docs, 4) FROM s
     """,
     tier="P2",
 )
@@ -519,7 +523,8 @@ def corpus_quality_ablation(spark, t):
     firsts AS (SELECT bigram, MIN(doc_id) AS first_doc FROM bigd GROUP BY bigram)
     SELECT b.doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
            round(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 4) AS novelty
     FROM bigd b JOIN firsts f ON f.bigram = b.bigram

@@ -347,7 +347,7 @@ def etl_scd2_history(spark, t):
                               ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            max(ts_us) - min(ts_us) AS duration_us,
            round(sum(value), 4) AS sum_value
@@ -608,8 +608,10 @@ PSI_SPLIT = "1998-01-01"
     ),
     grid AS (
       SELECT g.bucket,
-             coalesce(sum(CASE WHEN b.is_ref THEN 1 END), 0) AS n_ref,
-             coalesce(sum(CASE WHEN NOT b.is_ref THEN 1 END), 0) AS n_act
+             CAST(coalesce(sum(CASE WHEN b.is_ref THEN 1 END), 0)
+               AS BIGINT) AS n_ref,
+             CAST(coalesce(sum(CASE WHEN NOT b.is_ref THEN 1 END), 0)
+               AS BIGINT) AS n_act
       FROM (SELECT unnest(range({PSI_BUCKETS})) AS bucket) g
       LEFT JOIN bucketed b ON b.bucket = g.bucket
       GROUP BY g.bucket
@@ -734,10 +736,12 @@ def dq_ks_drift(spark, t):
     from .windows import two_phase_cumsum
 
     is_ref = F.col("o_orderdate") < F.lit(PSI_SPLIT).cast("timestamp")
-    # vals feeds the prefix-sum AND the totals — cache it so Catalyst
-    # doesn't re-expand the orders scan into every consumer (it repeated
-    # the scan 10× unshared; cache over localCheckpoint because lazy
-    # localCheckpoint pays a build-time physical-plan compile)
+    # vals feeds the prefix-sum AND the totals; the prefix-sum helper
+    # already caches its range-partitioned copy of vals (pid pinning),
+    # so take that frame back (with_source) and aggregate the totals
+    # from it — one cache layer, one orders scan. The r3 form cached
+    # vals a second time on top; the two stacked materializations were
+    # the round's one bench regression (0.91→1.18 s warm).
     vals = (
         t["orders"]
         .select(F.col("o_totalprice").alias("v"), is_ref.alias("is_ref"))
@@ -746,15 +750,18 @@ def dq_ks_drift(spark, t):
             F.count_if("is_ref").alias("na"),
             F.count_if(~F.col("is_ref")).alias("nb"),
         )
-        .cache()
     )
-    cum = two_phase_cumsum(vals, [F.asc("v")], ["na", "nb"])
-    tot = vals.agg(
+    cum, src = two_phase_cumsum(
+        vals, [F.asc("v")], ["na", "nb"], with_source=True
+    )
+    tot = src.agg(
         F.sum("na").cast("double").alias("ta"),
         F.sum("nb").cast("double").alias("tb"),
     )
     d = cum.crossJoin(F.broadcast(tot)).select(
         "v",
+        "ta",
+        "tb",
         F.round(
             F.abs(
                 F.col("cum_na") / F.col("ta") - F.col("cum_nb") / F.col("tb")
@@ -764,11 +771,15 @@ def dq_ks_drift(spark, t):
     )
     # max-then-argmax folded into ONE aggregate via lexicographic struct
     # max (dd desc, then -v ⇒ min v among ties) — one pass over d instead
-    # of a max job plus an equality-join argmax job
+    # of a max job plus an equality-join argmax job. The totals ride
+    # along as first() (constant per row after the broadcast) rather
+    # than re-deriving `tot` through a second cross join.
     best = d.agg(
-        F.max(F.struct(F.col("dd"), (-F.col("v")).alias("nv"))).alias("b")
+        F.max(F.struct(F.col("dd"), (-F.col("v")).alias("nv"))).alias("b"),
+        F.first("ta").alias("ta"),
+        F.first("tb").alias("tb"),
     )
-    return best.crossJoin(F.broadcast(tot)).select(
+    return best.select(
         F.col("b.dd").alias("ks_stat"),
         (-F.col("b.nv")).alias("at_value"),
         F.col("ta").cast("bigint").alias("n_ref"),
@@ -1025,8 +1036,8 @@ def etl_gdpr_erasure(spark, t):
            COUNT(DISTINCT e.custkey || '#' || CAST(e.valid_from AS VARCHAR))
              AS n_eras,
            COUNT(*) AS n_orders,
-           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
-             AS era_revenue_cents
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS era_revenue_cents
     FROM eras e
     JOIN orders o
       ON o.o_custkey = e.custkey
@@ -1123,8 +1134,8 @@ def join_scd2_point_in_time(spark, t):
              ELSE 'drifted'
            END AS status,
            COUNT(*) AS n_customers,
-           SUM(COALESCE(order_cents, 0)) AS orders_sum_cents,
-           SUM(COALESCE(event_cents, 0)) AS events_sum_cents
+           CAST(SUM(COALESCE(order_cents, 0)) AS BIGINT) AS orders_sum_cents,
+           CAST(SUM(COALESCE(event_cents, 0)) AS BIGINT) AS events_sum_cents
     FROM j GROUP BY status
     """,
     tier="P2",
@@ -1194,26 +1205,30 @@ def etl_reconcile_sources(spark, t):
     WITH fd1 AS (
       SELECT 'orders: o_orderkey -> o_custkey' AS fd,
              COUNT(*) AS n_keys,
-             SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
              MAX(d) AS max_distinct_rhs
       FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS d
             FROM orders GROUP BY o_orderkey)
     ),
     fd2 AS (
       SELECT 'customer: c_custkey -> c_mktsegment' AS fd,
-             COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+             COUNT(*), CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+               AS BIGINT), MAX(d)
       FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS d
             FROM customer GROUP BY c_custkey)
     ),
     fd3 AS (
       SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
-             COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+             COUNT(*), CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+               AS BIGINT), MAX(d)
       FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS d
             FROM lineitem GROUP BY l_orderkey)
     ),
     fd4 AS (
       SELECT 'events: user_id -> event_type' AS fd,
-             COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+             COUNT(*), CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+               AS BIGINT), MAX(d)
       FROM (SELECT user_id, COUNT(DISTINCT event_type) AS d
             FROM events GROUP BY user_id)
     )
@@ -1451,7 +1466,8 @@ def etl_cdc_apply(spark, t):
     SELECT COUNT(*) AS n_ids,
            CAST(MIN(event_id) AS BIGINT) AS min_id,
            CAST(MAX(event_id) AS BIGINT) AS max_id,
-           SUM(CASE WHEN event_id - prev_id > 1 THEN 1 ELSE 0 END) AS n_gaps,
+           CAST(SUM(CASE WHEN event_id - prev_id > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_gaps,
            CAST(COALESCE(MAX(event_id - prev_id) - 1, 0) AS BIGINT)
              AS max_gap,
            CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)

@@ -372,8 +372,8 @@ def join_asof(spark, t):
     "join_bucketed_colocated",
     oracle="""
     SELECT o.o_orderpriority, COUNT(*) AS n_items,
-           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                    AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -434,7 +434,7 @@ def join_bucketed_colocated(spark, t):
 @register(
     "join_salted_skew",
     oracle="""
-    SELECT e.event_id, d.weight,
+    SELECT e.event_id, CAST(d.weight AS DOUBLE) AS weight,
            round(e.value * d.weight, 4) AS weighted_value
     FROM events e
     JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
@@ -1425,7 +1425,8 @@ def join_role_playing_dates(spark, t):
     "join_bloom_prune",
     oracle="""
     SELECT l.l_returnflag, COUNT(*) AS n_lines,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'

@@ -36,7 +36,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -67,27 +69,56 @@ def _commit(
     number it landed at."""
     os.makedirs(_log_dir(root), exist_ok=True)
     target = os.path.join(_log_dir(root), f"{version:08d}.json")
-    if os.path.exists(target):
-        raise ConcurrentCommit(f"version {version} already committed")
     entry = {"version": version, "adds": adds, "removes": removes}
     if txn is not None:
         entry["txn"] = txn
-    tmp = target + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(entry, fh)
-    os.replace(tmp, target)
+    # Unique tmp per writer: a shared `target + ".tmp"` lets two racing
+    # writers clobber each other's staging file before either publishes.
+    fd, tmp = tempfile.mkstemp(
+        dir=_log_dir(root), prefix=f"{version:08d}.", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entry, fh)
+        # os.link is the atomic put-if-absent: it fails (never
+        # overwrites) when the target exists, unlike os.replace —
+        # check-then-replace would let the loser silently clobber the
+        # winner's committed JSON. This is the single primitive the OCC
+        # layer and the exactly-once streaming sink both stand on.
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommit(
+                f"version {version} already committed"
+            ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _txn_committed(root: str, app_id: str, batch_id: int) -> bool:
-    """True if any log entry carries this (appId, batchId) txn action.
-    O(log segments) JSON reads, no data access. Lookback is bounded by
-    log retention: if pre-checkpoint segments are archived (see
-    lake_log_checkpoint), idempotence checks only reach the retained
-    tail — the same contract as Delta, whose checkpoints carry txn
-    actions forward for exactly this reason."""
+    """True if this (appId, batchId) txn action already landed. Two
+    sources, matching Delta's contract: the newest checkpoint's
+    carried-forward ``txns`` map (highest batchId per appId — batch ids
+    are monotonic per writer, so ``batch_id <= last`` means replayed),
+    then the retained log tail's per-commit txn actions. Carrying the
+    map through checkpoints means archiving pre-checkpoint segments
+    (lake_log_checkpoint) can never make a delayed replay look new and
+    double-commit its rows. O(log segments) JSON reads, no data
+    access."""
     d = _log_dir(root)
     if not os.path.isdir(d):
         return False
+    cks = _checkpoints(root)
+    if cks:
+        with open(
+            os.path.join(d, f"{cks[-1]:08d}.checkpoint.json")
+        ) as fh:
+            last = json.load(fh).get("txns", {}).get(app_id)
+        if last is not None and batch_id <= last:
+            return True
     for v in _versions(root):
         with open(os.path.join(d, f"{v:08d}.json")) as fh:
             txn = json.load(fh).get("txn")
@@ -115,16 +146,16 @@ def sink_commit(
     Returns the committed version, or None for a replayed no-op."""
     if _txn_committed(root, app_id, batch_id):
         return None
-    attempt = 0
-    while os.path.exists(
-        os.path.join(root, "data", f"txn-{app_id}-{batch_id}-a{attempt}")
-    ):
-        attempt += 1
+    # Collision-free by construction (uuid suffix), not probed: two
+    # concurrent replays of the same (appId, batchId) could both find
+    # the same "next free" index and overwrite each other's files
+    # mid-write — the committed winner would then reference files the
+    # loser clobbered.
+    attempt = uuid.uuid4().hex[:12]
     adds = _write_files(
         df, root, f"txn-{app_id}-{batch_id}-a{attempt}", stat_cols
     )
-    vs = _versions(root)
-    version = (vs[-1] + 1) if vs else 0
+    version = _latest_version(root) + 1
     while True:
         try:
             _commit(
@@ -135,18 +166,40 @@ def sink_commit(
         except ConcurrentCommit:
             if _txn_committed(root, app_id, batch_id):
                 return None  # a parallel replay of this very batch won
-            version = _versions(root)[-1] + 1
+            version = _latest_version(root) + 1
+
+
+_COMMIT_RE = re.compile(r"^(\d{8})\.json$")
 
 
 def _versions(root: str) -> list[int]:
     d = _log_dir(root)
     if not os.path.isdir(d):  # no commits yet: an empty table, not an error
         return []
+    # Strict name match: foreign markers a tool may drop in _log (e.g. a
+    # _last_checkpoint.json) and leftover *.tmp staging files must not
+    # break every snapshot read with a ValueError.
     return sorted(
-        int(f[:-5])
+        int(m.group(1))
         for f in os.listdir(d)
-        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        if (m := _COMMIT_RE.match(f))
     )
+
+
+def _latest_version(root: str) -> int:
+    """Newest version the log knows about: the retained commit files OR
+    a checkpoint whose source segments were archived — whichever is
+    higher. Allocating the next version from commit files alone would,
+    after log truncation, re-issue version 0 *below* the checkpoint and
+    corrupt history (caught by
+    test_lake_checkpoint_carries_txn_map_past_truncation). -1 when the
+    table is empty."""
+    vs = _versions(root)
+    cks = _checkpoints(root)
+    return max(vs[-1] if vs else -1, cks[-1] if cks else -1)
+
+
+_CHECKPOINT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
 
 
 def _checkpoints(root: str) -> list[int]:
@@ -154,22 +207,51 @@ def _checkpoints(root: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f.split(".")[0])
+        int(m.group(1))
         for f in os.listdir(d)
-        if f.endswith(".checkpoint.json")
+        if (m := _CHECKPOINT_RE.match(f))
     )
+
+
+def _txn_map(root: str, version: int) -> dict[str, int]:
+    """Highest batchId per appId over commits 0..version, seeded from
+    the newest prior checkpoint's map (whose source segments may
+    already be archived)."""
+    txns: dict[str, int] = {}
+    start = 0
+    usable = [c for c in _checkpoints(root) if c <= version]
+    if usable:
+        with open(
+            os.path.join(_log_dir(root), f"{usable[-1]:08d}.checkpoint.json")
+        ) as fh:
+            txns = dict(json.load(fh).get("txns", {}))
+        start = usable[-1] + 1
+    for v in _versions(root):
+        if v < start or v > version:
+            continue
+        with open(os.path.join(_log_dir(root), f"{v:08d}.json")) as fh:
+            txn = json.load(fh).get("txn")
+        if txn:
+            app = txn["appId"]
+            txns[app] = max(txns.get(app, -1), txn["batchId"])
+    return txns
 
 
 def _write_checkpoint(root: str, version: int) -> None:
     """Consolidate the live set as of ``version`` into one file, so
     later snapshot resolution replays only the commits AFTER it — the
     O(commits) → O(commits-since-checkpoint) fix real formats ship
-    (Delta's _last_checkpoint, Iceberg's manifest lists)."""
+    (Delta's _last_checkpoint, Iceberg's manifest lists). Also carries
+    the accumulated {appId: max batchId} txn map forward, as Delta
+    checkpoints carry setTransaction actions — without it, archiving
+    pre-checkpoint segments would erase idempotence history and let a
+    delayed batch replay double-commit (see _txn_committed)."""
     live = _snapshot(root, version)
+    txns = _txn_map(root, version)
     target = os.path.join(_log_dir(root), f"{version:08d}.checkpoint.json")
-    tmp = target + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "live": live}, fh)
+    fd, tmp = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"version": version, "live": live, "txns": txns}, fh)
     os.replace(tmp, target)
 
 
@@ -318,9 +400,8 @@ class Txn:
     """
 
     def __init__(self, root: str):
-        vs = _versions(root)
         self.root = root
-        self.read_version = vs[-1] if vs else -1
+        self.read_version = _latest_version(root)
         self.read_files: set[str] = set()
         self.read_ranges: list[tuple[int, int]] = []
         self.adds: list[dict] = []
@@ -352,8 +433,7 @@ class Txn:
         Returns the committed version; raises CommitConflict if any
         intervening commit intersects the read set."""
         while True:
-            vs = _versions(self.root)
-            latest = vs[-1] if vs else -1
+            latest = _latest_version(self.root)
             for v in range(self.read_version + 1, latest + 1):
                 with open(
                     os.path.join(_log_dir(self.root), f"{v:08d}.json")
@@ -526,7 +606,7 @@ _V1_SQL = """
     oracle=f"""
     WITH {_V1_SQL}
     SELECT src, o_orderpriority, COUNT(*) AS n_rows,
-           SUM(o_cents) AS revenue_cents
+           CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM v1 GROUP BY src, o_orderpriority
     """,
     tier="P1",
@@ -562,10 +642,10 @@ def lake_merge_upsert(spark, t):
     oracle=f"""
     WITH {_V1_SQL}
     SELECT 0 AS version, COUNT(*) AS n_rows,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders
     UNION ALL
-    SELECT 1, COUNT(*), SUM(o_cents) FROM v1
+    SELECT 1, COUNT(*), CAST(SUM(o_cents) AS BIGINT) FROM v1
     """,
     tier="P2",
 )
@@ -607,7 +687,7 @@ def lake_time_travel_read(spark, t):
       FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
     )
     SELECT change_type, COUNT(*) AS n_rows,
-           SUM(delta) AS delta_cents
+           CAST(SUM(delta) AS BIGINT) AS delta_cents
     FROM cdf GROUP BY change_type
     """,
     tier="P2",
@@ -653,7 +733,7 @@ def lake_change_feed(spark, t):
     "lake_snapshot_rollback",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_rows,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders GROUP BY o_orderpriority
     """,
     tier="P3",
@@ -687,7 +767,7 @@ def lake_snapshot_rollback(spark, t):
     oracle=f"""
     WITH {_V1_SQL}
     SELECT o_orderpriority, COUNT(*) AS n_rows,
-           SUM(o_cents) AS revenue_cents
+           CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM v1
     WHERE o_orderkey BETWEEN
             (SELECT locut FROM bounds) * 3 AND (SELECT locut FROM bounds) * 5
@@ -730,7 +810,7 @@ def lake_zone_map_skip_scan(spark, t):
     "lake_compact_small_files",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_rows,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders GROUP BY o_orderpriority
     """,
     tier="P2",
@@ -780,7 +860,7 @@ def lake_compact_small_files(spark, t):
       FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT COALESCE(o_channel, 'legacy') AS channel,
-           COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+           COUNT(*) AS n_rows, CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM (SELECT * FROM early UNION ALL SELECT * FROM late)
     GROUP BY COALESCE(o_channel, 'legacy')
     """,
@@ -843,7 +923,7 @@ def lake_schema_evolution(spark, t):
     oracle=f"""
     WITH {_V1_SQL}
     SELECT src, o_orderpriority, COUNT(*) AS n_rows,
-           SUM(o_cents) AS revenue_cents
+           CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM v1 GROUP BY src, o_orderpriority
     """,
     tier="P2",
@@ -950,7 +1030,7 @@ def lake_merge_on_read(spark, t):
         AND l_partkey  BETWEEN bmn + (bmx - bmn) * 2 // 8
                            AND bmn + (bmx - bmn) * 3 // 8
     )
-    SELECT l_returnflag, COUNT(*) AS n_rows, SUM(cents) AS revenue_cents
+    SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS revenue_cents
     FROM boxed GROUP BY l_returnflag
     """,
     tier="P2",
@@ -1068,7 +1148,8 @@ def lake_stats_only_query(spark, t):
     "lake_hidden_partitioning",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events
     WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
       AND CAST(ts AS DATE) <  DATE '2024-01-15'
@@ -1141,7 +1222,7 @@ def lake_hidden_partitioning(spark, t):
              CAST(round(o_totalprice * 100) AS BIGINT), 'late'
       FROM orders WHERE o_orderkey % 101 = 0
     )
-    SELECT src, COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    SELECT src, COUNT(*) AS n_rows, CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM v2 GROUP BY src
     """,
     tier="P3",
@@ -1279,7 +1360,7 @@ def lake_point_lookup_bloom(spark, t):
     oracle=f"""
     WITH {_V1_SQL}
     SELECT o_orderpriority, COUNT(*) AS n_rows,
-           SUM(o_cents) AS revenue_cents
+           CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM v1 GROUP BY o_orderpriority
     """,
     tier="P3",
@@ -1360,7 +1441,7 @@ def _vacuum(root: str, retain_versions: list[int]) -> list[str]:
     "lake_vacuum_retention",
     oracle=f"""
     WITH {_V1_SQL}
-    SELECT src, COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    SELECT src, COUNT(*) AS n_rows, CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM v1 GROUP BY src
     """,
     tier="P3",
@@ -1414,7 +1495,7 @@ def lake_vacuum_retention(spark, t):
       WHERE o_orderkey % 101 = 0 AND o_orderkey > 0
         AND o_orderkey <= (SELECT hicut FROM bounds)
     )
-    SELECT src, COUNT(*) AS n_rows, SUM(o_cents) AS revenue_cents
+    SELECT src, COUNT(*) AS n_rows, CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
     FROM final GROUP BY src
     """,
     tier="P3",

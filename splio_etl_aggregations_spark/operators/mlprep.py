@@ -721,10 +721,14 @@ CONF_TAUS = (5.0, 10.0, 15.0)
     )
     {" UNION ALL ".join(
         f'''SELECT CAST({tau} AS DOUBLE) AS tau,
-           SUM(CASE WHEN v >= {tau} AND pos = 1 THEN 1 ELSE 0 END) AS tp,
-           SUM(CASE WHEN v >= {tau} AND pos = 0 THEN 1 ELSE 0 END) AS fp,
-           SUM(CASE WHEN v < {tau} AND pos = 1 THEN 1 ELSE 0 END) AS fn,
-           SUM(CASE WHEN v < {tau} AND pos = 0 THEN 1 ELSE 0 END) AS tn,
+           CAST(SUM(CASE WHEN v >= {tau} AND pos = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN v >= {tau} AND pos = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN v < {tau} AND pos = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN v < {tau} AND pos = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn,
            round(SUM(CASE WHEN v >= {tau} AND pos = 1 THEN 1 ELSE 0 END) * 1.0
                  / NULLIF(SUM(CASE WHEN v >= {tau} THEN 1 ELSE 0 END), 0), 6)
              AS precision,
@@ -809,7 +813,8 @@ def ml_confusion_matrix(spark, t):
                   THEN n_nonevent + 0.5 ELSE n_nonevent * 1.0 END AS ne_adj
       FROM buckets
     )
-    SELECT b.bucket, b.n_event, b.n_nonevent,
+    SELECT b.bucket, CAST(b.n_event AS BIGINT) AS n_event,
+           CAST(b.n_nonevent AS BIGINT) AS n_nonevent,
            round(ln((b.ev_adj / t.te) / (b.ne_adj / t.tn)), 6) AS woe,
            round((b.ev_adj / t.te - b.ne_adj / t.tn)
                  * ln((b.ev_adj / t.te) / (b.ne_adj / t.tn)), 6) AS iv_term
@@ -1228,7 +1233,7 @@ def corpus_interleave_sources_round_robin(spark, t):
     )
     SELECT source,
            COUNT(*) AS n_words,
-           SUM(n_pieces) AS n_subwords,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_subwords,
            round(SUM(n_pieces) * 1.0 / COUNT(*), 4) AS fertility,
            round(AVG(len(w)), 4) AS avg_word_len
     FROM pieces
@@ -1346,7 +1351,8 @@ def corpus_epoch_repeat_schedule(spark, t):
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events
     ),
-    grid AS (SELECT unnest(generate_series(0, 9)) * 50.0 AS tau),
+    grid AS (SELECT unnest(generate_series(0, 9)) * CAST(50.0 AS DOUBLE)
+               AS tau),
     cells AS (
       SELECT g.tau,
              SUM(CASE WHEN l.score >= g.tau AND l.y = 1 THEN 1 ELSE 0 END) AS tp,
@@ -1356,7 +1362,8 @@ def corpus_epoch_repeat_schedule(spark, t):
       GROUP BY g.tau
     )
     SELECT tau,
-           tp, fp, fn,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
            round(tp / NULLIF(tp + fp, 0), 6) AS precision,
            round(tp / NULLIF(tp + fn, 0), 6) AS recall,
            round(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1

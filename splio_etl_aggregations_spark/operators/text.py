@@ -461,9 +461,10 @@ def text_pmi_collocations(spark, t):
       FROM tok GROUP BY source, token
     )
     SELECT source,
-           SUM(freq) AS n_tokens,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
            COUNT(*) AS vocab_size,
-           SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hapax,
            round(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS hapax_ratio,
            round(COUNT(*) * 1.0 / SUM(freq), 4) AS type_token_ratio
@@ -530,7 +531,7 @@ BLOCKLIST = ("slow", "big")
              COUNT(*) AS n_tokens
       FROM tok GROUP BY doc_id, source
     )
-    SELECT doc_id, source, n_hits,
+    SELECT doc_id, source, CAST(n_hits AS BIGINT) AS n_hits,
            round(n_hits * 1.0 / n_tokens, 4) AS hit_ratio,
            CASE WHEN n_hits * 1.0 / n_tokens > 0.05 THEN 0 ELSE 1 END
              AS keep_flag

@@ -810,8 +810,10 @@ def ts_forecast_backtest(spark, t):
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS purchases,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS clicks
       FROM events
       GROUP BY 1
     )
@@ -869,8 +871,10 @@ def ts_rolling_corr(spark, t):
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value < c.p5 THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(SUM(CASE WHEN e.value < c.p5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_high,
            round(AVG(e.value), 4) AS mean_raw,
            round(AVG(LEAST(GREATEST(e.value, c.p5), c.p95)), 4)
              AS mean_winsorized,

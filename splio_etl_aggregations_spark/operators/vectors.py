@@ -759,7 +759,8 @@ def vec_embedding_drift(spark, t):
       UNION ALL SELECT * FROM pre32
     )
     SELECT p.prefix_dims,
-           SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
            round(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                  / 10.0, 4) AS recall_at_10
     FROM allpre p LEFT JOIN full_top f ON f.vec_id = p.vec_id
@@ -914,7 +915,8 @@ def vec_dedup_exact(spark, t):
     cut AS (SELECT quantile_cont(nrm, 0.99) AS p99 FROM norms)
     SELECT n.label,
            COUNT(*) AS n_vectors,
-           SUM(CASE WHEN n.nrm > c.p99 THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(SUM(CASE WHEN n.nrm > c.p99 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped,
            round(AVG(LEAST(n.nrm, c.p99) / n.nrm), 6) AS mean_scale,
            round(MAX(c.p99), 4) AS p99_norm
     FROM norms n CROSS JOIN cut c

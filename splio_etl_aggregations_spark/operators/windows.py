@@ -70,13 +70,20 @@ def two_phase_global_rank(df, order, n_parts: int = 16):
     )
 
 
-def two_phase_cumsum(df, order, values, n_parts: int = 16):
+def two_phase_cumsum(df, order, values, n_parts: int = 16, with_source=False):
     """Distributed INCLUSIVE prefix sums of ``values`` columns in the
     total order ``order`` (must end in a unique key) — the companion of
     :func:`two_phase_global_rank` for running totals: range partition on
     the sort key, local prefix sums per partition, then an
     ``n_parts``-row per-partition-total frame gives each partition its
     base offset. Adds one ``cum_<v>`` column per input value column.
+
+    ``with_source=True`` additionally returns the internal CACHED
+    range-partitioned frame so callers that also need totals or other
+    aggregates over the same input (``dq_ks_drift``'s grand totals)
+    read the one materialization this helper already pays for, instead
+    of stacking a second cache layer on their input — the r2→r3
+    ``dq_ks_drift`` bench regression was exactly that double cache.
 
     The same mechanism is inlined (exclusive form) in
     ``corpus_pack_sequences``; factored here for the CDF-style consumers
@@ -115,11 +122,12 @@ def two_phase_cumsum(df, order, values, n_parts: int = 16):
     out = local.join(F.broadcast(offsets), "pid")
     for v in values:
         out = out.withColumn(f"cum_{v}", F.col(f"_base_{v}") + F.col(f"_lp_{v}"))
-    return out.drop(
+    out = out.drop(
         "pid",
         *[f"_lp_{v}" for v in values],
         *[f"_base_{v}" for v in values],
     )
+    return (out, parts) if with_source else out
 
 
 @register(
@@ -862,7 +870,7 @@ def win_vwap(spark, t):
                ROWS UNBOUNDED PRECEDING) AS run_id
       FROM flagged
     )
-    SELECT user_id, run_id, event_type,
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
            MIN(event_id) AS first_event_id,
            COUNT(*) AS run_len
     FROM runs

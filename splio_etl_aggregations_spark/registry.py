@@ -83,63 +83,17 @@ def get(name: str) -> Query:
 # end where they can never burn a verified slot. After each round, move
 # the newly-verified 50 back into the green tail and promote the next 50.
 DRIVER_ORDER: list[str] = [
-    # -- slots 1-50: round-3 verification window. Never driver-checked,
-    # risk-first per the rotation policy: streaming replays, UDx,
-    # composites, scans/sinks, ETL state machines, ADVICE-touched ops,
-    # TPC-H representatives, heavy analytics. ------------------------
-    "stream_stream_join",
-    "stream_upsert_materialize",
-    "stream_windowed_topk",
-    "stream_sliding",
-    "stream_dedup_watermark",
-    "stream_stateful_counter",
-    "stream_static_join",
-    "stream_late_data",
-    "udf_python_scalar",
-    "udaf_pandas_grouped_agg",
-    "udf_grouped_map",
-    "udtf_python",
-    "udf_pandas_iter",
-    "udf_map_in_arrow",
-    "udf_rolling_median",
-    "udtf_table_sessionize",
-    "pipeline_training_set",
-    "pipeline_marketing_mix",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_orc_roundtrip",
-    "sink_parquet_partitioned",
-    "scan_merge_schema",
-    "scan_csv_malformed_permissive",
-    "scan_dynamic_partition_pruning",
-    "sink_dynamic_partition_overwrite",
-    "sink_sorted_clustered_write",
-    "etl_scd2_history",
+    # -- slots 1-50: round-4 verification window. Risk-first: the five
+    # r3 reds (HUGEINT canonicalizer artifact, oracles now CAST to
+    # BIGINT/DOUBLE — re-sampled to prove the fix under the real driver
+    # hash), then the never-sampled lake_* transaction-log wave (19 ops,
+    # zero driver rows so far, all freshly cast), then the remaining
+    # freshly-cast oracles, then the next never-sampled ops. ----------
     "etl_sessionize",
-    "etl_cdc_apply",
-    "etl_watermark_incremental_load",
     "join_scd2_point_in_time",
     "etl_reconcile_sources",
-    "agg_mann_whitney_u",
     "ml_woe_iv",
     "vec_matryoshka_recall",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_product_profit",
-    "sql_min_cost_supplier",
-    "sql_suppliers_kept_waiting",
-    "agg_spearman_corr",
-    "rec_item_item_cf",
-    "basket_brand_affinity",
-    "graph_pagerank",
-    "dedup_containment",
-    "agg_hll_set_algebra",
-    "corpus_decontaminate",
-    "corpus_pack_sequences",
-    "sim_knn_query",
-    # -- slots 51+: remaining never-driver-checked oracle-backed ops --
-    # (round-3 lake wave first: the transaction-log table format is the
-    # newest code, so it heads the round-4 verification window)
     "lake_merge_upsert",
     "lake_zone_map_skip_scan",
     "lake_time_travel_read",
@@ -150,15 +104,44 @@ DRIVER_ORDER: list[str] = [
     "lake_merge_on_read",
     "lake_zorder_cluster",
     "stream_lake_sink",
-    "join_bloom_prune",
-    "lake_stats_only_query",
     "lake_hidden_partitioning",
     "lake_log_checkpoint",
-    "lake_point_lookup_bloom",
     "lake_incremental_rollup",
     "lake_vacuum_retention",
     "lake_concurrent_txn_rebase",
     "pipeline_lakehouse_ivm",
+    "join_bloom_prune",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "dq_psi_drift",
+    "corpus_quality_ablation",
+    "sql_shipping_delay_priority",
+    "attribution_linear_multi_touch",
+    "ml_confusion_matrix",
+    "agg_new_vs_returning",
+    "agg_conversion_wilson",
+    "agg_survival_km",
+    "ml_lift_deciles",
+    "agg_repeat_purchase",
+    "agg_did_discount_effect",
+    "corpus_ngram_novelty",
+    "ts_rolling_corr",
+    "text_hapax_ratio",
+    "ts_outlier_winsorize",
+    "attribution_time_decay",
+    "win_debounce_consecutive",
+    "dq_functional_dependency",
+    "agg_bounce_rate",
+    "agg_growth_accounting",
+    "text_blocklist_filter",
+    "corpus_tokenizer_fertility",
+    "vec_norm_quantile_clip",
+    "ml_threshold_tuning_table",
+    "dq_monotonic_id_gap_check",
+    "lake_stats_only_query",
+    # -- never driver-sampled pool (green in the full-registry sf0.01 +
+    # sf0.1 oracle sweeps; promoted 50 per round) ---------------------
+    "lake_point_lookup_bloom",
     "dedup_embedding_cluster",
     "multimodal_binary_ingest",
     "multimodal_decode_features",
@@ -179,8 +162,6 @@ DRIVER_ORDER: list[str] = [
     "join_cross",
     "join_theta_range",
     "join_self_sequence",
-    "join_bucketed_colocated",
-    "join_salted_skew",
     "join_lateral_topn",
     "join_interval_overlap",
     "sample_hash_bernoulli",
@@ -228,10 +209,8 @@ DRIVER_ORDER: list[str] = [
     "funnel_time_to_convert",
     "text_js_divergence",
     "etl_anonymize_kanon",
-    "dq_psi_drift",
     "join_asof_nearest",
     "ml_target_encoding",
-    "corpus_quality_ablation",
     "dq_ks_drift",
     "dq_chi2_independence",
     "win_max_drawdown",
@@ -244,7 +223,6 @@ DRIVER_ORDER: list[str] = [
     "sql_customer_distribution",
     "sql_top_supplier",
     "sql_order_priority_check",
-    "sql_shipping_delay_priority",
     "sql_small_quantity_revenue",
     "sql_disjunctive_revenue",
     "sql_sales_opportunity",
@@ -254,11 +232,9 @@ DRIVER_ORDER: list[str] = [
     "dq_benford_test",
     "sim_threshold_sweep",
     "graph_link_prediction",
-    "attribution_linear_multi_touch",
     "ml_auc_eval",
     "clv_cohort_ltv",
     "etl_gdpr_erasure",
-    "ml_confusion_matrix",
     "agg_moments_skew_kurt",
     "path_analysis_topk",
     "agg_ab_test_welch",
@@ -273,66 +249,92 @@ DRIVER_ORDER: list[str] = [
     "agg_robust_means",
     "agg_stickiness_dau_mau",
     "win_time_in_state",
-    "agg_new_vs_returning",
     "agg_topk_with_others",
-    "agg_conversion_wilson",
-    "agg_survival_km",
-    "ml_lift_deciles",
     "agg_basket_size_hist",
-    "agg_repeat_purchase",
     "rfm_score_segments",
     "agg_abc_xyz_classes",
     "ts_forecast_backtest",
     "text_pmi_collocations",
-    "agg_did_discount_effect",
     "ts_purchase_cycle",
     "agg_hhi_concentration",
     "graph_degree_distribution",
-    "corpus_ngram_novelty",
-    "ts_rolling_corr",
     "ml_calibration_bins",
-    "text_hapax_ratio",
-    "ts_outlier_winsorize",
     "agg_pvm_decomposition",
     "corpus_source_overlap",
     "agg_customer_migration_matrix",
     "vec_embedding_drift",
-    "attribution_time_decay",
     "corpus_bigram_perplexity",
-    "win_debounce_consecutive",
     "sort_skyline_pareto",
     "corpus_window_chunking",
     "agg_theil_decomposition",
-    "dq_functional_dependency",
-    "agg_bounce_rate",
     "win_mtd_ytd_running",
     "ts_burstiness_fano",
     "sample_systematic_every_nth",
-    "agg_growth_accounting",
     "ml_bootstrap_ci_hash",
     "corpus_interleave_sources_round_robin",
     "ts_ohlc_bars",
     "agg_whale_curve_topshares",
     "agg_duplicate_invoice_detector",
     "join_accumulating_snapshot",
-    "text_blocklist_filter",
     "vec_dedup_exact",
     "ts_revenue_index_rebased",
-    "corpus_tokenizer_fertility",
-    "vec_norm_quantile_clip",
     "agg_percent_of_total_multi_level",
     "vec_subspace_variance",
     "ts_shipping_delay_trend",
     "corpus_epoch_repeat_schedule",
-    "ml_threshold_tuning_table",
     "join_role_playing_dates",
     "agg_assortment_penetration",
     "ts_month_end_lift",
     "win_user_activity_entropy",
-    "dq_monotonic_id_gap_check",
     "text_lang_label_audit",
     "agg_price_dispersion_audit",
-    # -- round-2 driver-green (hash-verified in CORRECTNESS_r02) ------
+    # -- driver-green round 3 --------------------------------------
+    "stream_stream_join",
+    "stream_upsert_materialize",
+    "stream_windowed_topk",
+    "stream_sliding",
+    "stream_dedup_watermark",
+    "stream_stateful_counter",
+    "stream_static_join",
+    "stream_late_data",
+    "udf_python_scalar",
+    "udaf_pandas_grouped_agg",
+    "udf_grouped_map",
+    "udtf_python",
+    "udf_pandas_iter",
+    "udf_map_in_arrow",
+    "udf_rolling_median",
+    "udtf_table_sessionize",
+    "pipeline_training_set",
+    "pipeline_marketing_mix",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "sink_parquet_partitioned",
+    "scan_merge_schema",
+    "scan_csv_malformed_permissive",
+    "scan_dynamic_partition_pruning",
+    "sink_dynamic_partition_overwrite",
+    "sink_sorted_clustered_write",
+    "etl_scd2_history",
+    "etl_cdc_apply",
+    "etl_watermark_incremental_load",
+    "agg_mann_whitney_u",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_min_cost_supplier",
+    "sql_suppliers_kept_waiting",
+    "agg_spearman_corr",
+    "rec_item_item_cf",
+    "basket_brand_affinity",
+    "graph_pagerank",
+    "dedup_containment",
+    "agg_hll_set_algebra",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "sim_knn_query",
+    # -- driver-green round 2 --------------------------------------
     "agg_collect",
     "agg_approx_percentile",
     "dedup_near_minhash",
@@ -383,7 +385,7 @@ DRIVER_ORDER: list[str] = [
     "stream_session",
     "udf_pandas_scalar",
     "join_asof",
-    # -- round-1 driver-green (hash-verified in CORRECTNESS_r01) ------
+    # -- driver-green round 1 --------------------------------------
     "project_select",
     "project_cast",
     "filter_simple",

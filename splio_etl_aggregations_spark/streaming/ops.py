@@ -606,7 +606,8 @@ def stream_windowed_topk(spark, t):
     "stream_lake_sink",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events GROUP BY event_type
     """,
     tier="P2",
@@ -641,6 +642,12 @@ def stream_lake_sink(spark, t):
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+# Root of the most recent _ingest_events_to_lake table, recorded so
+# tests inspect the exact table the operator built instead of globbing
+# /tmp/lake_sink_* by mtime (which picks a stale or parallel-test root).
+LAST_SINK_ROOT: str | None = None
 
 
 def _ingest_events_to_lake(spark, t) -> str:
@@ -706,6 +713,8 @@ def _ingest_events_to_lake(spark, t) -> str:
     if not query.awaitTermination(120):
         query.stop()
         raise TimeoutError("stream_lake_sink replay did not finish in 120 s")
+    global LAST_SINK_ROOT
+    LAST_SINK_ROOT = root
     return root
 
 
@@ -713,7 +722,8 @@ def _ingest_events_to_lake(spark, t) -> str:
     "pipeline_lakehouse_ivm",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events GROUP BY event_type
     """,
     tier="P2",

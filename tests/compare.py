@@ -15,8 +15,17 @@ def _norm_value(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        f = float(v)
-        return int(v) if f.is_integer() and abs(f) < 2**53 else f
+        # The driver's canonicalizer renders Decimal (DuckDB
+        # HUGEINT/DECIMAL) differently than int64/float64 even when the
+        # values are equal — collapsing here made the preflight LAXER
+        # than the driver, which is how 49 HUGEINT oracles survived two
+        # "ALL MATCH" sweeps and then turned the round-3 driver rows red
+        # (VERDICT r3 §What's wrong #1). Reject instead; oracles must
+        # CAST to BIGINT/DOUBLE at the source.
+        raise TypeError(
+            "driver-unsafe Decimal result cell; CAST the oracle column "
+            f"to BIGINT or DOUBLE (got {v!r})"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

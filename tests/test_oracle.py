@@ -27,6 +27,30 @@ _ROWS_ONLY_IDS = sorted(n for n, q in _QUERIES.items() if not q.oracle)
 
 
 @pytest.mark.parametrize("name", _ORACLE_IDS)
+def test_oracle_output_types_driver_safe(duck, name):
+    """Type-lint every oracle: DuckDB must not emit HUGEINT/UHUGEINT/
+    DECIMAL output columns. DuckDB's SUM(BIGINT) returns HUGEINT, which
+    the driver's hash canonicalizer renders differently than Spark's
+    BIGINT — all five round-3 driver reds were exactly this, with
+    bit-identical values (VERDICT r3 §What's wrong #1). fetchall()
+    converts HUGEINT to plain int, so the value-compare below can NEVER
+    catch the class — only this DESCRIBE lint can.
+    """
+    q = _QUERIES[name]
+    register_duck_views(duck, _SF)
+    desc = duck.execute(f"DESCRIBE ({q.oracle})").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(k in typ.upper() for k in ("HUGEINT", "DECIMAL"))
+    ]
+    assert not bad, (
+        f"[{name}] oracle emits driver-unsafe column types {bad}; wrap the "
+        "aggregate in CAST(... AS BIGINT) (or DECIMAL -> DOUBLE)"
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLE_IDS)
 def test_oracle_match(spark, duck, name):
     q = _QUERIES[name]
     register_duck_views(duck, _SF)

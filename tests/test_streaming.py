@@ -383,21 +383,16 @@ def test_lake_sink_commits_one_version_per_batch(spark):
     """stream_lake_sink: the version history must show one append
     commit per micro-batch with cumulative row counts monotone to the
     table total — the log IS the replay record."""
-    import glob as _glob
-    import os as _os
-
     from splio_etl_aggregations_spark.operators import lake
     from splio_etl_aggregations_spark.registry import get
+    from splio_etl_aggregations_spark.streaming import ops as stream_ops
 
     df = get("stream_lake_sink").run(spark, SF_SMALL)
     total = df.agg(F.sum("n_events")).collect()[0][0]
-    # find the op's lake root: newest lake_sink_* tmpdir with a log
-    roots = sorted(
-        _glob.glob("/tmp/lake_sink_*/table/_log"),
-        key=_os.path.getmtime,
-    )
-    assert roots, "no lake_sink table found"
-    root = _os.path.dirname(roots[-1])
+    # the op records the exact table root it built — globbing /tmp by
+    # mtime picks a stale or parallel-test root instead
+    root = stream_ops.LAST_SINK_ROOT
+    assert root, "no lake_sink table found"
     versions = lake._versions(root)
     assert versions == [0, 1, 2], versions
     cum = [
@@ -508,20 +503,18 @@ def test_lakehouse_ivm_partials_partition_the_commit_history(spark):
     to the final snapshot. Assert that on the sink's log, and that the
     maintained rollup equals both the snapshot rollup and the raw batch
     answer."""
-    import glob as _glob
     import os as _os
 
     from splio_etl_aggregations_spark.operators import lake
     from splio_etl_aggregations_spark.registry import get
     from splio_etl_aggregations_spark.sources.loader import load
+    from splio_etl_aggregations_spark.streaming import ops as stream_ops
 
     df = get("pipeline_lakehouse_ivm").run(spark, SF_SMALL)
     maintained = {r["event_type"]: (r["n_events"], r["value_cents"])
                   for r in df.collect()}
-    roots = sorted(_glob.glob("/tmp/lake_sink_*/table/_log"),
-                   key=_os.path.getmtime)
-    assert roots
-    root = _os.path.dirname(roots[-1])
+    root = stream_ops.LAST_SINK_ROOT
+    assert root
     import json as _json
     per_version = []
     for v in lake._versions(root):

@@ -1360,8 +1360,14 @@ def test_lake_checkpoint_survives_log_truncation(spark):
 
 
 def test_lake_commit_race_single_winner(spark):
-    """Two writers racing the same version: exactly one commit wins,
-    the loser raises ConcurrentCommit, and the log stays consistent."""
+    """Writers racing the same version: EXACTLY one commit wins, every
+    loser raises ConcurrentCommit (never a thread crash), and the
+    winner's published JSON survives byte-identical — the put-if-absent
+    guarantee the OCC layer and the exactly-once streaming sink stand
+    on. Each writer commits distinct content so a silent clobber of the
+    winner's file (the old check-then-replace bug) would be caught."""
+    import json
+    import os
     import tempfile
     import threading
     from splio_etl_aggregations_spark.operators import lake
@@ -1369,24 +1375,99 @@ def test_lake_commit_race_single_winner(spark):
     t = _lake_tables(spark)
     root = tempfile.mkdtemp(prefix="lake_race_")
     lake._build_v0(spark, t, root, n_files=2)
-    outcomes = []
+    outcomes: list[tuple[int, str]] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
 
     def writer(tag):
+        barrier.wait()  # maximize overlap
         try:
-            lake._commit(root, 1, [], [])
-            outcomes.append((tag, "won"))
+            lake._commit(
+                root, 1, [], [], txn={"appId": f"racer-{tag}", "batchId": tag}
+            )
+            out = (tag, "won")
         except lake.ConcurrentCommit:
-            outcomes.append((tag, "lost"))
+            out = (tag, "lost")
+        with lock:
+            outcomes.append(out)
 
-    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
     for th in threads:
         th.start()
     for th in threads:
-        th.join()
-    results = sorted(o for _, o in outcomes)
-    assert results.count("won") >= 1
-    # the log must hold exactly one v1 entry regardless of race outcome
+        th.join(timeout=60)
+    results = [o for _, o in outcomes]
+    assert len(results) == 8, "a writer thread crashed instead of losing"
+    assert results.count("won") == 1, results
+    assert results.count("lost") == 7, results
+    # the log holds exactly one v1 entry, and its content is the
+    # winner's — byte-survival, not just existence
     assert lake._versions(root) == [0, 1]
+    (winner_tag,) = [tag for tag, o in outcomes if o == "won"]
+    with open(os.path.join(lake._log_dir(root), "00000001.json")) as fh:
+        entry = json.load(fh)
+    assert entry["txn"] == {"appId": f"racer-{winner_tag}",
+                            "batchId": winner_tag}
+    # no staging litter left behind to confuse later maintenance
+    litter = [f for f in os.listdir(lake._log_dir(root))
+              if f.endswith(".tmp")]
+    assert litter == []
+
+
+def test_lake_log_tolerates_foreign_json_markers(spark):
+    """A foreign tool dropping a non-commit json (e.g. a
+    _last_checkpoint.json-style marker) or leftover staging litter in
+    _log must not break snapshot reads or commits."""
+    import os
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_foreign_")
+    lake._build_v0(spark, t, root, n_files=2)
+    before = sorted(a["path"] for a in lake._snapshot(root))
+    for name in ("_last_checkpoint.json", "00000000.json.tmp",
+                 "notes.json"):
+        with open(os.path.join(lake._log_dir(root), name), "w") as fh:
+            fh.write("{}")
+    assert lake._versions(root) == [0]
+    assert sorted(a["path"] for a in lake._snapshot(root)) == before
+    lake._commit(root, 1, [], [])  # still commits cleanly
+    assert lake._versions(root) == [0, 1]
+
+
+def test_lake_checkpoint_carries_txn_map_past_truncation(spark):
+    """Idempotence must survive log-segment archival: after a
+    checkpoint + truncation of the pre-checkpoint segments, a delayed
+    replay of an already-committed (appId, batchId) batch is still a
+    no-op — the checkpoint's carried txn map (Delta's setTransaction
+    carry-forward) is what remembers it."""
+    import os
+    import shutil
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+
+    t = _lake_tables(spark)
+    root = tempfile.mkdtemp(prefix="lake_txnck_")
+    lake._build_v0(spark, t, root, n_files=2)
+    df = t["orders"].select("o_orderkey").limit(10)
+    v1 = lake.sink_commit(root, "appA", 0, df, ["o_orderkey"])
+    v2 = lake.sink_commit(root, "appA", 1, df, ["o_orderkey"])
+    assert (v1, v2) == (1, 2)
+    n_before = len(lake._snapshot(root))
+    lake._write_checkpoint(root, 2)
+    arch = tempfile.mkdtemp(prefix="lake_txnck_arch_")
+    for v in (0, 1, 2):
+        shutil.move(
+            os.path.join(lake._log_dir(root), f"{v:08d}.json"), arch)
+    # the txn history commits are gone from the retained tail — only
+    # the checkpoint's txn map can veto the replay now
+    assert lake._txn_committed(root, "appA", 0)
+    assert lake._txn_committed(root, "appA", 1)
+    assert lake.sink_commit(root, "appA", 1, df, ["o_orderkey"]) is None
+    assert len(lake._snapshot(root)) == n_before  # no duplicate rows
+    # a genuinely new batch still lands
+    assert lake.sink_commit(root, "appA", 2, df, ["o_orderkey"]) == 3
 
 
 def test_lake_bloom_index_no_false_negatives_and_prunes(spark):
