@@ -44,8 +44,16 @@ def ph60(c: ColumnOrName, seed: int | str) -> Column:
 
 
 def ph60_sql(expr: str, seed: int | str) -> str:
-    """DuckDB fragment computing the same 60-bit hash of ``expr``."""
-    return f"('0x' || substr(md5('{seed}:' || ({expr})), 1, 15))::ubigint"
+    """DuckDB fragment computing the same 60-bit hash of ``expr``.
+    The final ``::bigint`` is lossless (60 bits < 63) and REQUIRED:
+    UBIGINT output columns reach the correctness driver through the
+    same arrow-extension render path as HUGEINT, the round-3 red-row
+    class — Spark's ph60 is a signed LongType, so both engines must
+    emit the signed family."""
+    return (
+        f"('0x' || substr(md5('{seed}:' || ({expr})), 1, 15))"
+        "::ubigint::bigint"
+    )
 
 
 def hll_rank(w: ColumnOrName, width: int = 54) -> Column:

@@ -50,6 +50,79 @@ def _norm_value(v):
     return v
 
 
+def _spark_type_family(dtype) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dtype, T.DecimalType):
+        return "decimal"  # banned — assert_driver_safe_schema rejects it
+    if isinstance(dtype, T.StringType):
+        return "str"
+    if isinstance(dtype, T.BooleanType):
+        return "bool"
+    if isinstance(dtype, T.DateType):
+        return "date"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dtype, T.BinaryType):
+        return "bin"
+    return f"other:{dtype.simpleString()}"
+
+
+def _duck_type_family(typ: str) -> str:
+    t = typ.upper()
+    if "HUGEINT" in t or "DECIMAL" in t:
+        return "decimal"  # banned — the r3 canonicalizer class
+    if t.startswith("U") and "INT" in t:
+        return "decimal"  # unsigned: same arrow-extension render risk
+    if "INT" in t:
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE") or t.startswith("FLOAT"):
+        return "float"
+    if "VARCHAR" in t or t in ("TEXT", "STRING"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bin"
+    return f"other:{t}"
+
+
+def type_family_report(name, df: DataFrame, con, sql: str) -> str | None:
+    """Cross-engine TYPE-FAMILY agreement per output column. Equal
+    values are not enough for the driver: its canonicalizer renders the
+    cell's type — a Spark BIGINT 5 against a DuckDB DOUBLE 5.0 hashes
+    differently even though Python's == (and therefore this module's
+    Counter compare) treats them as equal, exactly the laxity that let
+    49 HUGEINT oracles through two full sweeps (VERDICT r3). This check
+    closes the remaining gap: every column must agree on
+    int/float/str/bool/date/ts/bin family across engines.
+    """
+    s_fam = {f.name: _spark_type_family(f.dataType) for f in df.schema.fields}
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    d_fam = {col: _duck_type_family(typ) for col, typ, *_ in desc}
+    if set(s_fam) != set(d_fam):
+        return f"[{name}] column names differ: spark={sorted(s_fam)} duckdb={sorted(d_fam)}"
+    bad = {
+        c: (s_fam[c], d_fam[c])
+        for c in sorted(s_fam)
+        if s_fam[c] != d_fam[c]
+    }
+    if bad:
+        return (
+            f"[{name}] type-family skew (spark, duckdb): {bad} — CAST one "
+            "side so both engines emit the same value family"
+        )
+    return None
+
+
 def assert_driver_safe_schema(df: DataFrame, name: str = "") -> None:
     """Every declared query output must be flat scalars: the driver's
     canonicalizer cannot sort array/map/struct cells (round-1 lesson)."""

@@ -15,7 +15,13 @@ import pytest
 from splio_etl_aggregations_spark import register_all
 from splio_etl_aggregations_spark.registry import all_queries
 
-from .compare import assert_driver_safe_schema, diff_report, duck_rows, spark_rows
+from .compare import (
+    assert_driver_safe_schema,
+    diff_report,
+    duck_rows,
+    spark_rows,
+    type_family_report,
+)
 from .conftest import SF_SMALL, SF_T2, register_duck_views
 
 register_all()
@@ -56,6 +62,8 @@ def test_oracle_match(spark, duck, name):
     register_duck_views(duck, _SF)
     df = q.run(spark, _SF)
     assert_driver_safe_schema(df, name)
+    fam = type_family_report(name, df, duck, q.oracle)
+    assert fam is None, fam
     s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(duck, q.oracle)
     report = diff_report(name, s_cols, s_rows, d_cols, d_rows)
