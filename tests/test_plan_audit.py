@@ -231,7 +231,9 @@ BNLJ_OK = {
     "agg_mann_whitney_u": (2, "1-row n1/n2-totals crossJoin"),
     "ml_target_encoding": (2, "1-row prior crossJoin"),
     "agg_hll_set_algebra": (4, "1-row estimate crossJoins ×2"),
-    "dq_ks_drift": (4, "1-row totals/max/argmax crossJoins"),
+    # r4: single 1-row totals crossJoin (the max/argmax fold now carries
+    # the totals as first() aggregates instead of a second crossJoin)
+    "dq_ks_drift": (2, "1-row totals crossJoin"),
     "dq_chi2_independence": (6, "1-row total/dim-count crossJoins ×2"),
     # 1-row |nodes| crossJoin per fixed iteration (×2 explain sections)
     "graph_pagerank": (12, "1-row node-count crossJoins ×(iters+1)"),
