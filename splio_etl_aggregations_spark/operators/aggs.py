@@ -4184,35 +4184,45 @@ def agg_whale_curve_topshares(spark, t):
     "agg_duplicate_invoice_detector",
     oracle="""
     SELECT a.o_orderkey AS key_lo, b.o_orderkey AS key_hi,
-           a.o_custkey, round(a.o_totalprice, 4) AS amount,
+           a.o_custkey,
+           round(a.o_totalprice, 4) AS amount_lo,
+           round(b.o_totalprice, 4) AS amount_hi,
            CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
              AS days_apart
     FROM orders a
     JOIN orders b
       ON a.o_custkey = b.o_custkey
-     AND a.o_totalprice = b.o_totalprice
+     AND CAST(floor(a.o_totalprice / 5000) AS BIGINT)
+         = CAST(floor(b.o_totalprice / 5000) AS BIGINT)
      AND a.o_orderkey < b.o_orderkey
-    WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 90
     ORDER BY key_lo, key_hi
     """,
     tier="P2",
 )
 def agg_duplicate_invoice_detector(spark, t):
-    """Potential duplicate-invoice pairs: same customer, identical
-    amount, within 7 days — the accounts-payable / order-intake fraud
-    screen. A naive formulation self-joins the fact on the customer
-    alone (quadratic in a customer's orders); this joins on the
-    (customer, exact amount) composite, so the blow-up is bounded by
-    amount-collision multiplicity — the same inverted-index discipline
-    as the dedup family, with the date band as a cheap residual.
+    """Suspiciously-similar invoice pairs: same customer, amounts in
+    the same $5,000 band, within 90 days — the accounts-payable /
+    order-intake fraud screen. A naive formulation self-joins the fact
+    on the customer alone (quadratic in a customer's orders); this
+    joins on the (customer, amount-band) composite blocking key, so the
+    blow-up is bounded by band-collision multiplicity — the same
+    inverted-index / LSH-blocking discipline as the dedup family, with
+    the date window as a cheap residual. (The r1–r3 rule demanded
+    exact-cent amount equality, which the synthetic price distribution
+    never produces at ANY fixture scale — the output was vacuously
+    empty, caught by the r4 zero-row oracle audit. Banding is also the
+    more realistic screen: near-identical amounts are what double-entry
+    typos produce. Like any blocking key, pairs straddling a band
+    boundary are missed by design.)
 
-    At 100 TB the composite key keeps posting lists tiny (exact-cent
-    collisions are rare by construction); a skewed amount (gift-card
-    denominations) would surface as a hot key and take the salted-join
-    treatment (``join_salted_skew``).
+    At 100 TB the composite key keeps posting lists small; a skewed
+    band (gift-card denominations) would surface as a hot key and take
+    the salted-join treatment (``join_salted_skew``).
     """
     o = t["orders"].select(
         "o_orderkey", "o_custkey", "o_totalprice",
+        F.floor(F.col("o_totalprice") / 5000).cast("bigint").alias("band"),
         F.col("o_orderdate").cast("date").alias("d"),
     )
     a, b = o.alias("a"), o.alias("b")
@@ -4221,15 +4231,16 @@ def agg_duplicate_invoice_detector(spark, t):
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
-        .filter(days <= 7)
+        .filter(days <= 90)
         .select(
             F.col("a.o_orderkey").alias("key_lo"),
             F.col("b.o_orderkey").alias("key_hi"),
             F.col("a.o_custkey").alias("o_custkey"),
-            F.round(F.col("a.o_totalprice"), 4).alias("amount"),
+            F.round(F.col("a.o_totalprice"), 4).alias("amount_lo"),
+            F.round(F.col("b.o_totalprice"), 4).alias("amount_hi"),
             days.cast("bigint").alias("days_apart"),
         )
         .orderBy("key_lo", "key_hi")

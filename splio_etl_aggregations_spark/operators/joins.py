@@ -955,10 +955,14 @@ def graph_pagerank(spark, t):
       SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
-    e AS (
-      SELECT a.brand AS src, b.brand AS dst
+    w AS (
+      SELECT a.brand AS src, b.brand AS dst, COUNT(*) AS w
       FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
-      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(CAST(w AS BIGINT)) AS s FROM w),
+    e AS (
+      SELECT src, dst FROM w, tot WHERE w * n * 20 >= 21 * s
     ),
     sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
     deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY 1),
@@ -985,12 +989,20 @@ def graph_pagerank(spark, t):
 )
 def graph_link_prediction(spark, t):
     """Common-neighbor link prediction on the brand co-occurrence graph:
-    for brand pairs NOT currently connected (no ≥5-order co-occurrence
-    edge), score the missing link by neighborhood Jaccard
-    |N(a)∩N(b)| / |N(a)∪N(b)| and return the top-10 predictions — the
-    "brands that should co-sell but don't yet" recommendation primitive,
-    and the third graph-analytics representative beside triangle
-    counting and PageRank.
+    for brand pairs NOT currently connected, score the missing link by
+    neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| and return the top-10
+    predictions — the "brands that should co-sell but don't yet"
+    recommendation primitive, and the third graph-analytics
+    representative beside triangle counting and PageRank.
+
+    An edge is a pair whose co-occurrence weight is ≥ 1.05× the mean
+    pair weight — data-RELATIVE, because any fixed absolute threshold
+    either saturates the graph (the r1–r3 ``w ≥ 5`` rule made it
+    complete at every fixture scale, so the non-edge output was
+    vacuously empty — caught by the r4 zero-row oracle audit) or
+    empties it as the corpus grows. The comparison runs as pure integer
+    arithmetic (``w·n·20 ≥ 21·Σw``), so both engines cut identically
+    with no float-boundary risk.
 
     Common neighbors come from the two-hop self-join on the symmetrized
     edge list (a<b orientation so each candidate pair appears once);
@@ -1009,7 +1021,7 @@ def graph_link_prediction(spark, t):
         .distinct()
     )
     a, b = ob.alias("a"), ob.alias("b")
-    e = (
+    wts = (
         a.join(
             b,
             (F.col("a.okey") == F.col("b.okey"))
@@ -1017,7 +1029,13 @@ def graph_link_prediction(spark, t):
         )
         .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 5)
+    )
+    tot = wts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    )
+    e = (
+        wts.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("n") * 20 >= 21 * F.col("s"))
         .select("src", "dst")
         .cache()
     )

@@ -631,7 +631,8 @@ def sql_min_cost_supplier(spark, t):
     )
     SELECT l_partkey AS p_partkey, round(value, 4) AS part_value
     FROM partvalue
-    WHERE value > (SELECT 0.005 * SUM(value) FROM partvalue)
+    WHERE value * (SELECT COUNT(*) FROM partvalue)
+          > 2.0 * (SELECT SUM(value) FROM partvalue)
     ORDER BY part_value DESC, p_partkey
     LIMIT 100
     """,
@@ -639,11 +640,16 @@ def sql_min_cost_supplier(spark, t):
 )
 def sql_important_parts(spark, t):
     """TPC-H Q11 shape (adapted): parts whose shipped value through one
-    region's suppliers exceeds 0.5 % of the total.  ``partsupp`` value
-    becomes shipped-quantity × retail price; the structure under test is
-    unchanged — the same grouped relation consumed twice, once grouped
-    and once re-aggregated to a scalar threshold (a fraction-of-total
-    filter that must NOT recompute the CTE per row).
+    region's suppliers exceeds 2× the MEAN part value.  ``partsupp``
+    value becomes shipped-quantity × retail price; the threshold is
+    data-relative (the spec itself scales Q11's fraction by 1/SF — a
+    fixed 0.5 % went vacuously empty above sf0.001, caught by the r4
+    zero-row oracle audit; the nearest part sits ≥3e-4 relative from
+    the 2×-mean cut at every fixture scale, far beyond float-association
+    drift).  The structure under test is unchanged — the same grouped
+    relation consumed twice, once grouped and once re-aggregated to a
+    scalar threshold (a fraction-of-total filter that must NOT recompute
+    the CTE per row).
 
     Plan: one lineitem aggregation; the scalar total reduces the same
     result and broadcasts as a 1-row subquery.
@@ -662,7 +668,8 @@ def sql_important_parts(spark, t):
         )
         SELECT l_partkey AS p_partkey, round(value, 4) AS part_value
         FROM partvalue
-        WHERE value > (SELECT 0.005 * SUM(value) FROM partvalue)
+        WHERE value * (SELECT COUNT(*) FROM partvalue)
+              > 2.0 * (SELECT SUM(value) FROM partvalue)
         ORDER BY part_value DESC, p_partkey
         LIMIT 100
         """

@@ -68,6 +68,30 @@ def test_oracle_match(spark, duck, name):
     d_cols, d_rows = duck_rows(duck, q.oracle)
     report = diff_report(name, s_cols, s_rows, d_cols, d_rows)
     assert report is None, report
+    # Vacuity gate: an empty result set hash-matches an empty result
+    # set no matter how broken both sides are. Three r1-era operators
+    # (exact-amount invoice pairs, a saturated-complete link-prediction
+    # graph, Q11's unscaled 0.5% fraction) matched vacuously at EVERY
+    # scale until the r4 zero-row audit; their predicates are now
+    # data-relative. Any op that legitimately returns no rows at this
+    # scale must be listed with a reason.
+    allowed_empty: dict[str, str] = (
+        {
+            # Q7 runs VERBATIM per the TPC-H adaptation policy; its
+            # two-nation × two-year filter has no matching order pairs
+            # in the ~190-order sf0.001 fixture. Non-vacuous from
+            # sf0.01 (the driver's gate scale, where this list does
+            # not apply) upward.
+            "sql_volume_shipping": "Q7 verbatim filter, empty only sub-sf0.01",
+        }
+        if _SF == SF_SMALL
+        else {}
+    )
+    assert d_rows or name in allowed_empty, (
+        f"[{name}] oracle returns 0 rows at {_SF} — the hash match is "
+        "vacuous; re-derive the predicate from the data or whitelist "
+        "with a reason"
+    )
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_IDS)
