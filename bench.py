@@ -83,6 +83,10 @@ EXTRA_SHAPES = [
     "ml_target_encoding",
     "agg_hll_set_algebra",
     "graph_pagerank",
+    # r4: both predicates became data-relative (they were vacuously
+    # empty before), so their cost is now real work — track it
+    "graph_link_prediction",
+    "agg_duplicate_invoice_detector",
     "dq_psi_drift",
     "etl_anonymize_kanon",
     "sql_local_supplier_volume",
