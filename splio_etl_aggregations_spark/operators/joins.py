@@ -1029,13 +1029,16 @@ def graph_link_prediction(spark, t):
         )
         .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .cache()
     )
-    tot = wts.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
-    )
+    # the (n, Σw) totals collect ONE row of the |brand-pairs|-bounded
+    # weight frame (≤ |brands|² ≈ hundreds) — the same bounded-scalar
+    # pattern as the IVF probe aggregates; inlining them as literals
+    # keeps the cached edge frame's stored plan free of a crossJoin
+    # subtree that every downstream reuse would reprint
+    n, s = wts.agg(F.count(F.lit(1)), F.sum("w")).collect()[0]
     e = (
-        wts.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") * F.col("n") * 20 >= 21 * F.col("s"))
+        wts.filter(F.col("w") * int(n) * 20 >= 21 * int(s))
         .select("src", "dst")
         .cache()
     )

@@ -122,8 +122,6 @@ SINGLE_PARTITION_OK = {
     # r4: two scalar subqueries (COUNT + SUM over the CTE) — the
     # 2×-mean data-relative threshold
     "sql_important_parts": (2, "scalar count+total subqueries"),
-    # r4: 1-row (n, Σw) totals fold for the data-relative edge cut
-    "graph_link_prediction": (2, "scalar edge-weight totals fold"),
     # two-phase cumulative sum: the only partition-less window runs over
     # the 16-row per-partition-total frame (win_ntile shape)
     "corpus_pack_sequences": (1, "pack offsets frame (≤16 rows)"),
@@ -241,10 +239,6 @@ BNLJ_OK = {
     "dq_chi2_independence": (6, "1-row total/dim-count crossJoins ×2"),
     # 1-row |nodes| crossJoin per fixed iteration (×2 explain sections)
     "graph_pagerank": (12, "1-row node-count crossJoins ×(iters+1)"),
-    # r4: ONE 1-row (n, Σw) totals crossJoin feeding the data-relative
-    # edge cut; the cached edge frame reprints that subtree at every
-    # downstream reuse (sym ×2, anti-join, degree joins)
-    "graph_link_prediction": (12, "1-row totals crossJoin × cache reprints"),
     # 1-row digit-total crossJoin (×2 explain sections)
     "dq_benford_test": (2, "1-row digit-total crossJoin"),
     # 1-row pos/neg-totals crossJoin (×2 explain sections)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Skew-robustness probe — local evidence for the 100 TB posture's
+hot-key story (SCALING.md §skew).
+
+Builds a deliberately skewed join: K-replicated events (tools/
+scaling.py fixtures) with a synthetic hot key owning ~40% of all rows
+(``pmod(xxhash64(event_id), 10) < 4 → key -1``), shuffle-joined (no
+broadcast) to a per-user dim. Three strategies over the identical
+input, all returning the same checksum:
+
+- naive      — plain sort-merge join on the skewed key; the hot key's
+               entire fan-in lands on ONE reducer (the 100 TB failure
+               mode: one straggler task pins the stage).
+- salted     — the engine's discipline (join_salted_skew): fact salt =
+               hash(pk) % 16, dim replicated ×16, join on (key, salt);
+               the hot key spreads over 16 reducers.
+- aqe-skew   — Spark's adaptive skew-join split (thresholds lowered so
+               it triggers at local data sizes); what AQE buys when the
+               plan is left naive.
+
+Usage: python tools/skew_probe.py [K]     (default 30 → ~3M fact rows)
+Prints one markdown table; paste into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from splio_etl_aggregations_spark.session import get_spark  # noqa: E402
+
+
+def build_frames(spark, k: int):
+    from tools.scaling import scaled_tables
+
+    t = scaled_tables(spark, k)
+    # ~40% of rows collapse onto key -1, rest keep their user_id — the
+    # "one customer is half the warehouse" shape. Deterministic.
+    fact = (
+        t["events"]
+        .withColumn(
+            "skew_uid",
+            F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(10)) < 4, F.lit(-1)
+            ).otherwise(F.col("user_id")),
+        )
+        .select("skew_uid", "value")
+    )
+    dim = (
+        fact.select("skew_uid")
+        .distinct()
+        .withColumn("boost", (F.pmod(F.xxhash64("skew_uid"), F.lit(7)) + 1).cast("double"))
+    )
+    return fact, dim
+
+
+def checksum(df) -> float:
+    return df.agg(
+        F.round(F.sum(F.col("value") * F.col("boost")), 2).alias("c")
+    ).collect()[0]["c"]
+
+
+def run_naive(spark, fact, dim) -> float:
+    joined = fact.hint("merge").join(dim, "skew_uid")
+    return checksum(joined)
+
+
+def run_salted(spark, fact, dim, n_salt: int = 16) -> float:
+    # salt the FACT by row identity (NOT by the join key — that hash is
+    # constant per key and would not spread the hot key at all); the
+    # dim carries every salt per key, so each fact row matches exactly
+    # once and the checksum is salt-invariant
+    sf = fact.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int"),
+    )
+    sd = dim.select(
+        "skew_uid",
+        "boost",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    joined = sf.hint("merge").join(sd, ["skew_uid", "salt"])
+    return checksum(joined)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    spark = get_spark()
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    aqe_skew = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    fact, dim = build_frames(spark, k)
+    fact.cache().count()
+    dim.cache().count()
+
+    strategies = [
+        ("naive sort-merge", run_naive, no_bcast),
+        ("salted ×16", run_salted, no_bcast),
+        ("naive + AQE skew split", run_naive, aqe_skew),
+    ]
+    print(f"| strategy (K={k}, ~{fact.count():,} fact rows, 40% hot key) "
+          "| warm sec | checksum |")
+    print("|---|---|---|")
+    for label, fn, confs in strategies:
+        old = {c: spark.conf.get(c, None) for c in confs}
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        try:
+            fn(spark, fact, dim)  # warm-up
+            t0 = time.time()
+            c = fn(spark, fact, dim)
+            dt = time.time() - t0
+        finally:
+            for cfg, v in old.items():
+                if v is None:
+                    spark.conf.unset(cfg)
+                else:
+                    spark.conf.set(cfg, v)
+        print(f"| {label} | {dt:.2f} | {c} |")
+
+
+if __name__ == "__main__":
+    main()
