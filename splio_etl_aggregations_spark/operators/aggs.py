@@ -4514,33 +4514,36 @@ def agg_spearman_corr(spark, t):
     and the rank maps broadcast back onto the fact rows for one
     Pearson-on-ranks fold.
 
-    Quantity's 50-value rank map is trivially bounded; the price map is
-    bounded by distinct prices — both via the two-phase prefix sum,
-    never a partition-less rank over rows.
+    The two rank maps get different machinery, sized to their frames:
+    quantity's domain is BOUNDED (TPC-H quantities are 1..50 by
+    construction), so its 50-row map ranks with a plain ordered window
+    — one bounded single-partition pass, no cache/offsets machinery;
+    the price map is value-cardinality (≈ distinct prices, grows with
+    data) and takes the two-phase prefix sum, never a partition-less
+    rank over rows. (r4: the 50-row frame previously paid the full
+    two-phase cost — a cache materialization, a range exchange, an
+    offsets join — for nothing.)
     """
+    from pyspark.sql import Window
+
     from .windows import two_phase_cumsum
 
     li = t["lineitem"].select(
         F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
     )
 
-    def avg_rank_map(col):
-        per = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = two_phase_cumsum(per, [F.asc(col)], ["cnt"])
-        return cum.select(
-            col,
-            (
-                (
-                    F.lit(2.0) * (F.col("cum_cnt") - F.col("cnt"))
-                    + F.col("cnt")
-                    + 1
-                )
-                / 2
-            ).alias(f"rank_{col}"),
-        )
+    def fractional_rank(col, cum_cnt):
+        return (
+            (F.lit(2.0) * (cum_cnt - F.col("cnt")) + F.col("cnt") + 1) / 2
+        ).alias(f"rank_{col}")
 
-    rq = avg_rank_map("q")
-    rp = avg_rank_map("p")
+    per_q = li.groupBy("q").agg(F.count(F.lit(1)).alias("cnt"))
+    w_q = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    rq = per_q.select("q", fractional_rank("q", F.sum("cnt").over(w_q)))
+
+    per_p = li.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_p = two_phase_cumsum(per_p, [F.asc("p")], ["cnt"])
+    rp = cum_p.select("p", fractional_rank("p", F.col("cum_cnt")))
     return (
         li.join(F.broadcast(rq), "q")
         .join(rp, "p")

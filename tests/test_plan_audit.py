@@ -102,7 +102,9 @@ SINGLE_PARTITION_OK = {
     # cumsum offsets frame + 1-row (n1, n2) totals fold (AUC shape)
     "agg_mann_whitney_u": (2, "offsets frame + scalar totals fold"),
     # two cumsum offsets frames (rank maps) + final 1-row corr fold
-    "agg_spearman_corr": (3, "two offsets frames + scalar corr fold"),
+    # r4: 50-row quantity-domain rank window + price offsets frame +
+    # scalar corr fold
+    "agg_spearman_corr": (3, "bounded q-rank window + offsets + corr fold"),
     # 16-row per-partition-max boundary frame + final 1-row audit fold
     "dq_monotonic_id_gap_check": (2, "boundary frame + scalar audit fold"),
     # Catalyst re-expands the shared rank subtree once per use
