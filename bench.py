@@ -126,6 +126,13 @@ EXTRA_SHAPES = [
     "stream_lake_sink",
     "join_bloom_prune",
     "pipeline_lakehouse_ivm",
+    # round-4 wave: position deletes / lineage-carrying rewrites on the
+    # lake, span-level dedup's gram-stream shuffles, frontier BFS
+    "lake_deletion_vectors",
+    "lake_row_lineage",
+    "dedup_substring_spans",
+    "corpus_pii_scrub",
+    "graph_bfs_shortest_path",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -721,3 +721,106 @@ def corpus_window_chunking(spark, t):
         F.size(sliced).cast("long").alias("chunk_len"),
         F.concat_ws(" ", sliced).alias("chunk_text"),
     )
+
+
+@register(
+    "corpus_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT source,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' mail user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' dial 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+               AS n_emails,
+             len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+             length(text)
+               - length(regexp_replace(
+                   regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g')) AS chars_removed
+      FROM seeded
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source
+    """,
+    tier="P2",
+)
+def corpus_pii_scrub(spark, t):
+    """PII redaction pass over the corpus: find and replace emails and
+    phone-shaped strings, reporting per-source match counts and the
+    exact character delta the replacements caused — the audit numbers a
+    training-data pipeline must log before text ships to a trainer.
+
+    The synthetic corpus contains no PII by construction, so the op
+    first SEEDS deterministic doc_id-derived emails/phones into a slice
+    of documents (both engines perform the identical injection — the
+    hash check therefore proves the regex find/replace machinery, which
+    is the deliverable, not the generator). Everything is JVM-side
+    codegen: ``regexp_extract_all`` / ``regexp_replace`` on the scan
+    projection, one groupBy(source) fold — no UDFs, one shuffle of
+    |sources| × 4 longs. The patterns live in ONE place each and are
+    deliberately RE2-compatible (character classes, no backrefs) so
+    Spark's Java regex and DuckDB's RE2 agree; a production blocklist
+    swaps in more patterns the same way.
+    """
+    email_re = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    phone_re = "555-[0-9]{4}"
+    seeded = t["documents"].select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" dial 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = seeded.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0))).alias(
+            "n_phones"
+        ),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("text", email_re, "<EMAIL>"),
+                    phone_re,
+                    "<PHONE>",
+                )
+            )
+        ).alias("chars_removed"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )

@@ -775,3 +775,77 @@ def dedup_containment(spark, t):
             F.min("id_b").alias("keeper_id"),
         )
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+      FROM (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+        FROM d WHERE len(ts) >= 8
+      )
+    ),
+    shared AS (
+      SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE shared.g IS NOT NULL) AS n_dup_grams
+    FROM g LEFT JOIN shared USING (g)
+    GROUP BY doc_id
+    """,
+    tier="P2",
+)
+def dedup_substring_spans(spark, t):
+    """SPAN-level exact-substring duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" metric):
+    instead of deciding whole documents are duplicates, measure how
+    much of EACH document's token stream is covered by 8-gram spans
+    that also occur in some other document. Doc-level dedup
+    (``dedup_exact`` … ``dedup_near_minhash``) misses boilerplate
+    stitched into otherwise-unique pages; this is the operator that
+    sees it.
+
+    Shape: explode each ≥8-token doc into its 8-gram occurrences
+    (codegen ``arrays_zip``-of-``slice`` views, same kernel as
+    ``text_ngrams``), one groupBy(gram) to find grams spanning ≥2
+    distinct docs — the inverted index — and one join back from the
+    occurrence stream to flag duplicated positions. Two shuffles, both
+    keyed on the gram: the classic suffix-array approach is replaced by
+    the hash-group formulation because hash-partitioning the gram space
+    scales linearly and needs no global order. At 100 TB the gram
+    stream is the big intermediate (~|tokens| rows); production runs
+    hash grams to 64 bits first (ph60) so the shuffle carries 8-byte
+    keys — elided here only because the oracle must group on the exact
+    same value, and the synthetic corpus's grams are short strings
+    already.
+    """
+    from .corpus import _gram_str, _zip_grams
+
+    K = 8
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        t["documents"]
+        .filter(F.size(toks) >= K)
+        .select("doc_id", F.explode(_zip_grams(toks, K)).alias("t"))
+        .select("doc_id", _gram_str(K).alias("g"))
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(True).alias("is_dup"))
+    )
+    return (
+        grams.join(shared, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_grams"),
+        )
+    )

@@ -1521,3 +1521,99 @@ def join_bloom_prune(spark, t):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+_BFS_HOPS = 6
+
+
+def _bfs_oracle() -> str:
+    """Recursive-CTE BFS capped at the same fixed hop budget."""
+    return f"""
+WITH RECURSIVE ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+e AS (
+  SELECT a.brand AS src, b.brand AS dst
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+root AS (SELECT min(src) AS node FROM sym),
+bfs AS (
+  SELECT node, 0 AS dist FROM root
+  UNION ALL
+  SELECT s.dst, b.dist + 1
+  FROM bfs b JOIN sym s ON b.node = s.src
+  WHERE b.dist < {_BFS_HOPS}
+)
+SELECT node AS brand, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY node
+"""
+
+
+@register("graph_bfs_shortest_path", oracle=_bfs_oracle(), tier="P3")
+def graph_bfs_shortest_path(spark, t):
+    """Unweighted single-source shortest paths (BFS) over the brand
+    co-occurrence graph (same edge build as ``graph_pagerank``: brand
+    pairs sharing ≥5 orders, symmetrized), rooted at the smallest brand
+    node, hop budget fixed at 6.
+
+    This is the frontier-expansion representative of the graph family:
+    ``graph_pagerank`` iterates a DENSE state (every node, every
+    round); BFS iterates a SPARSE one — each round joins only the
+    still-unvisited frontier against the edge list and anti-joins the
+    visited set, so per-round work tracks the frontier size, the way
+    Pregel/GraphX BFS behaves. The hop budget is a FIXED constant
+    (determinism policy: never a data-dependent convergence test), and
+    the oracle's recursive CTE carries the same cap, so both engines
+    agree even if the graph's diameter exceeds it.
+
+    Scale: each hop is one shuffle join keyed on src (pre-partition the
+    symmetrized edges once and every hop reuses the layout) plus one
+    anti-join against the visited frame, which grows to |reachable
+    nodes| — both bounded by the graph, never by the fact table that
+    derived it. The per-hop frontier is cached; a 100 TB deployment
+    checkpoints the visited frame every ~20 hops to bound lineage, as
+    ``dedup_connected_components`` does.
+    """
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+    )
+    e = (
+        ob.groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .select(F.posexplode("brands").alias("pos", "src"), "brands")
+        .select(
+            "src",
+            F.explode(F.slice("brands", F.col("pos") + 2, 64)).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    root = sym.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    visited = root.cache()
+    frontier = root
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        ).cache()
+        if nxt.isEmpty():  # frontier exhausted before the hop budget
+            break
+        visited = visited.unionByName(nxt).cache()
+        frontier = nxt
+    return visited.select(F.col("node").alias("brand"), "dist")

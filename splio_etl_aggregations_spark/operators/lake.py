@@ -1586,3 +1586,558 @@ def lake_concurrent_txn_rebase(spark, t):
             F.sum("o_cents").alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------- round-4 wave: DV / spec / WAP
+
+
+@register(
+    "lake_deletion_vectors",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    """,
+    tier="P3",
+)
+def lake_deletion_vectors(spark, t):
+    """Row-level DELETE via POSITION-based deletion vectors — the
+    modern merge-on-read delete (Delta DVs, Iceberg v2 position
+    deletes), distinct from ``lake_merge_on_read``'s key-based delta:
+    the commit stores (file, row position) pairs, so applying a delete
+    never re-evaluates the original predicate and works for tables
+    whose rows have no usable key at all.
+
+    Write path: the DELETE predicate runs ONCE over the v0 snapshot
+    with the parquet reader's ``_metadata.file_path``/``row_index``
+    virtual columns (exposed by Spark's FileFormat, no extra bookkeeping
+    column in the data) and materializes the matching positions as
+    parquet DV files — written by Spark, O(deleted rows), never
+    collected to the driver. Base files are untouched: the delete
+    commit is O(changes) like every merge-on-read write.
+
+    Read path: the covered base files anti-join the DV on
+    (file, position) — a pure position match, zero business-column
+    comparisons. At 100 TB a real format compresses each file's
+    positions into a roaring bitmap applied inside the scan operator;
+    the anti-join below is the same algebra with the bitmap lookup
+    expressed relationally, and it shuffles on the file path — i.e.
+    partition-aligned with the scan, not with any data key, so delete
+    skew cannot concentrate on hot business keys.
+
+    The oracle re-runs the original predicate (``o_orderkey % 7 <> 0``)
+    that the engine has FORGOTTEN by read time — the hash match proves
+    positions alone reconstruct the predicate delete exactly.
+    """
+    root = tempfile.mkdtemp(prefix="lake_dv_")
+    _build_v0(spark, t, root)
+    base0 = _read_version(spark, root, 0)
+    dv = base0.filter(F.col(_KEY) % 7 == 0).select(
+        F.col("_metadata.file_path").alias("dv_path"),
+        F.col("_metadata.row_index").alias("dv_pos"),
+    )
+    dv_adds = _write_files(dv, root, "dv-pos-v1", ["dv_pos"])
+    for a in dv_adds:
+        a["kind"] = "posdv"
+    _commit(root, 1, dv_adds, [])
+
+    snap = _snapshot(root)
+    dv_paths = [
+        os.path.join(root, a["path"])
+        for a in snap
+        if a.get("kind") == "posdv"
+    ]
+    data_paths = [
+        os.path.join(root, a["path"])
+        for a in snap
+        if a.get("kind") != "posdv"
+    ]
+    dv_df = spark.read.parquet(*dv_paths)
+    # Pin the base side's virtual columns into real ones BEFORE joining:
+    # the DV read has its own `_metadata`, so the raw reference would be
+    # ambiguous across the join.
+    base = spark.read.parquet(*data_paths).withColumns(
+        {
+            "__file": F.col("_metadata.file_path"),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    live = base.join(
+        dv_df,
+        (F.col("__file") == F.col("dv_path"))
+        & (F.col("__pos") == F.col("dv_pos")),
+        "left_anti",
+    )
+    return live.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_cents").alias("revenue_cents"),
+    )
+
+
+def _write_partitioned(
+    df, root: str, label: str, part_col: str, stat_cols: list[str]
+) -> list[dict]:
+    """Write one commit's files hive-partitioned by ``part_col`` and
+    record each file's partition tuple in its add entry (the log is the
+    source of truth for partition values, as in Iceberg manifests — the
+    directory layout is just a convenience)."""
+    from urllib.parse import unquote
+
+    rel_dir = os.path.join("data", label)
+    out = os.path.join(root, rel_dir)
+    df.write.mode("overwrite").partitionBy(part_col).parquet(out)
+    adds = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith(f"{part_col}="):
+            continue
+        raw = unquote(d.split("=", 1)[1])
+        val: object = int(raw) if raw.lstrip("-").isdigit() else raw
+        for f in sorted(os.listdir(os.path.join(out, d))):
+            if not f.endswith(".parquet"):
+                continue
+            rows, stats = _footer_stats(os.path.join(out, d, f), stat_cols)
+            adds.append(
+                {
+                    "path": os.path.join(rel_dir, d, f),
+                    "rows": rows,
+                    "stats": stats,
+                    "partition": {part_col: val},
+                }
+            )
+    return adds
+
+
+def _prune_spec_aware(
+    adds: list[dict], col: str, lo, hi, transform=None
+) -> list[dict]:
+    """File pruning that understands PARTITION EVOLUTION: a file whose
+    add entry carries a partition value for ``col`` (under the given
+    transform) is pruned by exact partition matching; files written
+    under an OLDER spec that never partitioned by ``col`` fall back to
+    their footer zone maps. One predicate, two pruning strategies —
+    the reader never needs to know which spec era a file belongs to."""
+    kept = []
+    for a in adds:
+        part = a.get("partition", {})
+        if col in part:
+            v = part[col]
+            if not (lo <= v <= hi):
+                continue
+            kept.append(a)
+            continue
+        st = a["stats"].get(col)
+        if st is not None and (st[1] < lo or st[0] > hi):
+            continue
+        kept.append(a)
+    return kept
+
+
+@register(
+    "lake_partition_evolution",
+    oracle="""
+    WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+    base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    unioned AS (
+      SELECT o_orderkey, o_orderpriority, o_cents, 'spec_a' AS era
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + (SELECT mx FROM b), o_orderpriority, o_cents,
+             'spec_b'
+      FROM base
+    )
+    SELECT era, COUNT(*) AS n_rows,
+           CAST(SUM(o_cents) AS BIGINT) AS revenue_cents
+    FROM unioned, b
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderkey BETWEEN 4 * mx // 5 + 1 AND 6 * mx // 5
+    GROUP BY era
+    """,
+    tier="P3",
+)
+def lake_partition_evolution(spark, t):
+    """Partition-spec EVOLUTION on one logical table: commit 0 writes
+    under spec A (hive-partitioned by ``o_orderpriority`` — right for a
+    priority-sliced workload), commit 1 appends key-shifted rows under
+    spec B (range-bucketed by ``o_orderkey`` — right for key-range
+    scans) after the workload shifted. Real tables cannot rewrite
+    history to re-partition 100 TB, so both eras coexist forever and
+    every reader must plan across them — the capability Iceberg calls
+    partition evolution, rebuilt on this module's JSON log by recording
+    each file's partition tuple in its add entry.
+
+    The probe query filters on BOTH columns, so each era prunes by a
+    different mechanism: spec-A files match the priority partition
+    value exactly and zone-map the key range; spec-B files match the
+    key-bucket partition exactly and zone-map the priority. The builder
+    asserts both directions actually skipped files — pruning across
+    specs is the entire point, not an optimization afterthought. Reads
+    restore partition columns with the parquet reader's ``basePath``
+    option, one read per era root (two jobs, same logical plan shape at
+    any scale: partition listing is O(live files) from the log, zero
+    data scanned to plan).
+    """
+    root = tempfile.mkdtemp(prefix="lake_spec_")
+    base = _base_frame(t).drop("src")
+    mx = base.agg(F.max(_KEY)).collect()[0][0]  # 1 scalar: spec math
+    adds_a = _write_partitioned(
+        base.repartition(4, F.col(_KEY)),
+        root,
+        "spec-a",
+        "o_orderpriority",
+        [_KEY],
+    )
+    _commit(root, 0, adds_a, [])
+    bucket_w = max(mx // 8, 1)
+    evolved = base.select(
+        (F.col(_KEY) + F.lit(mx)).alias(_KEY),
+        "o_orderpriority",
+        "o_cents",
+    ).withColumn("k_bucket", (F.col(_KEY) / F.lit(bucket_w)).cast("bigint"))
+    adds_b = _write_partitioned(
+        evolved, root, "spec-b", "k_bucket", [_KEY, "o_orderpriority"]
+    )
+    _commit(root, 1, adds_b, [])
+
+    lo, hi = 4 * mx // 5 + 1, 6 * mx // 5
+    live = _snapshot(root)
+    # key predicate: spec-B prunes by k_bucket partition, spec-A by
+    # zone maps; priority predicate: spec-A prunes by partition value,
+    # spec-B by (non-selective) string zone maps.
+    kept = _prune_spec_aware(
+        live, "k_bucket", lo // bucket_w, hi // bucket_w
+    )
+    kept = [
+        a
+        for a in kept
+        if a.get("partition", {}).get("o_orderpriority", "1-URGENT")
+        == "1-URGENT"
+    ]
+    kept = _prune_spec_aware(kept, _KEY, lo, hi)
+    n_a = sum(1 for a in live if "o_orderpriority" in a.get("partition", {}))
+    n_b = len(live) - n_a
+    k_a = sum(1 for a in kept if "o_orderpriority" in a.get("partition", {}))
+    k_b = len(kept) - k_a
+    assert k_a < n_a, "spec-A partition pruning skipped nothing"
+    assert k_b < n_b, "spec-B partition pruning skipped nothing"
+
+    def _read_era(label: str, era: str):
+        paths = [
+            os.path.join(root, a["path"])
+            for a in kept
+            if a["path"].startswith(os.path.join("data", label))
+        ]
+        if not paths:
+            return None
+        df = (
+            spark.read.option(
+                "basePath", os.path.join(root, "data", label)
+            )
+            .parquet(*paths)
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & F.col(_KEY).between(lo, hi)
+            )
+        )
+        return df.select(
+            _KEY, "o_orderpriority", "o_cents", F.lit(era).alias("era")
+        )
+    parts = [
+        d
+        for d in (_read_era("spec-a", "spec_a"), _read_era("spec-b", "spec_b"))
+        if d is not None
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_cents").alias("revenue_cents"),
+    )
+
+
+def _stage_branch(root: str, branch: str, version: int, adds: list[dict]):
+    """Stage a commit on an isolated branch: same entry format, written
+    under ``_log/branches/<name>/`` where no main-table reader ever
+    looks. Data files land in the table's data area immediately (they
+    are inert until referenced by a main-log commit), so publishing is
+    a pure metadata move."""
+    bdir = os.path.join(_log_dir(root), "branches", branch)
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, f"{version:08d}.json"), "w") as fh:
+        json.dump({"version": version, "adds": adds, "removes": []}, fh)
+
+
+def _branch_adds(root: str, branch: str) -> list[dict]:
+    bdir = os.path.join(_log_dir(root), "branches", branch)
+    adds: list[dict] = []
+    for f in sorted(os.listdir(bdir)):
+        if m := _COMMIT_RE.match(f):
+            del m
+            with open(os.path.join(bdir, f)) as fh:
+                adds += json.load(fh)["adds"]
+    return adds
+
+
+@register(
+    "lake_wap_publish",
+    oracle="""
+    WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+    base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    bad AS (
+      SELECT o_orderkey + (SELECT mx FROM b) AS o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN -o_cents ELSE o_cents END
+               AS o_cents
+      FROM base WHERE o_orderkey % 5 = 0
+    ),
+    good AS (
+      SELECT o_orderkey + 2 * (SELECT mx FROM b) AS o_orderkey, o_cents
+      FROM base WHERE o_orderkey % 11 = 0
+    )
+    SELECT 'main_before' AS step, COUNT(*) AS n_rows,
+           CAST(SUM(o_cents) AS BIGINT) AS cents
+    FROM base
+    UNION ALL
+    SELECT 'audit_rejected', COUNT(*), CAST(SUM(o_cents) AS BIGINT)
+    FROM bad WHERE o_cents < 0
+    UNION ALL
+    SELECT 'main_after', COUNT(*), CAST(SUM(o_cents) AS BIGINT)
+    FROM (SELECT o_cents FROM base UNION ALL SELECT o_cents FROM good)
+    """,
+    tier="P3",
+)
+def lake_wap_publish(spark, t):
+    """Write-Audit-Publish on the transaction log: producers stage
+    commits on an invisible branch, a gate audits the WOULD-BE table
+    state, and only audited commits move to the main log — the pattern
+    Iceberg/LakeFS ship for keeping bad loads out of consumer queries
+    without ever blocking them.
+
+    Two candidate loads stage here: one carrying corrupted rows
+    (negated cents on a key slice — think an upstream sign bug) and one
+    clean. The audit — a constraint scan over main ∪ staged, the same
+    zero-copy metadata union a branch read costs — REJECTS the first
+    (branch dropped, its files become vacuum-able orphans; the main log
+    is never touched, asserted structurally) and PUBLISHES the second
+    by linking its staged adds into the next main version through the
+    same atomic put-if-absent every writer uses.
+
+    Output is the three-step audit trail (before / rejected-violation
+    fold / after). The oracle recomputes all three relationally, so the
+    hash proves both directions: corrupted rows are absent from the
+    final state AND every clean staged row arrived exactly once. Audit
+    cost at 100 TB: the constraint scan is one aggregate over the
+    staged files only (main-side violations are impossible by
+    induction — they were audited before publishing), O(staged data),
+    driver work O(branch log entries).
+    """
+    root = tempfile.mkdtemp(prefix="lake_wap_")
+    _build_v0(spark, t, root)
+    base0 = _read_version(spark, root, 0)
+    mx = base0.agg(F.max(_KEY)).collect()[0][0]
+
+    bad = base0.filter(F.col(_KEY) % 5 == 0).select(
+        (F.col(_KEY) + F.lit(mx)).alias(_KEY),
+        "o_orderpriority",
+        F.when(F.col(_KEY) % 13 == 0, -F.col("o_cents"))
+        .otherwise(F.col("o_cents"))
+        .alias("o_cents"),
+        F.lit("staged").alias("src"),
+    )
+    good = base0.filter(F.col(_KEY) % 11 == 0).select(
+        (F.col(_KEY) + F.lit(2 * mx)).alias(_KEY),
+        "o_orderpriority",
+        "o_cents",
+        F.lit("staged").alias("src"),
+    )
+    _stage_branch(root, "load-bad", 1, _write_files(bad, root, "wap-bad", [_KEY]))
+    _stage_branch(
+        root, "load-good", 1, _write_files(good, root, "wap-good", [_KEY])
+    )
+
+    def _audit_and_publish(branch: str):
+        """Violations in the staged files (audit); publish iff zero."""
+        adds = _branch_adds(root, branch)
+        staged = spark.read.parquet(
+            *[os.path.join(root, a["path"]) for a in adds]
+        )
+        viol = staged.filter(F.col("o_cents") < 0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_cents").alias("c")
+        ).collect()[0]
+        if viol["n"] == 0:
+            _commit(root, _latest_version(root) + 1, adds, [])
+            return None
+        return int(viol["n"]), int(viol["c"])
+
+    rejected = _audit_and_publish("load-bad")
+    assert rejected is not None, "corrupt branch passed the audit"
+    assert _latest_version(root) == 0, "rejected branch leaked into main"
+    assert _audit_and_publish("load-good") is None, "clean branch rejected"
+    assert _latest_version(root) == 1, "clean branch failed to publish"
+
+    final = _read_version(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("o_cents").alias("cents")
+    )
+    before = base0.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("o_cents").alias("cents")
+    )
+    rej = spark.createDataFrame(
+        [("audit_rejected", rejected[0], rejected[1])],
+        "step string, n_rows bigint, cents bigint",
+    )
+    return (
+        before.select(F.lit("main_before").alias("step"), "n_rows", "cents")
+        .unionByName(rej)
+        .unionByName(
+            final.select(F.lit("main_after").alias("step"), "n_rows", "cents")
+        )
+    )
+
+
+@register(
+    "lake_row_lineage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_cents * 2 ELSE o_cents END
+               AS o_cents,
+             CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 0 END
+               AS last_updated_seq
+      FROM base
+    )
+    SELECT last_updated_seq,
+           COUNT(*) AS n_rows,
+           COUNT(*) AS n_distinct_ids,
+           CAST(SUM(o_cents) AS BIGINT) AS cents
+    FROM final GROUP BY last_updated_seq
+    """,
+    tier="P3",
+)
+def lake_row_lineage(spark, t):
+    """Row LINEAGE on the transaction log (the Iceberg v3 row-lineage
+    design): every row gets a stable ``_row_id`` at its FIRST commit —
+    assigned as ``first_row_id(file) + row position``, where each
+    file's ``first_row_id`` is allocated from a running counter in the
+    commit metadata, so id assignment costs zero data writes — plus a
+    ``_last_updated_seq`` recording the commit that last modified it.
+    Rewrites must CARRY both: compaction repacks 24 small files into 4
+    (ids ride along as explicit columns from then on), and an UPDATE
+    commit doubles cents for a key slice, bumping only that slice's
+    ``_last_updated_seq``.
+
+    The builder asserts the invariant that makes lineage lineage: the
+    multiset of row ids is IDENTICAL before and after both rewrites
+    (``exceptAll`` both ways — a compaction that drops, duplicates, or
+    re-mints ids fails structurally). The oracle can't see physical row
+    ids (they depend on file layout), so the hash checks the
+    layout-independent projection: per-last-updated-commit row counts,
+    id-uniqueness (distinct ids == rows), and exact cents — which is
+    what downstream CDC/incremental consumers actually key on.
+
+    Scale: id assignment is metadata-only at ingest (Iceberg's trick —
+    no id column is ever written for append files; readers derive it
+    from first_row_id + position); ids materialize as data only when a
+    rewrite first touches the file. The update is the CoW zone-map
+    path of ``lake_merge_upsert``; nothing here is O(table) beyond the
+    rewrites themselves.
+    """
+    root = tempfile.mkdtemp(prefix="lake_lin_")
+    base = _base_frame(t).drop("src")
+    adds = _write_files(
+        base.repartitionByRange(24, F.col(_KEY)), root, 0, [_KEY]
+    )
+    nxt = 0  # running first_row_id allocator, recorded per file
+    for a in adds:
+        a["first_row_id"] = nxt
+        nxt += a["rows"]
+    _commit(root, 0, adds, [])
+
+    def _with_ids(version: int):
+        """Read a snapshot deriving virtual ids for append-era files
+        (first_row_id + position) and passing through materialized
+        ``_row_id`` columns for rewrite-era files."""
+        snap = _snapshot(root, version)
+        virt = [a for a in snap if "first_row_id" in a]
+        mat = [a for a in snap if "first_row_id" not in a]
+        parts = []
+        if virt:
+            bases = {
+                "file:" + os.path.join(root, a["path"]): a["first_row_id"]
+                for a in virt
+            }
+            mapping = F.create_map(
+                *[x for kv in bases.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            )
+            parts.append(
+                spark.read.parquet(*[os.path.join(root, a["path"]) for a in virt])
+                .withColumn(
+                    "_row_id",
+                    mapping[F.col("_metadata.file_path")]
+                    + F.col("_metadata.row_index"),
+                )
+                .withColumn("_last_updated_seq", F.lit(0))
+            )
+        if mat:
+            parts.append(
+                spark.read.parquet(*[os.path.join(root, a["path"]) for a in mat])
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # commit 1: compaction — ids become explicit columns, values carried
+    v0 = _with_ids(0)
+    compacted = v0.repartitionByRange(4, F.col(_KEY))
+    adds1 = _write_files(compacted, root, 1, [_KEY])
+    _commit(root, 1, adds1, [a["path"] for a in _snapshot(root, 0)])
+
+    # commit 2: CoW UPDATE of the key slice, bumping its lineage seq
+    v1 = _with_ids(1)
+    updated = v1.select(
+        _KEY,
+        "o_orderpriority",
+        F.when(F.col(_KEY) % 9 == 0, F.col("o_cents") * 2)
+        .otherwise(F.col("o_cents"))
+        .alias("o_cents"),
+        "_row_id",
+        F.when(F.col(_KEY) % 9 == 0, F.lit(2))
+        .otherwise(F.col("_last_updated_seq"))
+        .alias("_last_updated_seq"),
+    )
+    adds2 = _write_files(updated, root, 2, [_KEY])
+    _commit(root, 2, adds2, [a["path"] for a in _snapshot(root, 1)])
+
+    final = _with_ids(None)
+    # lineage invariant: the id multiset survived BOTH rewrites intact
+    assert (
+        final.select("_row_id").exceptAll(v0.select("_row_id")).isEmpty()
+        and v0.select("_row_id").exceptAll(final.select("_row_id")).isEmpty()
+    ), "row ids dropped, duplicated, or re-minted by a rewrite"
+
+    return final.groupBy("_last_updated_seq").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("_row_id").alias("n_distinct_ids"),
+        F.sum("o_cents").alias("cents"),
+    ).select(
+        F.col("_last_updated_seq").alias("last_updated_seq"),
+        "n_rows",
+        "n_distinct_ids",
+        "cents",
+    )

@@ -1411,3 +1411,54 @@ def ml_threshold_tuning_table(spark, t):
         F.round(tp / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
         F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
     ).orderBy("tau")
+
+
+@register(
+    "ml_kfold_assign",
+    oracle=f"""
+    WITH folds AS (
+      SELECT {ph60_sql('o_custkey', 'kfold')} % 5 AS fold,
+             o_custkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT fold,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(is_f) AS BIGINT) AS n_finished,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM folds GROUP BY fold
+    """,
+    tier="P2",
+)
+def ml_kfold_assign(spark, t):
+    """Deterministic GROUP-aware k-fold assignment for model training:
+    every order lands in the fold of its CUSTOMER's portable hash, so
+    all of one customer's rows share a fold — the grouped-CV discipline
+    that stops target leakage between train and validation when rows of
+    the same entity are correlated (the same reason
+    ``sample_split_assign`` hashes, not RNGs, its train/test split —
+    this is its k-fold generalization with a balance audit attached).
+
+    The fold report (row count, distinct customers, label balance,
+    exact cents mass per fold) is what a pipeline asserts on before
+    training: hash folds are only balanced in expectation, so the audit
+    — not hope — is the contract. Pure codegen expressions over one
+    groupBy(fold): ph60 is md5-based and engine-portable, no RNG state,
+    reproducible run-to-run and machine-to-machine, which also makes
+    fold membership STABLE under table growth (a new row never
+    reshuffles old rows' folds, unlike randomSplit).
+    """
+    folds = t["orders"].select(
+        (ph60("o_custkey", "kfold") % 5).alias("fold"),
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_f"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum("is_f").alias("n_finished"),
+        F.sum("cents").alias("cents"),
+    )

@@ -288,6 +288,15 @@ DRIVER_ORDER: list[str] = [
     "win_user_activity_entropy",
     "text_lang_label_audit",
     "agg_price_dispersion_audit",
+    # round-4 additions (never sampled yet, by construction):
+    "lake_deletion_vectors",
+    "lake_partition_evolution",
+    "lake_wap_publish",
+    "dedup_substring_spans",
+    "corpus_pii_scrub",
+    "graph_bfs_shortest_path",
+    "ml_kfold_assign",
+    "lake_row_lineage",
     # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",

@@ -201,6 +201,13 @@ SINGLE_PARTITION_OK = {
     "agg_did_discount_effect": (2, "scalar cell-count fold"),
     # 1-row cycle-summary fold
     "ts_purchase_cycle": (1, "scalar cycle-summary fold"),
+    # r4 WAP audit trail: the before/after rows are each a scalar fold
+    # (1-row merge of per-partition partials) unioned with the 1-row
+    # local rejected-violations frame
+    "lake_wap_publish": (2, "scalar before/after table folds"),
+    # r4 BFS: the 1-row root-node MIN fold; the cached frontier frames
+    # can re-expand its subtree in their stored plans (≤ hop budget)
+    "graph_bfs_shortest_path": (3, "scalar root fold + cached re-expansions"),
 }
 
 BNLJ_OK = {
