@@ -168,6 +168,16 @@ def main() -> None:
             f"[bench] {name}: cold={times[0]:.3f}s warm={times[-1]:.3f}s rows={n}",
             file=sys.stderr,
         )
+        # Drop THIS shape's cached frames before the next shape: ~90
+        # queries share one session here, and the cache-heavy ones
+        # (graph iteration frames, lake snapshots, checkpointed CDFs)
+        # otherwise accumulate until executor memory pressure/GC taxes
+        # every later shape — measured up to 17× noise on mid-list
+        # shapes (dq_ks_drift 0.94 s → 16 s) purely from list position.
+        # Within a shape the cold/warm pair still shares its own caches;
+        # clearing BETWEEN shapes measures each plan in isolation, which
+        # is what the per-shape numbers claim to be.
+        spark.catalog.clearCache()
 
     total = round(sum(results[n] for n in BASELINE_SHAPES), 4)
     # Extra-shape timings go to a sidecar file + stderr, NOT the stdout

@@ -4615,3 +4615,75 @@ def agg_price_dispersion_audit(spark, t):
         .orderBy(F.desc("cv"), F.asc("p_partkey"))
         .limit(20)
     )
+
+
+@register(
+    "path_regex_match",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(
+               CASE event_type
+                 WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                 WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                 ELSE 'e' END,
+               '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+             AS n_view_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts
+    FROM s
+    """,
+    tier="P2",
+)
+def path_regex_match(spark, t):
+    """Event-SEQUENCE pattern matching (the capability SQL standards
+    call MATCH_RECOGNIZE, rebuilt relationally): encode each user's
+    time-ordered event types as a one-char-per-event string and count
+    regex pattern hits — here 'v+p' (a view streak converting straight
+    to purchase) and 'ee+' (consecutive-error bursts). Funnels count
+    fixed steps in order; this matches arbitrary regular patterns over
+    the full per-user sequence, including adjacency ("immediately
+    followed by"), which no join/window composition expresses cleanly.
+
+    Build: one groupBy(user) collecting (ts, event_id, initial)
+    structs, ``array_sort`` (lexicographic struct order = the
+    timeline), project the initial field out (GetArrayStructFields —
+    codegen, not a lambda), concat to the sequence string, then JVM
+    ``regexp_count``. Per-group state is the user's event history —
+    bounded by per-user activity, the same state class every
+    sessionizer carries; both regexes are RE2-safe (no backtracking
+    blowup) and match identically in Java regex and DuckDB RE2, since
+    leftmost non-overlapping greedy semantics agree.
+    """
+    initial = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        t["events"]
+        .select("user_id", F.struct("ts", "event_id", initial.alias("c")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("s")).getField("c"), ""
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.regexp_count("seq", F.lit("v+p")).cast("bigint").alias(
+            "n_view_to_purchase"
+        ),
+        F.regexp_count("seq", F.lit("ee+")).cast("bigint").alias(
+            "n_error_bursts"
+        ),
+    )

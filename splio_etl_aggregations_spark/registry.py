@@ -297,6 +297,7 @@ DRIVER_ORDER: list[str] = [
     "graph_bfs_shortest_path",
     "ml_kfold_assign",
     "lake_row_lineage",
+    "path_regex_match",
     # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",

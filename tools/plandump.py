@@ -130,6 +130,24 @@ SHOWCASE = [
         "maintenance job; the bootstrap branch reads v0 once, and both "
         "fold through ordinary partial hash aggregates.",
     ),
+    (
+        "lake_deletion_vectors",
+        "Position-delete apply (r4): the base scan carries the _metadata "
+        "file/position virtual columns straight into a LeftAnti hash join "
+        "keyed on (file_path, row_index) — no business column is compared, "
+        "and the DV side's scan is the only extra I/O. A real format "
+        "inlines this same algebra as a bitmap filter inside the scan; "
+        "the join form is what it lowers from.",
+    ),
+    (
+        "dedup_substring_spans",
+        "Span-level dedup (r4): one gram-stream pipeline (scan→zip/slice "
+        "projection→explode) feeds BOTH the inverted-index aggregate "
+        "(HashAggregate on gram, count-distinct docs) and the "
+        "occurrence-side join back; every exchange hashes on the gram or "
+        "the doc id — no global sort, no single-partition stage, so the "
+        "plan shards by vocabulary at any scale.",
+    ),
 ]
 
 

@@ -178,11 +178,27 @@ def shapes(spark, t):
         "spearman_corr": lambda: get("agg_spearman_corr").builder(spark, t),
         "item_item_cf": lambda: get("rec_item_item_cf").builder(spark, t),
         "basket_affinity": lambda: get("basket_brand_affinity").builder(spark, t),
+        # r4 wave. substring_spans: the gram stream grows K× and — since
+        # copies repeat the same text — every gram goes cross-doc
+        # duplicated, so the dup-side join carries maximal traffic (a
+        # deliberate worst case). deletion_vectors / row_lineage: table
+        # WRITES grow K× (v0 build + DV / two full rewrites) — these
+        # probe the commit path, not just the read. bfs: the graph stays
+        # |brands|-bounded, growth comes only from the fact-reduction
+        # scan. pii_scrub: one linear regex pass, the null hypothesis.
+        "substring_spans": lambda: get("dedup_substring_spans").builder(spark, t),
+        "pii_scrub": lambda: get("corpus_pii_scrub").builder(spark, t),
+        "bfs_shortest_path": lambda: get("graph_bfs_shortest_path").builder(spark, t),
+        "deletion_vectors": lambda: get("lake_deletion_vectors").builder(spark, t),
+        "row_lineage": lambda: get("lake_row_lineage").builder(spark, t),
     }
 
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    # SCALING_ONLY=a,b,c probes a named subset (per-wave re-measures
+    # without re-running the whole battery)
+    only = {s for s in os.environ.get("SCALING_ONLY", "").split(",") if s}
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[int, float]] = {}
@@ -190,6 +206,8 @@ def main() -> None:
     for k in ks:
         t = scaled_tables(spark, k)
         for name, build in shapes(spark, t).items():
+            if only and name not in only:
+                continue
             best = None
             for _ in range(2):  # warm: second run (plan + JIT amortized)
                 df = build()
