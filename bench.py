@@ -133,6 +133,10 @@ EXTRA_SHAPES = [
     "dedup_substring_spans",
     "corpus_pii_scrub",
     "graph_bfs_shortest_path",
+    "path_regex_match",
+    "vec_binary_quantize_hamming",
+    "lake_clone_zero_copy",
+    "stream_heavy_hitters",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -2141,3 +2141,99 @@ def lake_row_lineage(spark, t):
         "n_distinct_ids",
         "cents",
     )
+
+
+@register(
+    "lake_clone_zero_copy",
+    oracle=f"""
+    WITH {_V1_SQL},
+    src_extra AS (
+      SELECT o_orderkey + 2 * (SELECT mx FROM bounds) AS o_orderkey,
+             o_orderpriority, o_cents, 'src_extra' AS src
+      FROM v1 WHERE o_orderkey % 41 = 0
+    ),
+    clone_extra AS (
+      SELECT o_orderkey + 3 * (SELECT mx FROM bounds) AS o_orderkey,
+             o_orderpriority, o_cents, 'clone_extra' AS src
+      FROM v1 WHERE o_orderkey % 43 = 0
+    )
+    SELECT 'source' AS side, COUNT(*) AS n_rows,
+           CAST(SUM(o_cents) AS BIGINT) AS cents
+    FROM (SELECT o_cents FROM v1 UNION ALL SELECT o_cents FROM src_extra)
+    UNION ALL
+    SELECT 'clone', COUNT(*), CAST(SUM(o_cents) AS BIGINT)
+    FROM (SELECT o_cents FROM v1 UNION ALL SELECT o_cents FROM clone_extra)
+    """,
+    tier="P3",
+)
+def lake_clone_zero_copy(spark, t):
+    """Zero-copy SHALLOW CLONE (Delta's CLONE, Iceberg snapshot refs):
+    a new table whose first commit REFERENCES the source's live data
+    files by absolute path — no byte of data moves, the clone costs
+    O(live files) JSON. From then on the tables diverge independently:
+    the clone appends without touching the source's log, the source
+    appends without appearing in the clone (snapshot independence both
+    ways, asserted structurally below — the clone's data directory must
+    contain only its OWN post-clone files, and the source log must end
+    where it ended before the clone committed anything).
+
+    This is the dev/test-against-prod-data primitive: a 100 TB table
+    clones in milliseconds, experiments write only their deltas, and
+    vacuum on either side must (and here does, via reference counting
+    scoped per log) leave the shared files alone while any live log
+    references them. The hash folds both sides' full contents, so a
+    clone that deep-copied (double counts), leaked a source append into
+    the clone, or wrote through to the source lands in the mismatch.
+    """
+    src_root = _demo_lake(spark, t)
+    live0 = _snapshot(src_root, 0)
+    mn, mx = _key_bounds(live0, _KEY)
+
+    clone_root = tempfile.mkdtemp(prefix="lake_clone_")
+    cloned_adds = [
+        # absolute path → _read_version's os.path.join passes it through
+        {**a, "path": os.path.join(src_root, a["path"])}
+        for a in _snapshot(src_root)
+    ]
+    _commit(clone_root, 0, cloned_adds, [])
+
+    v1 = _read_version(spark, src_root)
+    src_extra = v1.filter(F.col(_KEY) % 41 == 0).select(
+        (F.col(_KEY) + F.lit(2 * mx)).alias(_KEY),
+        "o_orderpriority",
+        "o_cents",
+        F.lit("src_extra").alias("src"),
+    )
+    clone_extra = v1.filter(F.col(_KEY) % 43 == 0).select(
+        (F.col(_KEY) + F.lit(3 * mx)).alias(_KEY),
+        "o_orderpriority",
+        "o_cents",
+        F.lit("clone_extra").alias("src"),
+    )
+    src_log_end = _latest_version(src_root)
+    _commit(clone_root, 1, _write_files(clone_extra, clone_root, 1, [_KEY]), [])
+    _commit(
+        src_root,
+        src_log_end + 1,
+        _write_files(src_extra, src_root, src_log_end + 1, [_KEY]),
+        [],
+    )
+    # structural independence: the clone wrote nothing into the source
+    # tree, and only post-clone files live under the clone's data dir
+    assert _latest_version(src_root) == src_log_end + 1
+    clone_data = os.path.join(clone_root, "data")
+    assert sorted(os.listdir(clone_data)) == ["v000001"], (
+        "shallow clone materialized source data"
+    )
+
+    def _fold(root: str, side: str):
+        return (
+            _read_version(spark, root)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_cents").alias("cents"),
+            )
+            .select(F.lit(side).alias("side"), "n_rows", "cents")
+        )
+
+    return _fold(src_root, "source").unionByName(_fold(clone_root, "clone"))

@@ -1010,3 +1010,101 @@ def vec_subspace_variance(spark, t):
         F.round(F.col("v") / F.sum("v").over(w_all), 6).alias("var_share"),
         F.row_number().over(w_rank).cast("int").alias("var_rank"),
     ).orderBy("dim")
+
+
+@register(
+    "vec_binary_quantize_hamming",
+    oracle="""
+    WITH qbits AS (
+      SELECT generate_subscripts(embedding, 1) AS i,
+             CASE WHEN unnest(embedding) >= 0 THEN 1 ELSE 0 END AS qb
+      FROM embeddings WHERE vec_id = 0
+    ),
+    bits AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CASE WHEN unnest(embedding) >= 0 THEN 1 ELSE 0 END AS b
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    ham AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN b <> qb THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+      FROM bits JOIN qbits USING (i) GROUP BY vec_id
+    ),
+    cut AS (
+      SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 50
+    )
+    SELECT c.vec_id, c.hamming,
+           round(list_cosine_similarity(
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+             (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+              FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+    FROM cut c JOIN embeddings b USING (vec_id)
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 10
+    """,
+    tier="P2",
+)
+def vec_binary_quantize_hamming(spark, t):
+    """1-BIT quantization search: pack each embedding's sign bits into a
+    single 64-bit word (64× smaller than float32), shortlist by
+    XOR+popcount Hamming distance to the query word, exact-cosine
+    re-rank the top-50 shortlist down to 10 — the binary-quantization
+    recipe modern vector stores ship as their cheapest index tier
+    (cosine of sign vectors approximates angle by the arccos-of-
+    agreement bound).
+
+    The engine side demonstrates the real mechanics: the word is built
+    ONCE per vector as a codegen ``aggregate(transform(..., shiftleft),
+    |)`` fold — no Python — and each comparison is one ``bit_count(w ^
+    q_word)``, i.e. two ALU ops per candidate vs 64 FMAs for float
+    cosine. The deterministic (hamming, vec_id) top-50 cut bounds the
+    expensive exact re-rank; the oracle reproduces the identical
+    shortlist from raw sign comparisons (no packing), so the hash
+    proves the packed-word arithmetic against first principles. At
+    scale the word column IS the index: 8 bytes/vector scans at memory
+    bandwidth, and the same two-stage cut (cheap filter → exact re-rank
+    on survivors) is how ``sim_ann_lsh_knn``'s budget probing composes
+    with this as its distance kernel.
+    """
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast(_EMB_D).alias("e")
+    )
+    words = emb.withColumn(
+        "w",
+        F.expr(
+            "aggregate(transform(e, (x, i) -> IF(x >= 0D, shiftleft(1L, i),"
+            " 0L)), 0L, (a, b) -> a | b)"
+        ),
+    )
+    q = words.filter(F.col("vec_id") == 0).select("w", "e").toPandas()
+    q_word = int(q["w"][0])  # 1 row: the query's packed word + vector
+    q_vec = np.asarray(q["e"][0], dtype=np.float64)
+    q_norm = float(np.linalg.norm(q_vec))
+
+    shortlist = (
+        words.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.bit_count(F.col("w").bitwiseXOR(F.lit(q_word)))
+            .cast("bigint")
+            .alias("hamming"),
+            "e",
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(50)
+    )
+
+    @F.pandas_udf("double")
+    def cos_to_query(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        sims = (mat @ q_vec) / (np.linalg.norm(mat, axis=1) * q_norm)
+        return pd.Series(sims)
+
+    return (
+        shortlist.select(
+            "vec_id", "hamming", r6(cos_to_query("e")).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

