@@ -824,3 +824,72 @@ def corpus_pii_scrub(spark, t):
         F.sum("n_phones").alias("n_phones"),
         F.sum("chars_removed").alias("chars_removed"),
     )
+
+
+@register(
+    "corpus_importance_resampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             len(ts) AS nt, len(list_distinct(ts)) AS nd
+      FROM d WHERE len(ts) > 0
+    ),
+    k AS (
+      SELECT source, nt,
+             ({ph60_sql('doc_id', 'dsir')} % 1000000)
+               < (nd * 1000000) // nt AS keep
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM k GROUP BY source
+    """,
+    tier="P2",
+)
+def corpus_importance_resampling(spark, t):
+    """Importance RESAMPLING of the corpus (the DSIR-family recipe:
+    keep each document with probability proportional to a quality
+    weight, here its type-token ratio — repetitive boilerplate gets a
+    low keep rate, lexically rich text a high one) — the probabilistic
+    middle ground between hard quality gates (``text_quality_score``)
+    and uniform subsampling (``corpus_subsample_tokens``).
+
+    Determinism discipline: the Bernoulli draw is the portable hash
+    ``ph60(doc_id) % 1e6`` cross-multiplied against ``nd·1e6``
+    (keep ⇔ hash%1e6 · nt < nd·1e6) — BOTH sides exact integers, so
+    the kept set is bit-reproducible across engines, runs, and table
+    growth (appending docs never flips old keep decisions — the
+    property RNG-based sampling loses on every re-run). One scan, one
+    groupBy(source) fold; at 100 TB this is a map-side filter whose
+    selectivity IS the quality distribution.
+    """
+    toks = F.split(F.col("text"), " ")
+    m = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("nt"),
+            F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        )
+        .filter(F.col("nt") > 0)
+    )
+    # cross-multiplied integer compare — the weight nd/nt never exists
+    # as a float, so there is no floor/rounding seam between engines
+    keep = (ph60("doc_id", "dsir") % 1000000) * F.col("nt") < (
+        F.col("nd") * 1000000
+    )
+    k = m.select("source", "nt", keep.alias("keep"))
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("nt")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )

@@ -301,6 +301,7 @@ DRIVER_ORDER: list[str] = [
     "vec_binary_quantize_hamming",
     "lake_clone_zero_copy",
     "stream_heavy_hitters",
+    "corpus_importance_resampling",
     # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",

@@ -191,6 +191,16 @@ def shapes(spark, t):
         "bfs_shortest_path": lambda: get("graph_bfs_shortest_path").builder(spark, t),
         "deletion_vectors": lambda: get("lake_deletion_vectors").builder(spark, t),
         "row_lineage": lambda: get("lake_row_lineage").builder(spark, t),
+        # r4 second wave. pattern_match: per-user sequence strings grow
+        # K× long (collect+sort depth stress, like scd2). heavy_hitters:
+        # sketch state is 256 counters/window whatever K does to users —
+        # growth comes only from the scan and window count. binary_ann:
+        # word packing is linear, the popcount compare is 2 ALU ops per
+        # vector. importance_resampling: one map-side filter + fold.
+        "pattern_match": lambda: get("path_regex_match").builder(spark, t),
+        "heavy_hitters": lambda: get("stream_heavy_hitters").builder(spark, t),
+        "binary_ann": lambda: get("vec_binary_quantize_hamming").builder(spark, t),
+        "importance_resampling": lambda: get("corpus_importance_resampling").builder(spark, t),
     }
 
 
