@@ -510,3 +510,115 @@ def test_txn_validation_matches_serializability_oracle(tmp_path_factory, data):
         for a in txn.adds:
             expected[a["path"]] = a
         assert {a["path"]: a for a in lake._snapshot(root)} == expected
+
+
+def test_position_dv_equals_predicate_delete_random_predicates(spark):
+    """Position-based deletion vectors must reproduce ANY predicate
+    delete: for seeded random (modulus, residue) predicates, building
+    the DV from `_metadata` positions and anti-joining it must equal
+    filtering the base table directly — row-for-row, not just counts."""
+    import random
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    t = load(spark, SF_SMALL)
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        mod = rng.choice([5, 7, 11, 13])
+        res = rng.randrange(mod)
+        root = tempfile.mkdtemp(prefix=f"lake_dvprop_{seed}_")
+        lake._build_v0(spark, t, root, n_files=4)
+        base0 = lake._read_version(spark, root, 0)
+        dv = base0.filter(F.col(lake._KEY) % mod == res).select(
+            F.col("_metadata.file_path").alias("dv_path"),
+            F.col("_metadata.row_index").alias("dv_pos"),
+        )
+        import os as _os
+        dv_adds = lake._write_files(dv, root, f"dv-{seed}", ["dv_pos"])
+        survivors = (
+            base0.withColumns(
+                {
+                    "__file": F.col("_metadata.file_path"),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+            .join(
+                spark.read.parquet(
+                    *[_os.path.join(root, a["path"]) for a in dv_adds]
+                ),
+                (F.col("__file") == F.col("dv_path"))
+                & (F.col("__pos") == F.col("dv_pos")),
+                "left_anti",
+            )
+            .select(lake._KEY, "o_cents")
+        )
+        expected = base0.filter(F.col(lake._KEY) % mod != res).select(
+            lake._KEY, "o_cents"
+        )
+        assert survivors.exceptAll(expected).isEmpty()
+        assert expected.exceptAll(survivors).isEmpty()
+
+
+def test_spec_aware_pruning_never_loses_rows_random_ranges(spark):
+    """Partition-evolution pruning is an OPTIMIZATION, never a filter:
+    for seeded random key ranges, reading only the spec-aware-pruned
+    files and applying the predicate must equal applying the predicate
+    to every file — across BOTH partition eras."""
+    import os as _os
+    import random
+    import tempfile
+    from splio_etl_aggregations_spark.operators import lake
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    t = load(spark, SF_SMALL)
+    base = lake._base_frame(t).drop("src")
+    mx = base.agg(F.max(lake._KEY)).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="lake_specprop_")
+    adds_a = lake._write_partitioned(
+        base.repartition(3, F.col(lake._KEY)),
+        root, "spec-a", "o_orderpriority", [lake._KEY],
+    )
+    lake._commit(root, 0, adds_a, [])
+    w = max(mx // 6, 1)
+    evolved = base.select(
+        (F.col(lake._KEY) + F.lit(mx)).alias(lake._KEY),
+        "o_orderpriority", "o_cents",
+    ).withColumn("k_bucket", (F.col(lake._KEY) / F.lit(w)).cast("bigint"))
+    adds_b = lake._write_partitioned(
+        evolved, root, "spec-b", "k_bucket", [lake._KEY, "o_orderpriority"]
+    )
+    lake._commit(root, 1, adds_b, [])
+    live = lake._snapshot(root)
+
+    def read_files(adds):
+        frames = []
+        for label in ("spec-a", "spec-b"):
+            paths = [
+                _os.path.join(root, a["path"])
+                for a in adds
+                if a["path"].startswith(_os.path.join("data", label))
+            ]
+            if paths:
+                frames.append(
+                    spark.read.option(
+                        "basePath", _os.path.join(root, "data", label)
+                    )
+                    .parquet(*paths)
+                    .select(lake._KEY, "o_cents")
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    rng = random.Random(17)
+    for _ in range(4):
+        lo = rng.randrange(0, 2 * mx)
+        hi = min(lo + rng.randrange(1, mx), 2 * mx)
+        kept = lake._prune_spec_aware(live, "k_bucket", lo // w, hi // w)
+        kept = lake._prune_spec_aware(kept, lake._KEY, lo, hi)
+        pruned = read_files(kept).filter(F.col(lake._KEY).between(lo, hi))
+        full = read_files(live).filter(F.col(lake._KEY).between(lo, hi))
+        assert pruned.exceptAll(full).isEmpty()
+        assert full.exceptAll(pruned).isEmpty()
