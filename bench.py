@@ -137,6 +137,8 @@ EXTRA_SHAPES = [
     "vec_binary_quantize_hamming",
     "lake_clone_zero_copy",
     "stream_heavy_hitters",
+    "corpus_importance_resampling",
+    "multimodal_dedup_phash",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -238,3 +238,192 @@ def multimodal_frame_sample(spark, t):
         sample,
         schema="file_name string, frame_idx int, resized_len int, frame_sha string",
     )
+
+
+def _write_blobs_with_variants(n: int = 24) -> str:
+    """The ``_write_blobs`` corpus plus a near-duplicate VARIANT of
+    every third blob: identical bytes except three body positions
+    (100/200/300) overwritten with fixed values — the 'same image,
+    re-encoded/watermarked' case perceptual dedup exists to catch."""
+    root = _write_blobs(n)
+    for i in range(0, n, 3):
+        with open(os.path.join(root, f"img_{i:04d}.bin"), "rb") as fh:
+            raw = bytearray(fh.read())
+        body_off = 10
+        for pos, val in ((100, 0xFF), (200, 0x00), (300, 0xAA)):
+            raw[body_off + pos] = val
+        with open(os.path.join(root, f"img_{i:04d}_v.bin"), "wb") as fh:
+            fh.write(bytes(raw))
+    return root
+
+
+#: variant splice in hex space: body byte p lives at hex chars
+#: [21 + 2p, 21 + 2p + 1] (1-based; 20 header chars precede the body)
+_VARIANT_SQL = """
+    variants AS (
+      SELECT i,
+        'img_' || lpad(i::VARCHAR, 4, '0') || '_v.bin' AS file_name,
+        substr(hexdata, 1, 20 + 200) || 'ff'
+          || substr(hexdata, 20 + 203, 200 - 2) || '00'
+          || substr(hexdata, 20 + 403, 200 - 2) || 'aa'
+          || substr(hexdata, 20 + 603) AS hexdata
+      FROM blobs WHERE i % 3 = 0
+    ),
+    corpus AS (
+      SELECT file_name, hexdata FROM blobs
+      UNION ALL SELECT file_name, hexdata FROM variants
+    )
+"""
+
+
+@register(
+    "multimodal_dedup_phash",
+    oracle=f"""
+    WITH {_BLOBS_SQL},
+    {_VARIANT_SQL},
+    body AS (SELECT file_name, substr(hexdata, 21) AS bh FROM corpus),
+    bytes AS (
+      SELECT b.file_name, g.p AS p,
+             ('0x' || substr(b.bh, 2 * g.p + 1, 2))::INT AS v
+      FROM body b CROSS JOIN (SELECT range AS p FROM range(3000)) g
+      WHERE g.p < length(b.bh) / 2
+    ),
+    strides AS (
+      SELECT file_name, p % 64 AS s,
+             SUM(v) AS ssum, COUNT(*) AS scnt
+      FROM bytes GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT file_name, SUM(v) AS tsum, COUNT(*) AS tcnt
+      FROM bytes GROUP BY 1
+    ),
+    bits AS (
+      SELECT s.file_name, s.s,
+             CASE WHEN s.ssum * t.tcnt > t.tsum * s.scnt
+                  THEN 1 ELSE 0 END AS b
+      FROM strides s JOIN tot t USING (file_name)
+    ),
+    bands AS (
+      SELECT file_name, s // 16 AS band,
+             string_agg(b::VARCHAR, '' ORDER BY s) AS sig
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.file_name AS file_a, b.file_name AS file_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig
+       AND a.file_name < b.file_name
+    ),
+    ham AS (
+      SELECT c.file_a, c.file_b,
+             CAST(SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN bits x ON x.file_name = c.file_a
+      JOIN bits y ON y.file_name = c.file_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT file_a, file_b, hamming FROM ham WHERE hamming <= 8
+    """,
+    tier="P3",
+)
+def multimodal_dedup_phash(spark, t):
+    """Perceptual-hash NEAR-DUP detection for binary media — the
+    multimodal pipeline's analogue of MinHash: decode each blob (the
+    documented stub; a real deployment computes aHash/pHash over
+    decoded pixels), derive a 64-bit perceptual fingerprint (bit s =
+    whether byte-stride s's mean exceeds the blob's global mean, as an
+    EXACT integer cross-multiply so no float seam exists), then find
+    near-duplicates by Hamming ≤ 8 — never all-pairs: the fingerprint
+    splits into 4×16-bit LSH bands and only band-collision candidates
+    are verified, the same candidates-only discipline as
+    ``dedup_near_minhash``. The oracle mirrors the banding exactly
+    (band signatures, candidate join, Hamming verify), so engine and
+    oracle agree bit-for-bit including the banding's own recall
+    behavior; the corpus plants a 3-byte-perturbed variant of every
+    third blob (re-encode/watermark stand-in), and the unit test
+    asserts the planted pairs are the pairs found.
+
+    Scale: fingerprints are 64 bits/asset — the band join shuffles
+    8-byte signatures, verification touches only collision groups, and
+    the decode stage is the same Arrow-batched mapInPandas as
+    ``multimodal_decode_features``. At a billion images this is the
+    standard dedup tier between exact-bytes (``multimodal_binary_
+    ingest``'s sha256) and embedding cosine.
+    """
+    import numpy as np
+
+    root = _write_blobs_with_variants()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.bin")
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            names, bit_strs = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if not content.startswith(b"FAKEIMG1"):
+                    raise NotImplementedError(
+                        "real codec not available in this environment"
+                    )
+                body = np.frombuffer(content[10:], dtype=np.uint8)
+                idx = np.arange(len(body)) % 64
+                ssum = np.bincount(idx, weights=body, minlength=64)
+                scnt = np.bincount(idx, minlength=64)
+                # exact integer cross-multiply (see docstring)
+                bits = (
+                    ssum.astype(np.int64) * len(body)
+                    > int(body.sum()) * scnt.astype(np.int64)
+                ).astype(int)
+                names.append(path.rsplit("/", 1)[-1])
+                bit_strs.append("".join(map(str, bits)))
+            yield pd.DataFrame({"file_name": names, "bits": bit_strs})
+
+    fps = raw.select("path", "content").mapInPandas(
+        fingerprint, schema="file_name string, bits string"
+    )
+    bands = fps.select(
+        "file_name",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("bits", 16 * b + 1, 16).alias("sig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("file_name", "bits", "bs.band", "bs.sig")
+    a = bands.select(
+        F.col("file_name").alias("file_a"),
+        F.col("bits").alias("bits_a"),
+        "band",
+        "sig",
+    )
+    b = bands.select(
+        F.col("file_name").alias("file_b"),
+        F.col("bits").alias("bits_b"),
+        "band",
+        "sig",
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("file_a") < F.col("file_b"))
+        .select("file_a", "file_b", "bits_a", "bits_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("bits_a", ""),
+                F.split("bits_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    ).cast("bigint")
+    return (
+        cand.select("file_a", "file_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )

@@ -302,6 +302,7 @@ DRIVER_ORDER: list[str] = [
     "lake_clone_zero_copy",
     "stream_heavy_hitters",
     "corpus_importance_resampling",
+    "multimodal_dedup_phash",
     # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",

@@ -1932,3 +1932,20 @@ def test_lake_wap_rejected_branch_never_reaches_main(spark):
     assert out["audit_rejected"]["cents"] < 0
     # the published table gained exactly the clean rows
     assert out["main_after"]["n_rows"] > out["main_before"]["n_rows"]
+
+
+def test_phash_dedup_finds_exactly_the_planted_variants(spark):
+    """The perceptual-hash dedup must surface each planted 3-byte
+    variant paired with its original — and nothing else (distinct
+    seeded blobs are ~32 bits apart, far beyond the tau=8 ball)."""
+    from splio_etl_aggregations_spark.registry import REGISTRY
+
+    register_all()
+    rows = REGISTRY["multimodal_dedup_phash"].run(spark, SF_SMALL).collect()
+    got = {(r["file_a"], r["file_b"]) for r in rows}
+    expected = {
+        (f"img_{i:04d}.bin", f"img_{i:04d}_v.bin") for i in range(0, 24, 3)
+    }
+    assert got == expected, f"got {sorted(got)}"
+    for r in rows:
+        assert r["hamming"] <= 8
