@@ -139,6 +139,7 @@ EXTRA_SHAPES = [
     "stream_heavy_hitters",
     "corpus_importance_resampling",
     "multimodal_dedup_phash",
+    "ts_rolling_regression_slope",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -1266,3 +1266,87 @@ def ts_month_end_lift(spark, t):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "ts_rolling_regression_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    win AS (
+      SELECT user_id, day,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * cents) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_cents_per_day
+    FROM win
+    """,
+    tier="P2",
+)
+def ts_rolling_regression_slope(spark, t):
+    """Rolling 7-day OLS trend per user: the least-squares slope of
+    daily spend (exact integer cents) against the day index over a
+    ROWS 6-PRECEDING window — the per-entity trend detector behind
+    "spend accelerating/decelerating" alerts, where a global
+    regression (``agg_regression``) sees only one line for everyone.
+
+    Exactness discipline: every windowed sum (Σx, Σy, Σxy, Σx²) is
+    BIGINT arithmetic over per-row cent conversions, so the engines
+    cannot drift on float association inside the frame; the slope
+    exists as a double exactly once (one division of two exact
+    integers) and rounds to 6 dp. Frames with a single day yield NULL
+    (zero denominator guarded on both sides, never NaN/inf). One
+    shuffle on user_id; frame state is 4 running integers — the
+    closed-form rolling regression, no matrix ops, no UDF.
+    """
+    daily = (
+        t["events"]
+        .groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        .withColumn("x", F.datediff("day", F.lit("2024-01-01")).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.select(
+        "user_id",
+        "day",
+        F.when(
+            denom != 0,
+            F.round(num.cast("double") / denom.cast("double"), 6),
+        ).alias("slope_cents_per_day"),
+    )

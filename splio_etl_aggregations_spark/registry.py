@@ -303,6 +303,7 @@ DRIVER_ORDER: list[str] = [
     "stream_heavy_hitters",
     "corpus_importance_resampling",
     "multimodal_dedup_phash",
+    "ts_rolling_regression_slope",
     # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",
