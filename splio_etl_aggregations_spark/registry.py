@@ -36,6 +36,21 @@ class Query:
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         from .sources.loader import load
 
+        # Session-cache hygiene at the chokepoint every consumer (the
+        # driver's ~350-query sweep, the differential preflight, the
+        # plan-signature dump) funnels through: several operators cache
+        # frames their RESULT plan still references, so they cannot
+        # unpersist before returning — left alone, those caches pile up
+        # across a shared-session sweep (the accumulation class behind
+        # the documented 17× bench bleed, ADVICE r4) and can even leak
+        # one query's cached subtree into the NEXT query's physical
+        # plan via Spark's plan-keyed cache lookup. Dropping all cached
+        # frames before each build keeps every query's plan and memory
+        # footprint independent of sweep order. The fixture loader is
+        # lazy/unpersisted, so this never invalidates base tables;
+        # correctness of previously returned frames is unaffected
+        # (they recompute if re-collected).
+        spark.catalog.clearCache()
         return self.builder(spark, load(spark, sf_dir))
 
     def runner(self) -> Callable[[SparkSession, str], DataFrame]:
@@ -82,13 +97,201 @@ def get(name: str) -> Query:
 # budgeted/seeded ANN searches — no oracle by nature) sit at the very
 # end where they can never burn a verified slot. After each round, move
 # the newly-verified 50 back into the green tail and promote the next 50.
+# The round whose verification window currently occupies DRIVER_ORDER's
+# first 50 slots. Bump this when rotating the window at round start —
+# tests/test_registry.py::test_driver_window_rotated uses it to assert
+# the window is disjoint from every EARLIER round's CORRECTNESS file and
+# fails loudly if a LATER round's file appears (i.e. the rotation was
+# forgotten and the driver burned a round on an already-green window).
+WINDOW_ROUND = 5
+
 DRIVER_ORDER: list[str] = [
-    # -- slots 1-50: round-4 verification window. Risk-first: the five
-    # r3 reds (HUGEINT canonicalizer artifact, oracles now CAST to
-    # BIGINT/DOUBLE — re-sampled to prove the fix under the real driver
-    # hash), then the never-sampled lake_* transaction-log wave (19 ops,
-    # zero driver rows so far, all freshly cast), then the remaining
-    # freshly-cast oracles, then the next never-sampled ops. ----------
+    # -- slots 1-50: ROUND-5 verification window (all never driver-
+    # sampled before this round; rotation guarded by
+    # tests/test_registry.py::test_driver_window_rotated). Risk-first:
+    # the 13 never-sampled core SURVEY §2-A..K IDs (exotic joins,
+    # higher-order functions, text stats, multimodal ingest), then the
+    # 15 round-4 additions (lake v2 features, span dedup, BFS, phash,
+    # binary-quantize), then the two remaining multimodal transports,
+    # the 15 TPC-H-shape sql_* queries, and 5 corpus-pipeline ops. ----
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_self_sequence",
+    "str_distance",
+    "array_higher_order",
+    "map_funcs",
+    "text_lang_stats",
+    "text_ngrams",
+    "text_tfidf",
+    "sim_centroid_by_label",
+    "multimodal_binary_ingest",
+    "lake_deletion_vectors",
+    "lake_partition_evolution",
+    "lake_wap_publish",
+    "dedup_substring_spans",
+    "corpus_pii_scrub",
+    "graph_bfs_shortest_path",
+    "ml_kfold_assign",
+    "lake_row_lineage",
+    "path_regex_match",
+    "vec_binary_quantize_hamming",
+    "lake_clone_zero_copy",
+    "stream_heavy_hitters",
+    "corpus_importance_resampling",
+    "multimodal_dedup_phash",
+    "ts_rolling_regression_slope",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_forecast_revenue",
+    "sql_returned_item_ranking",
+    "sql_promo_revenue",
+    "sql_large_volume_customer",
+    "sql_customer_distribution",
+    "sql_top_supplier",
+    "sql_order_priority_check",
+    "sql_small_quantity_revenue",
+    "sql_disjunctive_revenue",
+    "sql_sales_opportunity",
+    "sql_important_parts",
+    "sql_parts_supplier_count",
+    "sql_dominant_suppliers",
+    "corpus_lm_quality",
+    "corpus_window_chunking",
+    "corpus_subsample_tokens",
+    "corpus_source_overlap",
+    "corpus_bigram_perplexity",
+    # -- never driver-sampled pool, burn-down pre-committed:
+    # ROUND-6 window = the next 50 below (slots 51-100); ROUND-7 window
+    # = slots 101-150; ROUND-8 = the final 12 never-sampled + 38
+    # re-sample slots for regression proofs. After each round, move the
+    # newly-verified 50 into the green tail and promote the next 50 to
+    # the top — never reorder a committed round's window mid-round.
+    # ---- round-6 planned window (50) -----------------------------
+    "lake_point_lookup_bloom",
+    "dedup_embedding_cluster",
+    "str_extended",
+    "text_token_bpe",
+    "text_lang_id",
+    "text_quality_score",
+    "join_lateral_topn",
+    "join_interval_overlap",
+    "sample_hash_bernoulli",
+    "sample_split_assign",
+    "sample_topk_per_stratum",
+    "agg_decay_weighted",
+    "agg_entropy",
+    "ml_standardize_features",
+    "vec_quantize_int8",
+    "text_rep_ngram_filter",
+    "corpus_mix_rebalance",
+    "dedup_keep_best",
+    "corpus_shuffle_shards",
+    "text_vocab_coverage",
+    "ml_feature_hashing",
+    "dedup_cross_source",
+    "ts_anomaly_mad",
+    "win_streak_islands",
+    "bitwise_funcs",
+    "corpus_length_buckets",
+    "ts_gap_stats",
+    "attribution_last_touch",
+    "dq_freshness_report",
+    "encoding_funcs",
+    "dedup_cluster_size_hist",
+    "ts_hourly_profile",
+    "pareto_revenue_deciles",
+    "join_null_safe_equi",
+    "win_bollinger_bands",
+    "agg_gini_revenue",
+    "ts_year_over_year",
+    "win_rolling_distinct",
+    "agg_sketch_accuracy_report",
+    "graph_triangle_count",
+    "ts_peak_concurrency",
+    "dq_fk_orphans",
+    "ts_ewma10",
+    "agg_regression",
+    "agg_cumulative_unique_users",
+    "set_symmetric_diff",
+    "agg_weighted_median",
+    "funnel_time_to_convert",
+    "text_js_divergence",
+    "etl_anonymize_kanon",
+    # ---- round-7 planned window (50) -----------------------------
+    "join_asof_nearest",
+    "ml_target_encoding",
+    "dq_ks_drift",
+    "dq_chi2_independence",
+    "win_max_drawdown",
+    "text_zipf_fit",
+    "dq_benford_test",
+    "sim_threshold_sweep",
+    "graph_link_prediction",
+    "ml_auc_eval",
+    "clv_cohort_ltv",
+    "etl_gdpr_erasure",
+    "agg_moments_skew_kurt",
+    "path_analysis_topk",
+    "agg_ab_test_welch",
+    "ts_seasonality_index",
+    "win_vwap",
+    "agg_price_elasticity",
+    "win_rank_change",
+    "join_fuzzy_name",
+    "ts_markov_transitions",
+    "ts_cusum_changepoint",
+    "ts_autocorrelation",
+    "agg_robust_means",
+    "agg_stickiness_dau_mau",
+    "win_time_in_state",
+    "agg_topk_with_others",
+    "agg_basket_size_hist",
+    "rfm_score_segments",
+    "agg_abc_xyz_classes",
+    "ts_forecast_backtest",
+    "text_pmi_collocations",
+    "ts_purchase_cycle",
+    "agg_hhi_concentration",
+    "graph_degree_distribution",
+    "ml_calibration_bins",
+    "agg_pvm_decomposition",
+    "agg_customer_migration_matrix",
+    "vec_embedding_drift",
+    "sort_skyline_pareto",
+    "agg_theil_decomposition",
+    "win_mtd_ytd_running",
+    "ts_burstiness_fano",
+    "sample_systematic_every_nth",
+    "ml_bootstrap_ci_hash",
+    "corpus_interleave_sources_round_robin",
+    "ts_ohlc_bars",
+    "agg_whale_curve_topshares",
+    "agg_duplicate_invoice_detector",
+    "join_accumulating_snapshot",
+    # ---- round-8 final never-sampled (12 + the round-5 additions,
+    # which append to the never-sampled pool per rotation policy) ----
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "ts_stl_decompose",
+    "vec_pq_encode",
+    "vec_dedup_exact",
+    "ts_revenue_index_rebased",
+    "agg_percent_of_total_multi_level",
+    "vec_subspace_variance",
+    "ts_shipping_delay_trend",
+    "corpus_epoch_repeat_schedule",
+    "join_role_playing_dates",
+    "agg_assortment_penetration",
+    "ts_month_end_lift",
+    "win_user_activity_entropy",
+    "text_lang_label_audit",
+    "agg_price_dispersion_audit",
+    # -- driver-green tail (188 IDs, latest driver row green; relative
+    # order preserved from the r1-r4 windows) ----------------------
     "etl_sessionize",
     "join_scd2_point_in_time",
     "etl_reconcile_sources",
@@ -139,172 +342,6 @@ DRIVER_ORDER: list[str] = [
     "ml_threshold_tuning_table",
     "dq_monotonic_id_gap_check",
     "lake_stats_only_query",
-    # -- never driver-sampled pool (green in the full-registry sf0.01 +
-    # sf0.1 oracle sweeps; promoted 50 per round) ---------------------
-    "lake_point_lookup_bloom",
-    "dedup_embedding_cluster",
-    "multimodal_binary_ingest",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "str_distance",
-    "array_higher_order",
-    "map_funcs",
-    "str_extended",
-    "text_lang_stats",
-    "text_ngrams",
-    "text_tfidf",
-    "text_token_bpe",
-    "text_lang_id",
-    "text_quality_score",
-    "sim_centroid_by_label",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_self_sequence",
-    "join_lateral_topn",
-    "join_interval_overlap",
-    "sample_hash_bernoulli",
-    "sample_split_assign",
-    "sample_topk_per_stratum",
-    "agg_decay_weighted",
-    "agg_entropy",
-    "ml_standardize_features",
-    "vec_quantize_int8",
-    "text_rep_ngram_filter",
-    "corpus_mix_rebalance",
-    "dedup_keep_best",
-    "corpus_shuffle_shards",
-    "text_vocab_coverage",
-    "ml_feature_hashing",
-    "corpus_lm_quality",
-    "dedup_cross_source",
-    "ts_anomaly_mad",
-    "win_streak_islands",
-    "bitwise_funcs",
-    "corpus_length_buckets",
-    "ts_gap_stats",
-    "sql_shipping_priority",
-    "attribution_last_touch",
-    "dq_freshness_report",
-    "encoding_funcs",
-    "dedup_cluster_size_hist",
-    "ts_hourly_profile",
-    "pareto_revenue_deciles",
-    "join_null_safe_equi",
-    "win_bollinger_bands",
-    "agg_gini_revenue",
-    "ts_year_over_year",
-    "win_rolling_distinct",
-    "agg_sketch_accuracy_report",
-    "graph_triangle_count",
-    "ts_peak_concurrency",
-    "dq_fk_orphans",
-    "ts_ewma10",
-    "agg_regression",
-    "agg_cumulative_unique_users",
-    "corpus_subsample_tokens",
-    "set_symmetric_diff",
-    "agg_weighted_median",
-    "funnel_time_to_convert",
-    "text_js_divergence",
-    "etl_anonymize_kanon",
-    "join_asof_nearest",
-    "ml_target_encoding",
-    "dq_ks_drift",
-    "dq_chi2_independence",
-    "win_max_drawdown",
-    "text_zipf_fit",
-    "sql_local_supplier_volume",
-    "sql_forecast_revenue",
-    "sql_returned_item_ranking",
-    "sql_promo_revenue",
-    "sql_large_volume_customer",
-    "sql_customer_distribution",
-    "sql_top_supplier",
-    "sql_order_priority_check",
-    "sql_small_quantity_revenue",
-    "sql_disjunctive_revenue",
-    "sql_sales_opportunity",
-    "sql_important_parts",
-    "sql_parts_supplier_count",
-    "sql_dominant_suppliers",
-    "dq_benford_test",
-    "sim_threshold_sweep",
-    "graph_link_prediction",
-    "ml_auc_eval",
-    "clv_cohort_ltv",
-    "etl_gdpr_erasure",
-    "agg_moments_skew_kurt",
-    "path_analysis_topk",
-    "agg_ab_test_welch",
-    "ts_seasonality_index",
-    "win_vwap",
-    "agg_price_elasticity",
-    "win_rank_change",
-    "join_fuzzy_name",
-    "ts_markov_transitions",
-    "ts_cusum_changepoint",
-    "ts_autocorrelation",
-    "agg_robust_means",
-    "agg_stickiness_dau_mau",
-    "win_time_in_state",
-    "agg_topk_with_others",
-    "agg_basket_size_hist",
-    "rfm_score_segments",
-    "agg_abc_xyz_classes",
-    "ts_forecast_backtest",
-    "text_pmi_collocations",
-    "ts_purchase_cycle",
-    "agg_hhi_concentration",
-    "graph_degree_distribution",
-    "ml_calibration_bins",
-    "agg_pvm_decomposition",
-    "corpus_source_overlap",
-    "agg_customer_migration_matrix",
-    "vec_embedding_drift",
-    "corpus_bigram_perplexity",
-    "sort_skyline_pareto",
-    "corpus_window_chunking",
-    "agg_theil_decomposition",
-    "win_mtd_ytd_running",
-    "ts_burstiness_fano",
-    "sample_systematic_every_nth",
-    "ml_bootstrap_ci_hash",
-    "corpus_interleave_sources_round_robin",
-    "ts_ohlc_bars",
-    "agg_whale_curve_topshares",
-    "agg_duplicate_invoice_detector",
-    "join_accumulating_snapshot",
-    "vec_dedup_exact",
-    "ts_revenue_index_rebased",
-    "agg_percent_of_total_multi_level",
-    "vec_subspace_variance",
-    "ts_shipping_delay_trend",
-    "corpus_epoch_repeat_schedule",
-    "join_role_playing_dates",
-    "agg_assortment_penetration",
-    "ts_month_end_lift",
-    "win_user_activity_entropy",
-    "text_lang_label_audit",
-    "agg_price_dispersion_audit",
-    # round-4 additions (never sampled yet, by construction):
-    "lake_deletion_vectors",
-    "lake_partition_evolution",
-    "lake_wap_publish",
-    "dedup_substring_spans",
-    "corpus_pii_scrub",
-    "graph_bfs_shortest_path",
-    "ml_kfold_assign",
-    "lake_row_lineage",
-    "path_regex_match",
-    "vec_binary_quantize_hamming",
-    "lake_clone_zero_copy",
-    "stream_heavy_hitters",
-    "corpus_importance_resampling",
-    "multimodal_dedup_phash",
-    "ts_rolling_regression_slope",
-    # -- driver-green round 3 --------------------------------------
     "stream_stream_join",
     "stream_upsert_materialize",
     "stream_windowed_topk",
@@ -350,7 +387,6 @@ DRIVER_ORDER: list[str] = [
     "corpus_decontaminate",
     "corpus_pack_sequences",
     "sim_knn_query",
-    # -- driver-green round 2 --------------------------------------
     "agg_collect",
     "agg_approx_percentile",
     "dedup_near_minhash",
@@ -401,7 +437,6 @@ DRIVER_ORDER: list[str] = [
     "stream_session",
     "udf_pandas_scalar",
     "join_asof",
-    # -- driver-green round 1 --------------------------------------
     "project_select",
     "project_cast",
     "filter_simple",

@@ -41,3 +41,54 @@ def test_rows_only_tail():
         "rows-only operators interleaved before oracle-backed ones: "
         f"{[n for n, f in zip(names[first_rows_only:], oracle_flags[first_rows_only:]) if f]}"
     )
+
+
+def test_driver_window_rotated():
+    """The 50-slot verification window must hold ONLY operators never
+    driver-sampled in any round BEFORE ``WINDOW_ROUND`` (VERDICT r4
+    "Next round" #2): a window that re-verifies already-green IDs wastes
+    the round and produces zero new coverage information.
+
+    Lifecycle: at round-N start the builder rotates the window and bumps
+    ``registry.WINDOW_ROUND`` to N; at round-N end the driver writes
+    ``CORRECTNESS_r0N.json`` (whose keys ARE the window — allowed). If a
+    CORRECTNESS file for a round LATER than ``WINDOW_ROUND`` exists, the
+    rotation was forgotten and this test fails loudly.
+
+    Deliberate re-samples (regression proofs for a fixed red) go in
+    ``RESAMPLE_ALLOWLIST`` below with a one-line justification — never
+    silently.
+    """
+    import json
+    import pathlib
+    import re
+
+    from splio_etl_aggregations_spark.registry import WINDOW_ROUND
+
+    # IDs intentionally re-sampled this round to prove a fix under the
+    # real driver hash (empty => the whole window is new coverage).
+    RESAMPLE_ALLOWLIST: set[str] = set()
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    earlier: set[str] = set()
+    rounds_seen = []
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        rounds_seen.append(rnd)
+        if rnd < WINDOW_ROUND:
+            earlier |= set(json.loads(f.read_text()))
+    assert rounds_seen, "no committed CORRECTNESS files found — wrong repo root?"
+    late = [r for r in rounds_seen if r > WINDOW_ROUND]
+    assert not late, (
+        f"CORRECTNESS file(s) for round(s) {late} exist but WINDOW_ROUND="
+        f"{WINDOW_ROUND}: the verification window was not rotated for the "
+        "new round. Rotate DRIVER_ORDER[:50] to never-sampled IDs and bump "
+        "registry.WINDOW_ROUND."
+    )
+
+    window = set(DRIVER_ORDER[:50])
+    stale = sorted(window & earlier - RESAMPLE_ALLOWLIST)
+    assert not stale, (
+        "verification window holds IDs already driver-green in an earlier "
+        f"round (rotate DRIVER_ORDER or add to RESAMPLE_ALLOWLIST): {stale}"
+    )
