@@ -838,9 +838,12 @@ def corpus_pii_scrub(spark, t):
       FROM d WHERE len(ts) > 0
     ),
     k AS (
+      -- exact integer cross-multiply, matching the engine bit-for-bit:
+      -- floor-dividing nd*1e6 by nt would drop boundary docs whose hash
+      -- equals floor(nd*1e6/nt) when nt does not divide nd*1e6
       SELECT source, nt,
-             ({ph60_sql('doc_id', 'dsir')} % 1000000)
-               < (nd * 1000000) // nt AS keep
+             ({ph60_sql('doc_id', 'dsir')} % 1000000) * nt
+               < nd * 1000000 AS keep
       FROM m
     )
     SELECT source,

@@ -1603,7 +1603,15 @@ def graph_bfs_shortest_path(spark, t):
     root = sym.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).alias("dist")
     )
+    # Cache discipline: long-lived sessions (the driver's ~350-query
+    # sweep shares one SparkSession) must not accumulate per-hop caches
+    # — the same leak class that produced the documented 17× bench
+    # noise. Every intermediate is tracked and unpersisted once the
+    # final frame is materialized via an eager localCheckpoint (which
+    # cuts lineage, so dropping the parents cannot force a recompute).
+    cached = [sym]
     visited = root.cache()
+    cached.append(visited)
     frontier = root
     for hop in range(1, _BFS_HOPS + 1):
         nxt = (
@@ -1612,8 +1620,15 @@ def graph_bfs_shortest_path(spark, t):
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
         ).cache()
+        cached.append(nxt)
         if nxt.isEmpty():  # frontier exhausted before the hop budget
             break
         visited = visited.unionByName(nxt).cache()
+        cached.append(visited)
         frontier = nxt
-    return visited.select(F.col("node").alias("brand"), "dist")
+    result = visited.select(
+        F.col("node").alias("brand"), "dist"
+    ).localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return result
