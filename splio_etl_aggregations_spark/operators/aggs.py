@@ -4659,6 +4659,19 @@ def path_regex_match(spark, t):
     sessionizer carries; both regexes are RE2-safe (no backtracking
     blowup) and match identically in Java regex and DuckDB RE2, since
     leftmost non-overlapping greedy semantics agree.
+
+    Production bound (unbounded-history mitigation): a user's full
+    lifetime sequence grows without limit, so at 100 TB the collect
+    must be capped the way the other depth-stressed ops cap theirs —
+    either (a) pre-filter to a TIME-BOUNDED lookback window (``ts >=
+    now - interval N days``; partition pruning makes it a cheap scan
+    cut, and pattern counts over a rolling window are what the
+    downstream actually wants), or (b) chunk long histories into
+    overlapping spans (split every M events with a pattern-length-1
+    overlap so no match straddles a seam undetected) and sum per-span
+    counts. The fixture corpus's per-user depth is event-table-bounded
+    (~hundreds), so the uncapped form is exact here; the K=30 depth
+    probe lands at 2.2× (SCALING.md).
     """
     initial = (
         F.when(F.col("event_type") == "view", "v")
