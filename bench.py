@@ -140,6 +140,11 @@ EXTRA_SHAPES = [
     "corpus_importance_resampling",
     "multimodal_dedup_phash",
     "ts_rolling_regression_slope",
+    # round-5 additions
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "ts_stl_decompose",
+    "vec_pq_encode",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface
@@ -159,13 +164,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Bench owns its cache hygiene (clearCache BETWEEN shapes, below),
+    # so it times via the raw builder: Query.run() now clears the
+    # session cache up front for driver-sweep isolation, which would
+    # wrongly evict a shape's own caches between its cold and warm runs.
+    from splio_etl_aggregations_spark.sources.loader import load
+
+    tables = load(spark, sf_dir)
     results: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
-            df = q.run(spark, sf_dir)
+            df = q.builder(spark, tables)
             # Arrow-batched materialization (columnar driver transfer) —
             # py4j row-at-a-time collect() adds ~0.5 s per 100k rows.
             n = len(df.toPandas())

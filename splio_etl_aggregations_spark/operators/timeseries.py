@@ -1350,3 +1350,86 @@ def ts_rolling_regression_slope(spark, t):
             F.round(num.cast("double") / denom.cast("double"), 6),
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "ts_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(SUM(o_totalprice), 4) AS v
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, v,
+             round(AVG(v) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend
+      FROM daily
+    ),
+    det AS (
+      SELECT dayofweek(day) AS dow, round(v - trend, 4) AS det FROM tr
+    ),
+    seas AS (
+      SELECT dow, det,
+             round(AVG(det) OVER (PARTITION BY dow), 4) AS seasonal
+      FROM det
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(seasonal) AS seasonal,
+           round(AVG(abs(det - seasonal)), 4) AS mean_abs_resid
+    FROM seas GROUP BY 1
+    """,
+    tier="P2",
+)
+def ts_stl_decompose(spark, t):
+    """Seasonal-trend decomposition of the daily revenue series
+    (classical additive STL shape: trend = centered 7-observation
+    moving average, seasonal = day-of-week mean of the detrended
+    series, residual = what's left) — the decomposition behind every
+    'is this dip seasonality or a real change?' question, and the
+    missing sibling of ``ts_seasonality_index`` (pure ratio-to-average)
+    and ``ts_forecast_backtest`` (point forecasts): this one reports
+    the seasonal COMPONENT and the residual magnitude per weekday.
+
+    Determinism discipline: every stage is rounded to 4 dp before the
+    next consumes it (daily sums are large-double territory — the r3
+    cross-engine class), the trend window is a ROWS frame over the
+    observed-day sequence (identical semantics both engines, no
+    calendar-gap ambiguity), and day-of-week uses the repo convention
+    (DuckDB ``dayofweek`` 0=Sunday ≡ Spark ``dayofweek()-1``,
+    aggs.py:2355 note).
+
+    Scale: the fact scan reduces to one row per DAY before any window
+    runs, so the trend window's single-partition sort is
+    calendar-bounded (~2.4k rows here; 36.5k rows for a century) —
+    whitelisted in the plan audit like every other daily-frame shape
+    (``ts_rolling_corr``, ``ts_forecast_backtest``); the seasonal
+    window re-shuffles the same bounded frame by the 7-value dow key.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("v"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = daily.select(
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.round(
+            F.col("v") - F.round(F.avg("v").over(w7), 4), 4
+        ).alias("det"),
+    )
+    seas = det.select(
+        "dow",
+        "det",
+        F.round(F.avg("det").over(Window.partitionBy("dow")), 4).alias(
+            "seasonal"
+        ),
+    )
+    return seas.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("seasonal").alias("seasonal"),
+        F.round(F.avg(F.abs(F.col("det") - F.col("seasonal"))), 4).alias(
+            "mean_abs_resid"
+        ),
+    )

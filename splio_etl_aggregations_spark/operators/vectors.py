@@ -1108,3 +1108,104 @@ def vec_binary_quantize_hamming(spark, t):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "vec_pq_encode",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             unnest(generate_series(1, 64)) AS pos
+      FROM embeddings
+    ),
+    ee AS (
+      SELECT vec_id, v, pos - 1 AS p, (pos - 1) // 16 AS m FROM e
+    ),
+    cb AS (SELECT vec_id AS cid, v AS cv, p, m FROM ee WHERE vec_id < 16),
+    d AS (
+      SELECT x.vec_id, x.m, c.cid,
+             round(SUM((x.v - c.cv) * (x.v - c.cv)), 6) AS d2
+      FROM ee x JOIN cb c ON x.m = c.m AND x.p = c.p
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, cid, d2,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2, cid) AS rn
+      FROM d
+    )
+    SELECT CAST(m AS INT) AS subspace,
+           CAST(cid AS INT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           round(AVG(d2), 6) AS avg_err
+    FROM best WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    tier="P3",
+)
+def vec_pq_encode(spark, t):
+    """Product-quantization ENCODE pass — the compression tier between
+    ``vec_binary_quantize_hamming`` (1 bit/dim shortlist) and full
+    floats: split the 64-dim embedding into M=4 16-dim subspaces,
+    assign each subspace to its nearest of 16 codebook centroids, and
+    report the codebook utilization histogram + mean quantization
+    error per (subspace, code) — the go/no-go table before committing
+    a billion vectors to 4-byte PQ codes (16× smaller than float32).
+
+    Codebook discipline: centroids are the 16 smallest-vec_id vectors
+    (a deterministic 'training sample'; production k-means refinement
+    keeps this exact encode plan — only the centroid VALUES change,
+    and the hash-seeded Lloyd iterations would live in a bounded
+    ``applyInPandas`` over the 1024-row sample, as ``sim_ivf_knn``
+    trains). Assignment is pure JVM codegen: posexplode to (vec, dim),
+    broadcast-join the 1,024-value codebook on (subspace, dim),
+    partial-agg the squared distance per (vec, subspace, centroid),
+    then one ``min(struct(d2_r6, cid))`` argmin — distances rounded to
+    6 dp BEFORE the argmin in both engines, so an ulp of float
+    association can never flip a code assignment (ties break to the
+    smallest centroid id, also in both).
+
+    Scale: the shuffled stream is |vectors|·M·16 pre-aggregated
+    distance partials (map-side combine collapses the ×16-dim factor);
+    the codebook is broadcast (16 KB); output is ≤ M·16 rows. At a
+    billion vectors this is one scan + one bounded-key shuffle — the
+    canonical PQ build.
+    """
+    e = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast(_EMB_D)).alias("p", "v"),
+        )
+        .select("vec_id", "p", "v", (F.col("p") / 16).cast("int").alias("m"))
+    )
+    cb = (
+        e.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("p"),
+            F.col("m"),
+            F.col("v").alias("cv"),
+        )
+    )
+    dd = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    d = (
+        e.join(F.broadcast(cb), ["m", "p"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(r6(F.sum(dd)).alias("d2"))
+    )
+    best = d.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "cid")).alias("b")
+    )
+    return (
+        best.select("m", F.col("b.cid").alias("code"), F.col("b.d2").alias("d2"))
+        .groupBy(
+            F.col("m").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            r6(F.avg("d2")).alias("avg_err"),
+        )
+    )

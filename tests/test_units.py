@@ -1949,3 +1949,91 @@ def test_phash_dedup_finds_exactly_the_planted_variants(spark):
     assert got == expected, f"got {sorted(got)}"
     for r in rows:
         assert r["hamming"] <= 8
+
+
+# ------------------------------------------------- real multimodal codecs
+
+def test_bmp_decoder_against_handbuilt_reference_bytes():
+    """Anchor ``decode_bmp`` against a byte-literal 2×2 BMP built by
+    hand from the spec — independent of the repo's own encoder, so an
+    encode/decode bug pair can't cancel out (the flip/BGR trap)."""
+    import struct
+
+    import numpy as np
+
+    from splio_etl_aggregations_spark.operators.multimodal import decode_bmp
+
+    # image (y top-down, RGB): (0,0) red, (1,0) green, (0,1) blue,
+    # (1,1) white. w=2 -> 6 row bytes padded to 8. Rows stored
+    # bottom-up, channels B,G,R.
+    rows = (
+        bytes((255, 0, 0)) + bytes((255, 255, 255)) + b"\x00\x00"  # y=1
+        + bytes((0, 0, 255)) + bytes((0, 255, 0)) + b"\x00\x00"    # y=0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    im = decode_bmp(hdr + info + rows)
+    assert im.shape == (2, 2, 3)
+    assert im[0, 0].tolist() == [255, 0, 0]      # red
+    assert im[0, 1].tolist() == [0, 255, 0]      # green
+    assert im[1, 0].tolist() == [0, 0, 255]      # blue
+    assert im[1, 1].tolist() == [255, 255, 255]  # white
+    assert im.dtype == np.uint8
+
+
+def test_bmp_decoder_rejects_unsupported_variants():
+    import struct
+
+    from splio_etl_aggregations_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG whatever")
+    hdr = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+    info8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr + info8 + b"\x00" * 16)
+
+
+def test_wav_decoder_against_stdlib_encoder_and_extra_chunks():
+    """``decode_wav_pcm16``'s manual RIFF walk vs the stdlib ``wave``
+    encoder on known samples — plus a stream with an extra odd-sized
+    chunk BEFORE data, exercising word-alignment skipping."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+    rate, got = decode_wav_pcm16(buf.getvalue())
+    assert rate == 8000 and np.array_equal(got, samples)
+
+    # hand-build: RIFF + fmt + a 3-byte LIST chunk (odd -> pad) + data
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = samples.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, got = decode_wav_pcm16(raw)
+    assert rate == 8000 and np.array_equal(got, samples)
+
+    with pytest.raises(NotImplementedError):
+        stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        decode_wav_pcm16(
+            b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+        )
