@@ -145,6 +145,8 @@ EXTRA_SHAPES = [
     "multimodal_decode_wav",
     "ts_stl_decompose",
     "vec_pq_encode",
+    "text_readability_score",
+    "sim_mmr_diversify",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -627,3 +627,84 @@ def text_lang_label_audit(spark, t):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "guessed")
     )
+
+
+@register(
+    "text_readability_score",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]')))
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM documents
+    ),
+    s AS (
+      SELECT source, n_words, n_sentences, n_syllables,
+             round(206.835
+                   - 1.015 * (n_words::DOUBLE / n_sentences)
+                   - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+      FROM d WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(n_words::DOUBLE / n_sentences), 4)
+             AS avg_words_per_sentence,
+           round(AVG(n_syllables::DOUBLE / n_words), 4)
+             AS avg_syllables_per_word,
+           round(AVG(flesch), 4) AS avg_flesch
+    FROM s GROUP BY source
+    """,
+    tier="P2",
+)
+def text_readability_score(spark, t):
+    """Readability profiling per source (Flesch reading-ease over
+    deterministic integer proxies: words = space tokens, sentences =
+    terminal-punctuation count clamped to ≥1, syllables = vowel-group
+    count — the standard library-free approximation): the curation
+    screen that separates 'natural prose' from listings/code/boilerplate
+    ORTHOGONALLY to ``text_quality_score``'s length/punct ratios and
+    ``corpus_lm_quality``'s LM surprisal — classic filtering stacks
+    (C4, Gopher rules) use both families.
+
+    All three counters are single-pass JVM ``regexp_count``/``size
+    (split)`` codegen expressions (Java regex and DuckDB RE2 agree on
+    these character-class patterns — the repo's cross-engine regex
+    discipline, path_regex_match note); per-doc ratios exist as doubles
+    exactly once, the per-source AVG folds are 4-dp rounded. One scan,
+    one groupBy(source) — a map-side-combining aggregate whose shuffle
+    is |sources| rows; at 100 TB this is scan-bound, exactly like the
+    other corpus screens.
+    """
+    n_words = F.size(_tokens())
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count("text", F.lit(r"[.!?]"))
+    )
+    n_syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    d = (
+        t["documents"]
+        .select(
+            "source",
+            n_words.alias("n_words"),
+            n_sentences.alias("n_sentences"),
+            n_syllables.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    flesch = F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+    )
+    return (
+        d.select("source", wps.alias("wps"), spw.alias("spw"), flesch.alias("fl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("wps")).alias("avg_words_per_sentence"),
+            r4(F.avg("spw")).alias("avg_syllables_per_word"),
+            r4(F.avg("fl")).alias("avg_flesch"),
+        )
+    )

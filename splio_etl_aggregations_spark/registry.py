@@ -278,6 +278,8 @@ DRIVER_ORDER: list[str] = [
     "multimodal_decode_wav",
     "ts_stl_decompose",
     "vec_pq_encode",
+    "text_readability_score",
+    "sim_mmr_diversify",
     "vec_dedup_exact",
     "ts_revenue_index_rebased",
     "agg_percent_of_total_multi_level",

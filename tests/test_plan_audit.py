@@ -71,6 +71,9 @@ SINGLE_PARTITION_OK = {
     "agg_cumulative_unique_users": (1, "daily frame (≤|days| rows)"),
     # rolling corr over the same calendar-bounded daily frame
     "ts_rolling_corr": (1, "daily frame (≤|days| rows)"),
+    # centered 7-obs trend window over the one-row-per-day frame —
+    # calendar-bounded like every other daily-frame shape
+    "ts_stl_decompose": (1, "daily frame (≤|days| rows)"),
     # two-phase exclusive cummax: the only partition-less window runs
     # over the 16-row per-partition-max offsets frame (cumsum skeleton)
     "sort_skyline_pareto": (1, "cummax offsets frame (≤16 rows)"),
