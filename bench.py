@@ -147,6 +147,9 @@ EXTRA_SHAPES = [
     "vec_pq_encode",
     "text_readability_score",
     "sim_mmr_diversify",
+    "text_code_detect",
+    "corpus_span_removal",
+    "ml_train_test_leakage_check",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

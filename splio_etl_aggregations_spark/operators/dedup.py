@@ -854,3 +854,116 @@ def dedup_substring_spans(spark, t):
             ),
         )
     )
+
+
+@register(
+    "corpus_span_removal",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    tot AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(ts)) AS BIGINT) AS tokens_total
+      FROM d GROUP BY source
+    ),
+    g AS (
+      SELECT doc_id, source, i - 1 AS s,
+             array_to_string(ts[i:i+7], ' ') AS g
+      FROM (
+        SELECT doc_id, source, ts,
+               unnest(generate_series(1, len(ts) - 7)) AS i
+        FROM d WHERE len(ts) >= 8
+      )
+    ),
+    shared AS (
+      SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, source, p FROM (
+        SELECT o.doc_id, o.source,
+               unnest(generate_series(o.s, o.s + 7)) AS p
+        FROM g o JOIN shared USING (g)
+      )
+    ),
+    covered AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens_removed
+      FROM cov GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.tokens_total,
+           COALESCE(c.tokens_removed, 0) AS tokens_removed,
+           round(COALESCE(c.tokens_removed, 0)::DOUBLE / t.tokens_total, 4)
+             AS pct_removed
+    FROM tot t LEFT JOIN covered c USING (source)
+    """,
+    tier="P2",
+)
+def corpus_span_removal(spark, t):
+    """Exact-substring span REMOVAL accounting (the action half of the
+    Lee et al. 2022 recipe — ``dedup_substring_spans`` measures
+    coverage per doc; this computes what deleting every cross-document
+    duplicated 8-gram span would actually remove, per source): a token
+    position counts as removed when ANY duplicated 8-gram covers it,
+    i.e. the union of covered ranges, not the sum — overlapping spans
+    are not double-counted.
+
+    Shape: the span machinery of ``dedup_substring_spans`` plus
+    position tracking — posexplode keeps each gram's start offset, the
+    inverted index (groupBy gram, ≥2 distinct docs) filters the
+    occurrence stream BEFORE the range explode, so the ×8 position
+    fan-out applies only to duplicated grams (in sparse-dup real
+    corpora, a small fraction), and the distinct on (doc, position)
+    merges overlaps. Three gram-keyed / position-keyed shuffles, all
+    hash-partitioned; at 100 TB the production variant hashes grams to
+    ph60 64-bit keys first, as the spans op documents.
+    """
+    from .corpus import _gram_str, _zip_grams
+
+    K = 8
+    toks = F.split(F.col("text"), " ")
+    docs = t["documents"].select("doc_id", "source", toks.alias("ts"))
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).cast("bigint").alias("tokens_total"),
+    )
+    g = (
+        docs.filter(F.size("ts") >= K)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(_zip_grams(F.col("ts"), K)).alias("s", "t"),
+        )
+        .select("doc_id", "source", "s", _gram_str(K).alias("g"))
+    )
+    shared = (
+        g.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        g.join(shared, "g")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(K - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    covered = cov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tokens_removed")
+    )
+    joined = tot.join(covered, "source", "left")
+    removed = F.coalesce(F.col("tokens_removed"), F.lit(0).cast("bigint"))
+    return joined.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        removed.alias("tokens_removed"),
+        F.round(
+            removed.cast("double") / F.col("tokens_total"), 4
+        ).alias("pct_removed"),
+    )

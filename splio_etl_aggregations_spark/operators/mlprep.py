@@ -1462,3 +1462,121 @@ def ml_kfold_assign(spark, t):
         F.sum("is_f").alias("n_finished"),
         F.sum("cents").alias("cents"),
     )
+
+
+@register(
+    "ml_train_test_leakage_check",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts,
+             ({ph60_sql('doc_id', 'leak')} % 10) < 2 AS is_test
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, is_test,
+             array_to_string(ts[i:i+7], ' ') AS g
+      FROM (
+        SELECT doc_id, source, is_test, ts,
+               unnest(generate_series(1, len(ts) - 7)) AS i
+        FROM d WHERE len(ts) >= 8
+      )
+    ),
+    train_g AS (SELECT DISTINCT g FROM g WHERE NOT is_test),
+    test_g AS (SELECT DISTINCT doc_id, source, g FROM g WHERE is_test),
+    leak AS (SELECT t.doc_id, t.source, t.g
+             FROM test_g t JOIN train_g USING (g)),
+    per_doc AS (
+      SELECT source, doc_id, COUNT(*) AS n_leaky
+      FROM leak GROUP BY 1, 2
+    ),
+    splits AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_docs,
+             CAST(SUM(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_train_docs
+      FROM d GROUP BY source
+    )
+    SELECT s.source, s.n_train_docs, s.n_test_docs,
+           CAST(COALESCE(COUNT(p.doc_id), 0) AS BIGINT)
+             AS n_contaminated_test_docs,
+           CAST(COALESCE(SUM(p.n_leaky), 0) AS BIGINT)
+             AS n_leaky_gram_hits
+    FROM splits s LEFT JOIN per_doc p USING (source)
+    GROUP BY s.source, s.n_train_docs, s.n_test_docs
+    """,
+    tier="P2",
+)
+def ml_train_test_leakage_check(spark, t):
+    """Train/test LEAKAGE audit — the evaluation-hygiene twin of
+    ``corpus_decontaminate`` (which scrubs a benchmark out of training
+    data; this one checks a SPLIT against itself): assign every doc to
+    train/test with the deterministic hash split (``ph60 % 10 < 2`` ⇒
+    20 % test, the ``sample_split_assign`` discipline), then flag each
+    test doc sharing any 8-gram with ANY train doc — the overlap that
+    silently inflates held-out metrics.
+
+    Shape: one gram explode per split side, DISTINCT train-gram set as
+    the probe (grams, not docs — the index is vocabulary-of-grams
+    sized), one gram-keyed join from the distinct test-side gram
+    stream, per-doc then per-source rollup. The split predicate is
+    map-side (no shuffle to decide membership); the gram join is the
+    same inverted-index class as ``corpus_decontaminate``. Output per
+    source: split sizes, contaminated-test-doc count, leaky gram hits.
+    """
+    from ..operators.corpus import _gram_str, _zip_grams
+
+    K = 8
+    toks = F.split(F.col("text"), " ")
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        toks.alias("ts"),
+        (ph60("doc_id", "leak") % 10 < 2).alias("is_test"),
+    )
+    g = (
+        d.filter(F.size("ts") >= K)
+        .select(
+            "doc_id",
+            "source",
+            "is_test",
+            F.explode(_zip_grams(F.col("ts"), K)).alias("t"),
+        )
+        .select("doc_id", "source", "is_test", _gram_str(K).alias("g"))
+    )
+    train_g = g.filter(~F.col("is_test")).select("g").distinct()
+    test_g = (
+        g.filter(F.col("is_test")).select("doc_id", "source", "g").distinct()
+    )
+    per_doc = (
+        test_g.join(train_g, "g")
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaky"))
+    )
+    splits = d.groupBy("source").agg(
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test_docs"),
+        F.sum(F.when(F.col("is_test"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_train_docs"),
+    )
+    return (
+        splits.join(per_doc, "source", "left")
+        .groupBy("source", "n_train_docs", "n_test_docs")
+        .agg(
+            F.count("doc_id").cast("bigint").alias(
+                "n_contaminated_test_docs"
+            ),
+            F.coalesce(F.sum("n_leaky"), F.lit(0))
+            .cast("bigint")
+            .alias("n_leaky_gram_hits"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_test_docs",
+            "n_contaminated_test_docs",
+            "n_leaky_gram_hits",
+        )
+    )

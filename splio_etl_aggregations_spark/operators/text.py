@@ -708,3 +708,81 @@ def text_readability_score(spark, t):
             r4(F.avg("fl")).alias("avg_flesch"),
         )
     )
+
+
+@register(
+    "text_code_detect",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS sym_cnt,
+             len(regexp_extract_all(text, '[0-9]')) AS digit_cnt
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+      SELECT source, n_chars, sym_cnt, digit_cnt,
+             (sym_cnt * 50 > n_chars OR digit_cnt * 10 > n_chars)
+               AS is_code
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_code_flagged,
+           round(AVG(sym_cnt::DOUBLE / n_chars), 6) AS avg_sym_ratio,
+           round(AVG(digit_cnt::DOUBLE / n_chars), 6) AS avg_digit_ratio
+    FROM f GROUP BY source
+    """,
+    tier="P2",
+)
+def text_code_detect(spark, t):
+    """Code-vs-prose detection per source — the curation screen that
+    keeps (or routes) source files, config dumps and markup that slipped
+    into a web corpus: flag a doc as code-like when structural symbols
+    exceed 2 % of characters or digits exceed 10 % (the cheap
+    high-precision tier every pipeline runs before an expensive
+    classifier; cf. the heuristic stage of CodeParrot/StarCoder
+    filtering).
+
+    The VERDICT is an exact integer cross-multiply (``sym_cnt·50 >
+    n_chars`` ≡ ratio > 2 % with no float threshold seam — the
+    ``corpus_importance_resampling`` discipline); only the REPORTED
+    average ratios are floats, 6-dp rounded at the fold. Counters are
+    single-pass codegen ``regexp_count`` over a character class (Java
+    regex ≡ DuckDB RE2 on character classes). One scan, one
+    groupBy(source): scan-bound at 100 TB like the other screens.
+    """
+    sym_cnt = F.regexp_count("text", F.lit(r"[{}();=<>\[\]]"))
+    digit_cnt = F.regexp_count("text", F.lit("[0-9]"))
+    n_chars = F.length("text")
+    d = (
+        t["documents"]
+        .filter(F.length("text") > 0)
+        .select(
+            "source",
+            n_chars.alias("n_chars"),
+            sym_cnt.alias("sym_cnt"),
+            digit_cnt.alias("digit_cnt"),
+        )
+    )
+    is_code = (F.col("sym_cnt") * 50 > F.col("n_chars")) | (
+        F.col("digit_cnt") * 10 > F.col("n_chars")
+    )
+    return (
+        d.select(
+            "source",
+            is_code.alias("is_code"),
+            (F.col("sym_cnt").cast("double") / F.col("n_chars")).alias("sr"),
+            (F.col("digit_cnt").cast("double") / F.col("n_chars")).alias("dr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_code"), 1).otherwise(0)).alias(
+                "n_code_flagged"
+            ),
+            F.round(F.avg("sr"), 6).alias("avg_sym_ratio"),
+            F.round(F.avg("dr"), 6).alias("avg_digit_ratio"),
+        )
+    )

@@ -280,6 +280,9 @@ DRIVER_ORDER: list[str] = [
     "vec_pq_encode",
     "text_readability_score",
     "sim_mmr_diversify",
+    "text_code_detect",
+    "corpus_span_removal",
+    "ml_train_test_leakage_check",
     "vec_dedup_exact",
     "ts_revenue_index_rebased",
     "agg_percent_of_total_multi_level",

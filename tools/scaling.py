@@ -201,6 +201,22 @@ def shapes(spark, t):
         "heavy_hitters": lambda: get("stream_heavy_hitters").builder(spark, t),
         "binary_ann": lambda: get("vec_binary_quantize_hamming").builder(spark, t),
         "importance_resampling": lambda: get("corpus_importance_resampling").builder(spark, t),
+        # r5 wave. span_removal: the ×8 position fan-out applies only to
+        # duplicated-gram occurrences — on the replicated probe corpus
+        # that's EVERY occurrence (worst case, like substring_spans).
+        # leakage_check: distinct train-gram probe set is
+        # gram-vocabulary-sized; test-side stream grows K×. pq_encode:
+        # |vectors|·M·16 distance partials, map-side-combined; codebook
+        # broadcast fixed. mmr: distributed shortlist scan grows K×, the
+        # greedy phase is constant (20 vectors, 5 picks). readability /
+        # code_detect: single-pass scan-bound regex counters, the null
+        # hypothesis.
+        "span_removal": lambda: get("corpus_span_removal").builder(spark, t),
+        "leakage_check": lambda: get("ml_train_test_leakage_check").builder(spark, t),
+        "pq_encode": lambda: get("vec_pq_encode").builder(spark, t),
+        "mmr_diversify": lambda: get("sim_mmr_diversify").builder(spark, t),
+        "readability": lambda: get("text_readability_score").builder(spark, t),
+        "code_detect": lambda: get("text_code_detect").builder(spark, t),
     }
 
 
