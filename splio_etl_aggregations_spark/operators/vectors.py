@@ -1338,6 +1338,8 @@ def sim_mmr_diversify(spark, t):
     out = []
     remaining = list(range(len(ids)))
     for rank in range(1, 6):
+        if not remaining:  # corpus smaller than k: return what exists
+            break
         best = None
         for j in remaining:
             pen = max(int(s6[j, k]) for k in selected) if selected else 0

@@ -2037,3 +2037,104 @@ def test_wav_decoder_against_stdlib_encoder_and_extra_chunks():
             b"RIFF" + struct.pack("<I", 20) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
         )
+
+
+# --------------------------------------------- round-5 corpus/vector ops
+
+def test_span_removal_merges_overlapping_spans(spark):
+    """Two docs sharing a 9-token run: the two duplicated 8-grams
+    overlap in 7 positions, so the union covers 9 tokens per doc — the
+    union-not-sum semantics that distinguishes removal accounting from
+    naive per-gram counting (naive would claim 16)."""
+    from splio_etl_aggregations_spark.registry import REGISTRY
+
+    shared = "a b c d e f g h i"  # 9 tokens -> grams at offsets 0 and 1
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 x2", "s1"),       # 11 tokens
+            (2, shared + " y1 y2 y3", "s1"),    # 12 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = (
+        REGISTRY["corpus_span_removal"]
+        .builder(spark, {"documents": docs})
+        .collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 2
+    assert r["tokens_total"] == 23
+    assert r["tokens_removed"] == 18  # 9 covered positions per doc
+    assert r["pct_removed"] == round(18 / 23, 4)
+
+
+def test_pq_encode_tie_breaks_to_smallest_centroid(spark):
+    """Two identical all-zero centroids (cid 0 and 1): every vector
+    equidistant to both must encode to cid 0 — the rounded-distance
+    argmin's deterministic tie-break."""
+    from splio_etl_aggregations_spark.registry import REGISTRY
+
+    rows = []
+    for cid in range(16):
+        # centroids 0 and 1 identical (zeros); 2..15 pushed far away
+        v = [0.0] * 64 if cid < 2 else [float(cid) * 10] * 64
+        rows.append((cid, v, 0))
+    rows.append((100, [0.0] * 64, 0))  # ties exactly between cid 0 and 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r["subspace"], r["code"]): r["n_assigned"]
+        for r in REGISTRY["vec_pq_encode"]
+        .builder(spark, {"embeddings": emb})
+        .collect()
+    }
+    for m in range(4):
+        # vec 100 and the two zero centroids themselves -> all on code 0
+        assert out[(m, 0)] == 3
+        assert (m, 1) not in out
+
+
+def test_mmr_prefers_diversity_over_redundant_relevance(spark):
+    """Three near-identical highly-relevant vectors + one distinct
+    moderately-relevant vector: plain top-k would return the redundant
+    trio first; MMR must pick one of the trio, then the distinct
+    vector second."""
+    import math
+
+    from splio_etl_aggregations_spark.registry import REGISTRY
+
+    def unit(theta, axis=1):
+        v = [0.0] * 64
+        v[0], v[axis] = math.cos(theta), math.sin(theta)
+        return v
+
+    # trio clustered at ~0.7 rad from the query in the e0-e1 plane;
+    # the distinct vector sits at a similar angle but in the e0-e2
+    # plane, so its relevance is near the trio's while its similarity
+    # TO the trio is only ~0.57 — the regime where λ=0.7 MMR actually
+    # flips the order (a trio near the query would out-score any
+    # diverse pick: a near-duplicate of a selected item still scores
+    # ≈ 0.4·rel, which rel≈1 makes unbeatable).
+    emb = spark.createDataFrame(
+        [
+            (0, unit(0.0), 0),           # query
+            (1, unit(0.70), 0),          # trio: rel ~ .7648
+            (2, unit(0.71), 0),
+            (3, unit(0.72), 0),
+            (4, unit(0.73, axis=2), 0),  # distinct plane: rel ~ .7452
+            (5, unit(2.50), 0),          # anti-correlated filler
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = (
+        REGISTRY["sim_mmr_diversify"]
+        .builder(spark, {"embeddings": emb})
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert got[0]["vec_id"] == 1          # most relevant first
+    assert got[1]["vec_id"] == 4          # diversity beats the trio
+    assert {got[2]["vec_id"], got[3]["vec_id"], got[4]["vec_id"]} == {2, 3, 5}

@@ -141,12 +141,17 @@ SHOWCASE = [
     ),
     (
         "dedup_substring_spans",
-        "Span-level dedup (r4): one gram-stream pipeline (scan→zip/slice "
-        "projection→explode) feeds BOTH the inverted-index aggregate "
-        "(HashAggregate on gram, count-distinct docs) and the "
-        "occurrence-side join back; every exchange hashes on the gram or "
-        "the doc id — no global sort, no single-partition stage, so the "
-        "plan shards by vocabulary at any scale.",
+        "Span-level dedup (r4, reworked r5): the gram-stream pipeline "
+        "(scan→zip/slice projection→explode) collapses to (gram, doc, "
+        "count) in ONE partial-aggregating HashAggregate — map-side "
+        "combine shrinks the occurrence stream before its only shuffle — "
+        "then a count() window partitioned by gram supplies each pair's "
+        "distinct-doc count in place; no join back to the occurrence "
+        "stream exists anymore (the r4 form re-shuffled every occurrence "
+        "through a second gram-keyed join; 2.7 s → 0.6 s warm at sf0.1). "
+        "Every exchange hashes on the gram or the doc id — no global "
+        "sort, no single-partition stage, so the plan shards by "
+        "vocabulary at any scale.",
     ),
 ]
 
