@@ -150,6 +150,7 @@ EXTRA_SHAPES = [
     "text_code_detect",
     "corpus_span_removal",
     "ml_train_test_leakage_check",
+    "multimodal_resize_bmp",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -745,3 +745,97 @@ def multimodal_decode_wav(spark, t):
         schema="file_name string, n_samples long, sample_rate int, "
         "sum_abs long, peak_abs int, n_zero_cross long",
     )
+
+
+@register(
+    "multimodal_resize_bmp",
+    oracle="""
+    WITH imgs AS (
+      SELECT range AS i, 13 + range % 7 AS w, 8 + (range % 4) * 5 AS h
+      FROM range(18)
+    ),
+    thumb AS (
+      -- nearest-neighbor sample grid: output (u, v) reads source pixel
+      -- (u*w//8, v*h//8) — the same integer floor map the engine's
+      -- numpy indexer uses
+      SELECT i, w, h, gu.u AS u, gv.v AS v,
+             (gu.u * w) // 8 AS sx, (gv.v * h) // 8 AS sy
+      FROM imgs
+      CROSS JOIN (SELECT range AS u FROM range(8)) gu
+      CROSS JOIN (SELECT range AS v FROM range(8)) gv
+    ),
+    px AS (
+      SELECT i, u, v,
+             (31 * i + 7 * sx + 13 * sy) % 256 AS r,
+             (17 * i + 3 * sx + 5 * sy) % 256 AS g,
+             (29 * i + 11 * sx + 2 * sy) % 256 AS b
+      FROM thumb
+    )
+    SELECT 'img_' || lpad(i::VARCHAR, 4, '0') || '.bmp' AS file_name,
+           64 AS thumb_px,
+           sha256(upper(string_agg(
+             printf('%02x', r) || printf('%02x', g) || printf('%02x', b),
+             '' ORDER BY v, u))) AS thumb_sha256,
+           CAST(SUM((2 * r + 5 * g + b) // 8) AS BIGINT) AS luma_sum
+    FROM px GROUP BY i
+    """,
+    tier="P3",
+)
+def multimodal_resize_bmp(spark, t):
+    """REAL image RESIZE stage (no stub): decode genuine BMPs with
+    ``decode_bmp`` and produce an 8×8 nearest-neighbor RGB thumbnail —
+    the canonical pHash/preview prep — inside the standard Arrow
+    ``mapInPandas`` stage. The sample map is the integer floor grid
+    ``src = (dst · size) // 8`` in both engines, so the oracle can
+    regenerate every sampled pixel from the generative formula without
+    reading a file: the thumbnail's sha256 (over uppercase hex, repo
+    fingerprint convention) proves decode + row flip + channel order +
+    the exact resize index map end-to-end, byte for byte. ``luma_sum``
+    is an exact integer fold over the same 64 pixels.
+
+    Scale: identical posture to the other decode stages — one
+    binaryFile scan, whole-batch numpy gather per asset (the resize is
+    two integer index arrays, no interpolation arithmetic), one
+    192-byte thumbnail row out per asset. A production variant swaps
+    the gather for cv2/PIL Lanczos on compressed inputs; every
+    Spark-side contract stays unchanged.
+    """
+    import hashlib
+
+    import numpy as np
+
+    root = _write_bmps()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.bmp")
+    T = 8
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "file_name": [], "thumb_px": [],
+                "thumb_sha256": [], "luma_sum": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                im = decode_bmp(content)  # (h, w, 3) RGB, y top-down
+                h, w = im.shape[:2]
+                sx = (np.arange(T) * w) // T
+                sy = (np.arange(T) * h) // T
+                thumb = im[np.ix_(sy, sx)]  # (8, 8, 3) gather
+                px = thumb.astype(np.int64)
+                luma = (
+                    2 * px[:, :, 0] + 5 * px[:, :, 1] + px[:, :, 2]
+                ) // 8
+                out["file_name"].append(path.rsplit("/", 1)[-1])
+                out["thumb_px"].append(T * T)
+                out["thumb_sha256"].append(
+                    hashlib.sha256(
+                        thumb.tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
+                out["luma_sum"].append(int(luma.sum()))
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        resize,
+        schema="file_name string, thumb_px int, thumb_sha256 string, "
+        "luma_sum long",
+    )

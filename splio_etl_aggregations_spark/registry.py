@@ -283,6 +283,7 @@ DRIVER_ORDER: list[str] = [
     "text_code_detect",
     "corpus_span_removal",
     "ml_train_test_leakage_check",
+    "multimodal_resize_bmp",
     "vec_dedup_exact",
     "ts_revenue_index_rebased",
     "agg_percent_of_total_multi_level",
