@@ -439,3 +439,56 @@ def sink_sorted_clustered_write(spark, t):
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY source
+    """,
+    tier="P2",
+)
+def scan_text_roundtrip(spark, t):
+    """Raw TEXT-LINES source roundtrip — ``spark.read.text`` is the
+    ingest format every LLM corpus pipeline starts from (one document
+    per line), and the one §2-A source the roundtrip suite hadn't
+    covered: write `documents` as tab-delimited lines
+    (``doc_id \\t source \\t text`` — the fixture corpus is verified
+    tab/newline-free, so the framing is lossless), read the directory
+    back as a single ``value`` column, and re-derive the typed columns
+    with bounded ``split(..., limit=3)`` so document text containing
+    spaces survives intact. The per-source aggregate of the RE-READ
+    frame must hash-equal the oracle computed from the original table —
+    proving line framing, shard split points, and the parse round-trip
+    (line count = doc count ⇔ no line was split or merged).
+
+    Scale posture: text is a splittable line-oriented format — the read
+    parallelizes by file split exactly like the production JSONL/text
+    corpora this stands in for; the write shards by the upstream
+    partitioning. No schema inference anywhere (SURVEY §1.4): the text
+    source has exactly one string column by construction, and the typed
+    reparse is explicit casts.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="txt_rt_"), "docs_txt")
+    t["documents"].select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("source"), F.col("text"))
+        .alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).alias("text"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -284,6 +284,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_span_removal",
     "ml_train_test_leakage_check",
     "multimodal_resize_bmp",
+    "scan_text_roundtrip",
     "vec_dedup_exact",
     "ts_revenue_index_rebased",
     "agg_percent_of_total_multi_level",
