@@ -151,6 +151,7 @@ EXTRA_SHAPES = [
     "corpus_span_removal",
     "ml_train_test_leakage_check",
     "multimodal_resize_bmp",
+    "scan_text_roundtrip",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface
