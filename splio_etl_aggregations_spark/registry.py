@@ -103,74 +103,15 @@ def get(name: str) -> Query:
 # the window is disjoint from every EARLIER round's CORRECTNESS file and
 # fails loudly if a LATER round's file appears (i.e. the rotation was
 # forgotten and the driver burned a round on an already-green window).
-WINDOW_ROUND = 5
+WINDOW_ROUND = 6
 
 DRIVER_ORDER: list[str] = [
-    # -- slots 1-50: ROUND-5 verification window (all never driver-
+    # -- slots 1-50: ROUND-6 verification window (all never driver-
     # sampled before this round; rotation guarded by
-    # tests/test_registry.py::test_driver_window_rotated). Risk-first:
-    # the 13 never-sampled core SURVEY §2-A..K IDs (exotic joins,
-    # higher-order functions, text stats, multimodal ingest), then the
-    # 15 round-4 additions (lake v2 features, span dedup, BFS, phash,
-    # binary-quantize), then the two remaining multimodal transports,
-    # the 15 TPC-H-shape sql_* queries, and 5 corpus-pipeline ops. ----
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_self_sequence",
-    "str_distance",
-    "array_higher_order",
-    "map_funcs",
-    "text_lang_stats",
-    "text_ngrams",
-    "text_tfidf",
-    "sim_centroid_by_label",
-    "multimodal_binary_ingest",
-    "lake_deletion_vectors",
-    "lake_partition_evolution",
-    "lake_wap_publish",
-    "dedup_substring_spans",
-    "corpus_pii_scrub",
-    "graph_bfs_shortest_path",
-    "ml_kfold_assign",
-    "lake_row_lineage",
-    "path_regex_match",
-    "vec_binary_quantize_hamming",
-    "lake_clone_zero_copy",
-    "stream_heavy_hitters",
-    "corpus_importance_resampling",
-    "multimodal_dedup_phash",
-    "ts_rolling_regression_slope",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "sql_forecast_revenue",
-    "sql_returned_item_ranking",
-    "sql_promo_revenue",
-    "sql_large_volume_customer",
-    "sql_customer_distribution",
-    "sql_top_supplier",
-    "sql_order_priority_check",
-    "sql_small_quantity_revenue",
-    "sql_disjunctive_revenue",
-    "sql_sales_opportunity",
-    "sql_important_parts",
-    "sql_parts_supplier_count",
-    "sql_dominant_suppliers",
-    "corpus_lm_quality",
-    "corpus_window_chunking",
-    "corpus_subsample_tokens",
-    "corpus_source_overlap",
-    "corpus_bigram_perplexity",
-    # -- never driver-sampled pool, burn-down pre-committed:
-    # ROUND-6 window = the next 50 below (slots 51-100); ROUND-7 window
-    # = slots 101-150; ROUND-8 = the final 12 never-sampled + 38
-    # re-sample slots for regression proofs. After each round, move the
-    # newly-verified 50 into the green tail and promote the next 50 to
-    # the top — never reorder a committed round's window mid-round.
-    # ---- round-6 planned window (50) -----------------------------
+    # tests/test_registry.py::test_driver_window_rotated). This is the
+    # pre-committed round-6 block from the r5 burn-down plan: heavy on
+    # the never-sampled agg_*/ts_*/text_*/win_* families the judge
+    # flagged as the largest unverified debt. ----------------------
     "lake_point_lookup_bloom",
     "dedup_embedding_cluster",
     "str_extended",
@@ -221,6 +162,13 @@ DRIVER_ORDER: list[str] = [
     "funnel_time_to_convert",
     "text_js_divergence",
     "etl_anonymize_kanon",
+    # -- never driver-sampled pool, burn-down pre-committed:
+    # ROUND-7 window = the next 50 below (slots 51-100); ROUND-8 = the
+    # remaining never-sampled tail (the r5 additions plus any r6
+    # additions, appended per rotation policy) + re-sample slots for
+    # regression proofs. After each round, move the newly-verified 50
+    # into the green tail and promote the next 50 to the top — never
+    # reorder a committed round's window mid-round.
     # ---- round-7 planned window (50) -----------------------------
     "join_asof_nearest",
     "ml_target_encoding",
@@ -297,8 +245,58 @@ DRIVER_ORDER: list[str] = [
     "win_user_activity_entropy",
     "text_lang_label_audit",
     "agg_price_dispersion_audit",
-    # -- driver-green tail (188 IDs, latest driver row green; relative
-    # order preserved from the r1-r4 windows) ----------------------
+    # -- driver-green tail (238 IDs, latest driver row green; r5 window
+    # first, then relative order preserved from the r1-r4 windows) --
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_self_sequence",
+    "str_distance",
+    "array_higher_order",
+    "map_funcs",
+    "text_lang_stats",
+    "text_ngrams",
+    "text_tfidf",
+    "sim_centroid_by_label",
+    "multimodal_binary_ingest",
+    "lake_deletion_vectors",
+    "lake_partition_evolution",
+    "lake_wap_publish",
+    "dedup_substring_spans",
+    "corpus_pii_scrub",
+    "graph_bfs_shortest_path",
+    "ml_kfold_assign",
+    "lake_row_lineage",
+    "path_regex_match",
+    "vec_binary_quantize_hamming",
+    "lake_clone_zero_copy",
+    "stream_heavy_hitters",
+    "corpus_importance_resampling",
+    "multimodal_dedup_phash",
+    "ts_rolling_regression_slope",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_forecast_revenue",
+    "sql_returned_item_ranking",
+    "sql_promo_revenue",
+    "sql_large_volume_customer",
+    "sql_customer_distribution",
+    "sql_top_supplier",
+    "sql_order_priority_check",
+    "sql_small_quantity_revenue",
+    "sql_disjunctive_revenue",
+    "sql_sales_opportunity",
+    "sql_important_parts",
+    "sql_parts_supplier_count",
+    "sql_dominant_suppliers",
+    "corpus_lm_quality",
+    "corpus_window_chunking",
+    "corpus_subsample_tokens",
+    "corpus_source_overlap",
+    "corpus_bigram_perplexity",
     "etl_sessionize",
     "join_scd2_point_in_time",
     "etl_reconcile_sources",
