@@ -43,6 +43,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..sources.tmpdirs import tracked_mkdtemp
 
 # ---------------------------------------------------------------- core
 
@@ -560,7 +561,7 @@ def _merge_v1(spark, root: str):
 
 
 def _demo_lake(spark, t) -> str:
-    root = tempfile.mkdtemp(prefix="lake_")
+    root = tracked_mkdtemp(prefix="lake_")
     _build_v0(spark, t, root)
     _merge_v1(spark, root)
     return root
@@ -827,7 +828,7 @@ def lake_compact_small_files(spark, t):
     and that the orphaned 24 become vacuum candidates (unreferenced but
     still on disk until retention expires).
     """
-    root = tempfile.mkdtemp(prefix="lake_cmp_")
+    root = tracked_mkdtemp(prefix="lake_cmp_")
     _build_v0(spark, t, root, n_files=24)
     current = _read_version(spark, root, 0)
     packed = current.repartitionByRange(4, F.col(_KEY))
@@ -878,7 +879,7 @@ def lake_schema_evolution(spark, t):
     bucket, so a reader that dropped either generation or misaligned
     columns fails the hash.
     """
-    root = tempfile.mkdtemp(prefix="lake_evo_")
+    root = tracked_mkdtemp(prefix="lake_evo_")
     cut = F.lit("1998-01-01").cast("timestamp_ntz")
     base = t["orders"].select(
         "o_orderkey",
@@ -944,7 +945,7 @@ def lake_merge_on_read(spark, t):
     CoW ≡ MoR equivalence proof. Write-heavy streams want MoR, read-
     heavy analytics want CoW; an engine needs both.
     """
-    root = tempfile.mkdtemp(prefix="lake_mor_")
+    root = tracked_mkdtemp(prefix="lake_mor_")
     _build_v0(spark, t, root)
     live = _snapshot(root, 0)
     mn, mx = _key_bounds(live, _KEY)
@@ -1054,7 +1055,7 @@ def lake_zorder_cluster(spark, t):
     proves the clustered+pruned scan returns exactly the plain WHERE
     answer.
     """
-    root = tempfile.mkdtemp(prefix="lake_z_")
+    root = tracked_mkdtemp(prefix="lake_z_")
     li = t["lineitem"].select(
         "l_orderkey",
         "l_partkey",
@@ -1173,7 +1174,7 @@ def lake_hidden_partitioning(spark, t):
     """
     import calendar
 
-    root = tempfile.mkdtemp(prefix="lake_hp_")
+    root = tracked_mkdtemp(prefix="lake_hp_")
     # physical layout: the event time is stored as int64 epoch
     # MICROSECONDS (what Iceberg stores physically; Spark's session
     # default here writes timestamps as INT96, which carries NO parquet
@@ -1633,7 +1634,7 @@ def lake_deletion_vectors(spark, t):
     that the engine has FORGOTTEN by read time — the hash match proves
     positions alone reconstruct the predicate delete exactly.
     """
-    root = tempfile.mkdtemp(prefix="lake_dv_")
+    root = tracked_mkdtemp(prefix="lake_dv_")
     _build_v0(spark, t, root)
     base0 = _read_version(spark, root, 0)
     dv = base0.filter(F.col(_KEY) % 7 == 0).select(
@@ -1784,7 +1785,7 @@ def lake_partition_evolution(spark, t):
     any scale: partition listing is O(live files) from the log, zero
     data scanned to plan).
     """
-    root = tempfile.mkdtemp(prefix="lake_spec_")
+    root = tracked_mkdtemp(prefix="lake_spec_")
     base = _base_frame(t).drop("src")
     mx = base.agg(F.max(_KEY)).collect()[0][0]  # 1 scalar: spec math
     adds_a = _write_partitioned(
@@ -1942,7 +1943,7 @@ def lake_wap_publish(spark, t):
     induction — they were audited before publishing), O(staged data),
     driver work O(branch log entries).
     """
-    root = tempfile.mkdtemp(prefix="lake_wap_")
+    root = tracked_mkdtemp(prefix="lake_wap_")
     _build_v0(spark, t, root)
     base0 = _read_version(spark, root, 0)
     mx = base0.agg(F.max(_KEY)).collect()[0][0]
@@ -2057,7 +2058,7 @@ def lake_row_lineage(spark, t):
     path of ``lake_merge_upsert``; nothing here is O(table) beyond the
     rewrites themselves.
     """
-    root = tempfile.mkdtemp(prefix="lake_lin_")
+    root = tracked_mkdtemp(prefix="lake_lin_")
     base = _base_frame(t).drop("src")
     adds = _write_files(
         base.repartitionByRange(24, F.col(_KEY)), root, 0, [_KEY]
@@ -2189,7 +2190,7 @@ def lake_clone_zero_copy(spark, t):
     live0 = _snapshot(src_root, 0)
     mn, mx = _key_bounds(live0, _KEY)
 
-    clone_root = tempfile.mkdtemp(prefix="lake_clone_")
+    clone_root = tracked_mkdtemp(prefix="lake_clone_")
     cloned_adds = [
         # absolute path → _read_version's os.path.join passes it through
         {**a, "path": os.path.join(src_root, a["path"])}

@@ -20,13 +20,13 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..sources.tmpdirs import memoized_asset_dir, tracked_mkdtemp
 
 #: DuckDB CTE regenerating the blob corpus as (i, file_name, hexdata) —
 #: the exact hex of what _write_blobs() puts on disk.
@@ -42,9 +42,9 @@ _BLOBS_SQL = """
 """
 
 
-def _write_blobs(n: int = 24) -> str:
+def _write_blobs_impl(n: int = 24) -> str:
     """Deterministic fake media blobs (seeded bytes + a tiny header)."""
-    root = os.path.join(tempfile.mkdtemp(prefix="mm_blobs_"), "blobs")
+    root = os.path.join(tracked_mkdtemp(prefix="mm_blobs_"), "blobs")
     os.makedirs(root, exist_ok=True)
     for i in range(n):
         seed = hashlib.sha256(f"blob-{i}".encode()).digest()
@@ -241,11 +241,20 @@ def multimodal_frame_sample(spark, t):
 
 
 def _write_blobs_with_variants(n: int = 24) -> str:
+    """Memoized front door for ``_write_blobs_with_variants_impl`` —
+    must NOT share the plain ``_write_blobs`` directory (adding the
+    variant files there would poison every other blob consumer)."""
+    return memoized_asset_dir(
+        ("blobs_variants", n), lambda: _write_blobs_with_variants_impl(n)
+    )
+
+
+def _write_blobs_with_variants_impl(n: int = 24) -> str:
     """The ``_write_blobs`` corpus plus a near-duplicate VARIANT of
     every third blob: identical bytes except three body positions
     (100/200/300) overwritten with fixed values — the 'same image,
     re-encoded/watermarked' case perceptual dedup exists to catch."""
-    root = _write_blobs(n)
+    root = _write_blobs_impl(n)  # fresh un-memoized copy — mutated below
     for i in range(0, n, 3):
         with open(os.path.join(root, f"img_{i:04d}.bin"), "rb") as fh:
             raw = bytearray(fh.read())
@@ -453,13 +462,13 @@ def _bmp_dims(i: int) -> tuple[int, int]:
     return 13 + i % 7, 8 + (i % 4) * 5
 
 
-def _write_bmps(n: int = _N_BMP) -> str:
+def _write_bmps_impl(n: int = _N_BMP) -> str:
     """Write n REAL 24-bit uncompressed BMP files whose pixel (x, y)
     (y from top) has channels r=(31i+7x+13y)%256, g=(17i+3x+5y)%256,
     b=(29i+11x+2y)%256 — the formula the oracle regenerates."""
     import struct
 
-    root = os.path.join(tempfile.mkdtemp(prefix="mm_bmp_"), "bmps")
+    root = os.path.join(tracked_mkdtemp(prefix="mm_bmp_"), "bmps")
     os.makedirs(root, exist_ok=True)
     for i in range(n):
         w, h = _bmp_dims(i)
@@ -625,13 +634,13 @@ def _wav_samples(i: int):
     return ((7919 * i + 2027 * t_idx) % 65536 - 32768).astype(np.int16)
 
 
-def _write_wavs(n: int = _N_WAV) -> str:
+def _write_wavs_impl(n: int = _N_WAV) -> str:
     """Write n REAL RIFF/WAVE files (PCM16 mono 8 kHz) via the stdlib
     ``wave`` encoder — so encode and decode are independent code
     paths."""
     import wave
 
-    root = os.path.join(tempfile.mkdtemp(prefix="mm_wav_"), "wavs")
+    root = os.path.join(tracked_mkdtemp(prefix="mm_wav_"), "wavs")
     os.makedirs(root, exist_ok=True)
     for i in range(n):
         with wave.open(os.path.join(root, f"clip_{i:04d}.wav"), "wb") as wf:
@@ -839,3 +848,18 @@ def multimodal_resize_bmp(spark, t):
         schema="file_name string, thumb_px int, thumb_sha256 string, "
         "luma_sum long",
     )
+
+
+def _write_blobs(n: int = 24) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("blobs", n), lambda: _write_blobs_impl(n))
+
+
+def _write_bmps(n: int = _N_BMP) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("bmps", n), lambda: _write_bmps_impl(n))
+
+
+def _write_wavs(n: int = _N_WAV) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("wavs", n), lambda: _write_wavs_impl(n))

@@ -9,12 +9,12 @@ Pushdown is delegated to Catalyst and *asserted* in tests/test_plans.py
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
+from ..sources.tmpdirs import tracked_mkdtemp
 
 
 @register(
@@ -60,7 +60,7 @@ def scan_csv_roundtrip(spark, t):
     columns are int/plain-string/int, so the roundtrip is lossless and
     the re-read must equal the source table — which IS the oracle (the
     hash-check proves no row/value was mangled in transit)."""
-    path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "nation_csv")
+    path = os.path.join(tracked_mkdtemp(prefix="csv_rt_"), "nation_csv")
     t["nation"].write.mode("overwrite").option("header", "true").csv(path)
     schema = T.StructType(
         [
@@ -81,7 +81,7 @@ def scan_json_roundtrip(spark, t):
     """Write `supplier` to JSON lines, read back with explicit schema.
     Doubles serialize via Jackson's shortest-roundtrip representation,
     so the re-read is bit-exact and the source table is the oracle."""
-    path = os.path.join(tempfile.mkdtemp(prefix="json_rt_"), "supplier_json")
+    path = os.path.join(tracked_mkdtemp(prefix="json_rt_"), "supplier_json")
     t["supplier"].write.mode("overwrite").json(path)
     schema = T.StructType(
         [
@@ -129,7 +129,7 @@ def sink_parquet_partitioned(spark, t):
     a direct GROUP BY year on the source proves no rows were lost or
     duplicated by the partitioned write.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="pq_part_"), "orders_by_year")
+    path = os.path.join(tracked_mkdtemp(prefix="pq_part_"), "orders_by_year")
     (
         t["orders"]
         .withColumn("o_year", F.year("o_orderdate"))
@@ -156,7 +156,7 @@ def scan_orc_roundtrip(spark, t):
     matrix beyond parquet/CSV/JSON; vectorized ORC reads share the same
     ColumnarBatch path as parquet. ORC is lossless, so the source table
     is the oracle."""
-    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "region_orc")
+    path = os.path.join(tracked_mkdtemp(prefix="orc_rt_"), "region_orc")
     t["region"].write.mode("overwrite").orc(path)
     schema = T.StructType(
         [
@@ -226,7 +226,7 @@ def scan_merge_schema(spark, t):
     — no data rewrite — and the per-file projections still prune
     columns; at 100 TB that matters more than it does here.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="mrg_"), "events_gens")
+    path = os.path.join(tracked_mkdtemp(prefix="mrg_"), "events_gens")
     e = t["events"].select(
         "event_id", "user_id", F.round("value", 4).alias("value"), "event_type"
     )
@@ -259,7 +259,7 @@ def scan_csv_malformed_permissive(spark, t):
     a billion must quarantine, not kill the load (FAILFAST) or silently
     vanish (DROPMALFORMED).
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="badcsv_"), "nation_dirty")
+    path = os.path.join(tracked_mkdtemp(prefix="badcsv_"), "nation_dirty")
     t["nation"].select("n_nationkey", "n_name", "n_regionkey").write.mode(
         "overwrite"
     ).csv(path)
@@ -316,7 +316,7 @@ def sink_dynamic_partition_overwrite(spark, t):
     1997 is repriced — wrong mode would lose every other year (row
     counts collapse), a failed overwrite would leave 1997 unpriced.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="pq_dyn_"), "orders_by_year")
+    path = os.path.join(tracked_mkdtemp(prefix="pq_dyn_"), "orders_by_year")
     base = t["orders"].withColumn("o_year", F.year("o_orderdate"))
     base.write.mode("overwrite").partitionBy("o_year").parquet(path)
     patch = (
@@ -362,7 +362,7 @@ def scan_dynamic_partition_pruning(spark, t):
     both DPP preconditions; the hash-check against a direct WHERE-IN
     proves the pruned plan returns exactly the unpruned answer.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_year")
+    path = os.path.join(tracked_mkdtemp(prefix="dpp_"), "orders_by_year")
     (
         t["orders"]
         .withColumn("o_year", F.year("o_orderdate"))
@@ -419,7 +419,7 @@ def sink_sorted_clustered_write(spark, t):
     partition by the coarse key, sort by the fine one (a.k.a.
     clustering / Z-order's 1-D case).
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="sorted_"), "orders_sorted")
+    path = os.path.join(tracked_mkdtemp(prefix="sorted_"), "orders_sorted")
     (
         t["orders"]
         .repartitionByRange(8, "o_orderdate")
@@ -474,7 +474,7 @@ def scan_text_roundtrip(spark, t):
     source has exactly one string column by construction, and the typed
     reparse is explicit casts.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="txt_rt_"), "docs_txt")
+    path = os.path.join(tracked_mkdtemp(prefix="txt_rt_"), "docs_txt")
     t["documents"].select(
         F.concat_ws("\t", F.col("doc_id"), F.col("source"), F.col("text"))
         .alias("value")

@@ -1312,7 +1312,11 @@ def sim_mmr_diversify(spark, t):
     def rel6_to_query(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype(np.float64)
         sims = (mat @ q_vec) / (np.linalg.norm(mat, axis=1) * q_norm)
-        return pd.Series(np.round(sims * 1e6).astype(np.int64))
+        # Half-away-from-zero to match DuckDB round() — np.round is
+        # banker's (half-to-even); rel6 is a selection key, so a
+        # half-boundary cosine would diverge across engines.
+        r6 = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)
+        return pd.Series(r6.astype(np.int64))
 
     short = (
         t["embeddings"]
@@ -1330,9 +1334,9 @@ def sim_mmr_diversify(spark, t):
     rel6 = np.array([r["rel6"] for r in rows], dtype=np.int64)
     mat = np.array([r["emb"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
-    s6 = np.round((mat @ mat.T) / np.outer(norms, norms) * 1e6).astype(
-        np.int64
-    )
+    pair = (mat @ mat.T) / np.outer(norms, norms) * 1e6
+    # Same half-away-from-zero convention as rel6 above (DuckDB round()).
+    s6 = (np.sign(pair) * np.floor(np.abs(pair) + 0.5)).astype(np.int64)
 
     selected: list[int] = []
     out = []

@@ -92,3 +92,26 @@ def test_driver_window_rotated():
         "verification window holds IDs already driver-green in an earlier "
         f"round (rotate DRIVER_ORDER or add to RESAMPLE_ALLOWLIST): {stale}"
     )
+
+
+def test_docs_registry_totals_match_code():
+    """README.md and SURVEY.md carry hand-maintained registry totals
+    ("## The N queries" / "**N registered IDs**"); they drifted once in
+    r5 (commit said 362 while the tree held 363). Pin them to the code
+    (VERDICT r5 #8)."""
+    import re
+
+    from splio_etl_aggregations_spark.registry import REGISTRY
+
+    n = len(REGISTRY)
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    readme = open("README.md").read()
+    survey = open("SURVEY.md").read()
+    m = re.search(r"## The (\d+) queries", readme)
+    assert m and int(m.group(1)) == n, f"README header says {m and m.group(1)}, registry has {n}"
+    m = re.search(r"(\d+) are registered: (\d+) hash-checked", readme)
+    assert m and (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
+        f"README counts {m and m.groups()}, code has ({n}, {n_oracle})"
+    )
+    m = re.search(r"\*\*(\d+) registered IDs\*\* in total", survey)
+    assert m and int(m.group(1)) == n, f"SURVEY says {m and m.group(1)}, registry has {n}"

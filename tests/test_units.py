@@ -12,7 +12,7 @@ from splio_etl_aggregations_spark import register_all
 from splio_etl_aggregations_spark.registry import all_queries
 from splio_etl_aggregations_spark.sources.loader import load
 
-from .conftest import SF_SMALL
+from .conftest import SF_SMALL, SF_T2
 
 register_all()
 Q = all_queries()
@@ -2138,3 +2138,22 @@ def test_mmr_prefers_diversity_over_redundant_relevance(spark):
     assert got[0]["vec_id"] == 1          # most relevant first
     assert got[1]["vec_id"] == 4          # diversity beats the trio
     assert {got[2]["vec_id"], got[3]["vec_id"], got[4]["vec_id"]} == {2, 3, 5}
+
+
+def test_documents_fixture_is_text_framing_safe(spark):
+    """scan_text_roundtrip frames documents as ``doc_id\\tsource\\ttext``
+    lines; its losslessness silently breaks (opaque hash mismatch) if a
+    future fixture regeneration puts a newline in text or a tab in
+    source/text-before-the-last-field. Guard it loudly (ADVICE r5)."""
+    for sf in (SF_SMALL, SF_T2):
+        docs = load(spark, sf)["documents"]
+        bad = docs.filter(
+            F.col("text").contains("\n")
+            | F.col("text").contains("\r")
+            | F.col("source").contains("\t")
+            | F.col("source").contains("\n")
+        ).count()
+        assert bad == 0, (
+            f"{sf}/documents.parquet violates the tab/newline framing "
+            f"assumption of scan_text_roundtrip ({bad} rows)"
+        )
