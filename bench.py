@@ -169,6 +169,8 @@ EXTRA_SHAPES = [
     "ml_train_test_leakage_check",
     "multimodal_resize_bmp",
     "scan_text_roundtrip",
+    # round-6 additions
+    "multimodal_decode_png",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

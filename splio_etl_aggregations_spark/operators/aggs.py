@@ -3833,21 +3833,26 @@ def attribution_time_decay(spark, t):
     oracle="""
     WITH x AS (
       SELECT c.c_mktsegment AS segment, o.o_custkey,
-             SUM(o.o_totalprice) AS rev
+             CAST(round(SUM(o.o_totalprice) * 100) AS BIGINT) AS rev_c
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY c.c_mktsegment, o.o_custkey
     ),
     tot AS (
-      SELECT COUNT(*)::DOUBLE AS n, AVG(rev) AS mu FROM x
+      SELECT COUNT(*)::DOUBLE AS n,
+             CAST(SUM(rev_c) AS DOUBLE) / 100.0 / COUNT(*) AS mu
+      FROM x
     ),
     seg0 AS (
-      SELECT segment, rev,
-             AVG(rev) OVER (PARTITION BY segment) AS mug0
+      SELECT segment, rev_c,
+             CAST(SUM(rev_c) OVER (PARTITION BY segment) AS DOUBLE)
+               / 100.0 / COUNT(*) OVER (PARTITION BY segment) AS mug0
       FROM x
     ),
     seg AS (
-      SELECT segment, COUNT(*)::DOUBLE AS ng, AVG(rev) AS mug,
-             AVG((rev / mug0) * ln(rev / mug0)) AS theil_g
+      SELECT segment, COUNT(*)::DOUBLE AS ng,
+             CAST(SUM(rev_c) AS DOUBLE) / 100.0 / COUNT(*) AS mug,
+             AVG(((rev_c / 100.0) / mug0)
+                 * ln((rev_c / 100.0) / mug0)) AS theil_g
       FROM seg0
       GROUP BY segment
     )
@@ -3875,6 +3880,13 @@ def agg_theil_decomposition(spark, t):
     segment mean inside the entropy term, which one window over the
     segment partition provides (bounded by customers-per-segment); the
     |segments|-row report then cross-joins the 1-row global frame.
+
+    Float discipline (r6 — caught by the sf0.001 sweep, the 4-dp class
+    from r3): per-customer revenue folds to EXACT integer cents and
+    every mean is derived as (exact integer sum) / 100 / count, so the
+    rounded report columns see bit-identical doubles in both engines
+    instead of association-ordered double AVGs whose 4th decimal can
+    sit on a half boundary (mean_rev hit ….52275 at sf0.001).
     """
     from pyspark.sql import Window
 
@@ -3885,19 +3897,33 @@ def agg_theil_decomposition(spark, t):
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rev_c")
+        )
     )
     tot = x.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("rev").alias("mu")
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("rev_c").cast("double") / 100.0 / F.count(F.lit(1))
+        ).alias("mu"),
     )
     w_seg = Window.partitionBy("segment")
-    ratio = F.col("rev") / F.avg("rev").over(w_seg)
+    mug0 = (
+        F.sum("rev_c").over(w_seg).cast("double")
+        / 100.0
+        / F.count(F.lit(1)).over(w_seg)
+    )
+    ratio = (F.col("rev_c") / 100.0) / mug0
     seg = (
         x.withColumn("term", ratio * F.log(ratio))
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("double").alias("ng"),
-            F.avg("rev").alias("mug"),
+            (
+                F.sum("rev_c").cast("double") / 100.0 / F.count(F.lit(1))
+            ).alias("mug"),
             F.avg("term").alias("theil_g"),
         )
     )

@@ -245,6 +245,8 @@ DRIVER_ORDER: list[str] = [
     "win_user_activity_entropy",
     "text_lang_label_audit",
     "agg_price_dispersion_audit",
+    # round-6 additions (appended to the never-sampled pool)
+    "multimodal_decode_png",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",

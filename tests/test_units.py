@@ -2157,3 +2157,117 @@ def test_documents_fixture_is_text_framing_safe(spark):
             f"{sf}/documents.parquet violates the tab/newline framing "
             f"assumption of scan_text_roundtrip ({bad} rows)"
         )
+
+
+def test_png_decoder_against_handbuilt_reference_bytes():
+    """Anchor ``decode_png`` against a byte-literal 2x2 PNG whose
+    chunks AND filtered scanlines are built by hand from the spec
+    (filter bytes hand-computed, not produced by the repo's encoder)
+    — so an encode/decode bug pair can't cancel out."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from splio_etl_aggregations_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # image (y top-down, RGB): row0 = red, green; row1 = blue, grey.
+    # row0 uses filter 1 (Sub):  [1, 255,0,0, 1,255,0]
+    #   (second pixel minus first, mod 256: 0-255=1, 255-0=255, 0-0=0)
+    # row1 uses filter 2 (Up):   [2, 1,0,255, 128,129,128]
+    #   (0-255=1, 0-0=0, 255-0=255, 128-0=128, 128-255=129, 128-0=128)
+    stream = bytes([1, 255, 0, 0, 1, 255, 0, 2, 1, 0, 255, 128, 129, 128])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    im = decode_png(png)
+    assert im.shape == (2, 2, 3) and im.dtype == np.uint8
+    assert im[0, 0].tolist() == [255, 0, 0]
+    assert im[0, 1].tolist() == [0, 255, 0]
+    assert im[1, 0].tolist() == [0, 0, 255]
+    assert im[1, 1].tolist() == [128, 128, 128]
+
+    # corrupting one IDAT byte must fail the CRC check loudly
+    bad = bytearray(png)
+    bad[8 + 25 + 8 + 2] ^= 0xFF  # a byte inside the IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_encoder_roundtrip_covers_all_five_filters():
+    """Encode->decode must reproduce the generative image exactly for
+    every corpus file, AND every image's deflate stream must contain
+    all five scanline filter types (the encoder cycles y % 5) — the
+    property that makes the oracle hash a real unfilter proof."""
+    import os
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _N_PNG,
+        _png_pixels,
+        _write_pngs,
+        decode_png,
+    )
+
+    root = _write_pngs()
+    files = sorted(os.listdir(root))
+    assert len(files) == _N_PNG
+    multi_idat = 0
+    for i, fn in enumerate(files):
+        content = open(os.path.join(root, fn), "rb").read()
+        assert np.array_equal(decode_png(content), _png_pixels(i)), fn
+        pos, idat, n_idat = 8, bytearray(), 0
+        while pos + 12 <= len(content):
+            (length,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                idat += content[pos + 8 : pos + 8 + length]
+                n_idat += 1
+            pos += 12 + length
+        multi_idat += n_idat > 1
+        stream = zlib.decompress(bytes(idat))
+        h, w = _png_pixels(i).shape[:2]
+        filts = {stream[y * (3 * w + 1)] for y in range(h)}
+        assert filts == {0, 1, 2, 3, 4}, (fn, filts)
+    assert multi_idat > 0  # IDAT reassembly is actually exercised
+
+
+def test_png_decoder_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    from splio_etl_aggregations_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+    gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # color type 0
+    with pytest.raises(NotImplementedError):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", gray)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
+        )
+    inter = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7
+    with pytest.raises(NotImplementedError):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", inter)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+        )

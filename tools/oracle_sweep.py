@@ -8,12 +8,18 @@ data exposes cross-engine float-association drift the gate scale can't
 percentile sketch losing exactness; see the "Fix five cross-engine
 divergences" commit).
 
-Usage: python tools/oracle_sweep.py [sf_dir]     (default sf0.1, ~45 min)
-Prints ALL MATCH or one diff report per failing query.
+Usage: python tools/oracle_sweep.py [sf_dir] [--out SWEEP_rNN.json]
+
+Prints ALL MATCH or one diff report per failing query. With --out (or
+env SWEEP_OUT), also writes a machine-readable per-query artifact
+(VERDICT r5 #3: sweep-green claims must be diffable, not prose) —
+one record per registered ID: whether it ran, whether it is
+oracle-backed, match booleans, and wall seconds.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -32,7 +38,11 @@ TABLES = [
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = os.environ.get("SWEEP_OUT")
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    sf = args[0] if args else "/root/testdata/sf0.1"
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("oracle-sweep")
@@ -53,8 +63,11 @@ def main() -> None:
 
     qs, osql = e.queries(), e.oracle_sql()
     fails: list[str] = []
+    records: dict[str, dict] = {}
     t0 = time.time()
     for name, fn in sorted(qs.items()):
+        q0 = time.time()
+        rec: dict = {"oracle": name in osql}
         try:
             df = fn(spark, sf)
             if name in osql:
@@ -65,18 +78,42 @@ def main() -> None:
                 ) or diff_report(
                     name, *spark_rows(df), *duck_rows(con, osql[name])
                 )
+                rec["match"] = rep is None
                 if rep:
+                    rec["diff"] = rep[:300]
                     fails.append(rep)
             else:
-                assert df.count() >= 0
+                rec["rows"] = df.count()
+                rec["match"] = rec["rows"] >= 0  # rows-only weak check
         except Exception as ex:  # keep sweeping; report at the end
-            fails.append(f"[{name}] EXC {type(ex).__name__}: {str(ex)[:200]}")
+            rec["match"] = False
+            rec["error"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            fails.append(f"[{name}] EXC {rec['error']}")
+        rec["sec"] = round(time.time() - q0, 3)
+        records[name] = rec
         print(".", end="", flush=True, file=sys.stderr)
     print(file=sys.stderr)
+    wall = time.time() - t0
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "n_queries": len(qs),
+                    "n_oracle": len(osql),
+                    "n_match": sum(1 for r in records.values() if r["match"]),
+                    "wall_sec": round(wall, 1),
+                    "queries": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}", file=sys.stderr)
     print(
         "FAILURES:" if fails else "ALL MATCH",
         len(qs),
-        f"{time.time() - t0:.0f}s",
+        f"{wall:.0f}s",
     )
     for f in fails:
         print(f)
