@@ -408,8 +408,41 @@ def ivf_knn(spark, t, n_cells: int = 10, n_probe: int = 4, k: int = 10):
 @register("sim_ivf_knn", oracle=None, tier="P2")  # rows-only (approximate)
 def sim_ivf_knn(spark, t):
     """Registered IVF search: 10 cells, probe the 4 nearest — see
-    ``ivf_knn`` for the index/search design and recall caveats."""
+    ``ivf_knn`` for the index/search design and recall caveats.
+
+    Rows-only by nature (documented impossibility, VERDICT r5 #5): the
+    4-of-10 candidate set is a function of the k-means centroids the
+    engine trains, which no SQL oracle can regenerate; the machinery
+    itself is hash-checked by ``sim_ivf_knn_probeall`` below and
+    probe-all ≡ exact is additionally asserted in tests."""
     return ivf_knn(spark, t, n_cells=10, n_probe=4, k=10)
+
+
+@register(
+    "sim_ivf_knn_probeall",
+    oracle="""
+    SELECT b.vec_id,
+           round(
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id <> 0) b
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+    tier="P2",
+)
+def sim_ivf_knn_probeall(spark, t):
+    """Probe-all parameterization of the IVF search (VERDICT r5 #5):
+    with ``n_probe == n_cells`` every inverted list is scanned, so the
+    train/assign/probe/re-rank machinery must reproduce the brute-force
+    top-10 EXACTLY — the same SQL oracle as ``sim_knn_query``
+    hash-checks the whole IVF pipeline (centroid training, cell
+    assignment UDF, candidate union, exact re-rank) each round. The
+    budgeted form above keeps its scale posture; this variant pins its
+    correctness."""
+    return ivf_knn(spark, t, n_cells=10, n_probe=10, k=10)
 
 
 def lsh_knn(spark, t, probe_budget: int | None = None, k: int = 10):
@@ -494,8 +527,42 @@ def lsh_knn(spark, t, probe_budget: int | None = None, k: int = 10):
 def sim_ann_lsh_knn(spark, t):
     """Registered budgeted LSH search (~10 % probe budget) — see
     ``lsh_knn`` for the sketch/probe/re-rank design; probe-all
-    exactness is asserted in tests/test_units.py."""
+    exactness is asserted in tests/test_units.py.
+
+    Rows-only by nature (documented impossibility, VERDICT r5 #5): the
+    budgeted candidate set is a function of the broadcast 256×64
+    random-hyperplane matrix, which no SQL oracle can regenerate; the
+    machinery itself is hash-checked by ``sim_ann_lsh_knn_probeall``
+    below."""
     return lsh_knn(spark, t)
+
+
+@register(
+    "sim_ann_lsh_knn_probeall",
+    oracle="""
+    SELECT b.vec_id,
+           round(
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id <> 0) b
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+    tier="P2",
+)
+def sim_ann_lsh_knn_probeall(spark, t):
+    """Probe-all parameterization of the budgeted LSH search (VERDICT
+    r5 #5): with the probe budget set to the corpus size the Hamming
+    cut passes every vector, so the sketch/probe/re-rank machinery must
+    reproduce the brute-force top-10 EXACTLY — the same SQL oracle as
+    ``sim_knn_query`` hash-checks the whole LSH pipeline (sketch UDF,
+    Hamming ranking, budget cut, exact re-rank) each round. The
+    budgeted form above keeps its scale posture; this variant pins its
+    correctness."""
+    n = t["embeddings"].filter(F.col("vec_id") != 0).count()
+    return lsh_knn(spark, t, probe_budget=n, k=10)
 
 
 @register(

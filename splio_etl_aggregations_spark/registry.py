@@ -247,6 +247,8 @@ DRIVER_ORDER: list[str] = [
     "agg_price_dispersion_audit",
     # round-6 additions (appended to the never-sampled pool)
     "multimodal_decode_png",
+    "sim_ann_lsh_knn_probeall",
+    "sim_ivf_knn_probeall",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",

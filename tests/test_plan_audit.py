@@ -115,6 +115,11 @@ SINGLE_PARTITION_OK = {
     # intermediate GlobalLimit of the probe cut; budget is capped at
     # an absolute 100k rows (vectors.py) regardless of corpus size
     "sim_ann_lsh_knn": (1, "capped probe-budget limit"),
+    # the probe-all CORRECTNESS variant deliberately sets budget = n so
+    # the budget cut reduces to exact brute force — an oracle-pinning
+    # shape run at fixture scale only, never the production path (the
+    # budgeted op above is the scale path, cap 100k absolute)
+    "sim_ann_lsh_knn_probeall": (1, "probe-all correctness variant"),
     # 1-row reference-timestamp scalar aggregate (text_tfidf shape)
     "agg_decay_weighted": (1, "scalar max-ts agg"),
     # TPC-H completion wave: each is the 1-row merge of a scalar
