@@ -171,6 +171,7 @@ EXTRA_SHAPES = [
     "scan_text_roundtrip",
     # round-6 additions
     "multimodal_decode_png",
+    "multimodal_decode_gif",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -1137,6 +1137,349 @@ def multimodal_decode_png(spark, t):
     )
 
 
+_N_GIF = 12
+
+
+def _gif_dims(i: int) -> tuple[int, int]:
+    # up to 96x80 = 7680 px: large enough that the LZW code width grows
+    # past 9 bits and (on the noisier images) the 4096-entry table fills
+    # and the encoder must emit a mid-stream CLEAR
+    return 24 + (i % 5) * 18, 20 + (i % 4) * 20
+
+
+def _gif_indices(i: int):
+    """Generative palette-index image for file i: idx = (19i+3x+7y)%256
+    — the formula the oracle regenerates. Returns (h, w) uint8."""
+    import numpy as np
+
+    w, h = _gif_dims(i)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return ((19 * i + 3 * x + 7 * y) % 256).astype(np.uint8)
+
+
+def _gif_palette():
+    """Generative 256-entry RGB palette: entry c is ((7c+31)%256,
+    (11c+17)%256, (5c+89)%256)."""
+    import numpy as np
+
+    c = np.arange(256, dtype=np.int64)
+    return np.stack(
+        [(7 * c + 31) % 256, (11 * c + 17) % 256, (5 * c + 89) % 256],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def _lzw_encode(seq: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF-variant LZW compressor: greedy longest-match dictionary,
+    LSB-first variable-width codes (9→12 bits, growth when
+    next_code == 2^width + 1 — the giflib lockstep rule), CLEAR-code
+    table reset when the 4096-entry dictionary fills. Returns the
+    packed code stream (no sub-block framing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for ch in seq:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset so the decoder's table stays in sync
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8):
+    """REAL GIF-variant LZW decompressor, written independently of the
+    compressor: LSB-first bit reader, the code-not-yet-in-table case
+    (cScSc), width growth when the table reaches 2^width, CLEAR
+    resets. Returns (bytes, stats) where stats carries the clear count
+    and the maximum code width reached — so tests can assert the hard
+    paths actually ran."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int | None:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    # code space: 0..255 literals, 256 CLEAR, 257 EOI, 258+ dictionary —
+    # the two placeholder slots keep list index == code value
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    stats = {"clears": -1, "max_width": width}  # first CLEAR is mandatory
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            stats["clears"] += 1
+            continue
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc self-reference case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+                stats["max_width"] = max(stats["max_width"], width)
+        prev = entry
+    return bytes(out), stats
+
+
+def _write_gifs_impl(n: int = _N_GIF) -> str:
+    """Write n REAL GIF87a files: logical screen descriptor, a 256-entry
+    global color table from the generative palette formula, one image
+    block whose pixel indices come through the real LZW compressor,
+    framed in <=255-byte data sub-blocks."""
+    import struct
+
+    root = os.path.join(tracked_mkdtemp(prefix="mm_gif_"), "gifs")
+    os.makedirs(root, exist_ok=True)
+    pal = _gif_palette().tobytes()
+    for i in range(n):
+        idx = _gif_indices(i)
+        h, w = idx.shape
+        # packed: GCT present | color resolution 7 | GCT size 7 (256)
+        screen = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        lzw = _lzw_encode(idx.tobytes())
+        blocks = b"".join(
+            bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+            for o in range(0, len(lzw), 255)
+        )
+        with open(os.path.join(root, f"anim_{i:04d}.gif"), "wb") as fh:
+            fh.write(
+                b"GIF87a" + screen + pal + img_desc
+                + bytes([8]) + blocks + b"\x00" + b"\x3b"
+            )
+    return root
+
+
+def _write_gifs(n: int = _N_GIF) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("gifs", n), lambda: _write_gifs_impl(n))
+
+
+def decode_gif(content: bytes):
+    """REAL GIF87a/89a decoder (stdlib + numpy, no imaging libs):
+    parses the screen descriptor and global color table, skips 89a
+    extension blocks, reassembles the image's LZW sub-blocks, inflates
+    them with the independent ``_lzw_decode``, and maps indices through
+    the palette. Returns an (h, w, 3) uint8 RGB array, y top-down.
+    Raises on interlaced / local-color-table / multi-image variants."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pal = np.frombuffer(content, np.uint8, count=3 * gct_n, offset=pos)
+    pal = pal.reshape(gct_n, 3)
+    pos += 3 * gct_n
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x21:  # 89a extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                raise NotImplementedError("local color table not supported")
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            min_code = content[pos]
+            pos += 1
+            lzw = bytearray()
+            while content[pos]:
+                sz = content[pos]
+                lzw += content[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx_bytes, _stats = _lzw_decode(bytes(lzw), min_code)
+            if len(idx_bytes) != w * h:
+                raise ValueError("LZW stream decoded to wrong pixel count")
+            idx = np.frombuffer(idx_bytes, np.uint8).reshape(h, w)
+            if idx.max() >= gct_n:
+                raise ValueError("palette index out of range")
+            return pal[idx]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image block found")
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH imgs AS (
+      SELECT range AS i, 24 + (range % 5) * 18 AS w,
+             20 + (range % 4) * 20 AS h
+      FROM range(12)
+    ),
+    px AS (
+      SELECT i, w, h, gx.x AS x, gy.y AS y,
+             (19 * i + 3 * gx.x + 7 * gy.y) % 256 AS c
+      FROM imgs
+      CROSS JOIN (SELECT range AS x FROM range(96)) gx
+      CROSS JOIN (SELECT range AS y FROM range(80)) gy
+      WHERE gx.x < w AND gy.y < h
+    ),
+    rgb AS (
+      SELECT i, w, h, x, y,
+             (7 * c + 31) % 256 AS r,
+             (11 * c + 17) % 256 AS g,
+             (5 * c + 89) % 256 AS b
+      FROM px
+    )
+    SELECT 'anim_' || lpad(i::VARCHAR, 4, '0') || '.gif' AS file_name,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           round(SUM(r)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_r,
+           round(SUM(g)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_g,
+           round(SUM(b)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_b,
+           CAST(SUM(CASE WHEN (2 * r + 5 * g + b) // 8 > 127
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+           CAST(SUM((2 * x + y) * b) AS BIGINT) AS xy_weighted_b
+    FROM rgb GROUP BY 1
+    """,
+    tier="P3",
+)
+def multimodal_decode_gif(spark, t):
+    """Image decode over REAL LZW-COMPRESSED GIF files — the second
+    genuinely compressed codec after ``multimodal_decode_png``, and a
+    different compression family entirely (dictionary LZW with
+    variable-width codes vs deflate): the encoder is a real greedy
+    longest-match LZW compressor whose 4096-entry table FILLS on the
+    larger fixtures (mid-stream CLEAR reset), and the independent
+    decoder implements the LSB-first bit reader, code-not-yet-in-table
+    (cScSc) case, width growth, and reset handling, then maps palette
+    indices through the 256-entry global color table.
+
+    The oracle regenerates every pixel from the index + palette
+    formulas and never sees the file bytes, so a value-hash match
+    proves the whole chain (sub-block reassembly, LZW inflate, palette
+    lookup): one wrong code anywhere desynchronizes the dictionary and
+    corrupts the rest of the image. ``xy_weighted_b`` is asymmetric in
+    x/y; exact integer sums in the UDF, 4-dp mean JVM-side — the
+    repo's standard cross-engine float convention.
+
+    Scale: identical posture to the other decode stages — one
+    binaryFile scan, per-asset decode inside the Arrow-batched
+    ``mapInPandas`` stage, one feature row out per asset.
+    """
+    import numpy as np
+
+    root = _write_gifs()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.gif")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "file_name": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "n_bright": [], "xy_weighted_b": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                im = decode_gif(content)  # (h, w, 3) RGB, y top-down
+                h, w = im.shape[:2]
+                px = im.astype(np.int64)
+                luma = (2 * px[:, :, 0] + 5 * px[:, :, 1] + px[:, :, 2]) // 8
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                out["file_name"].append(path.rsplit("/", 1)[-1])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["n_bright"].append(int((luma > 127).sum()))
+                out["xy_weighted_b"].append(
+                    int(((2 * xw + yw) * px[:, :, 2]).sum())
+                )
+            yield pd.DataFrame(out)
+
+    decoded = raw.select("path", "content").mapInPandas(
+        feats,
+        schema="file_name string, width int, height int, sum_r long, "
+        "sum_g long, sum_b long, n_bright long, xy_weighted_b long",
+    )
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "file_name",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / npx, 4).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 4).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 4).alias("mean_b"),
+        "n_bright",
+        "xy_weighted_b",
+    )
+
+
 def _write_blobs(n: int = 24) -> str:
     """Memoized per process — the corpus is a pure function of n."""
     return memoized_asset_dir(("blobs", n), lambda: _write_blobs_impl(n))

@@ -2271,3 +2271,90 @@ def test_png_decoder_rejects_unsupported_variants():
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", inter)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
         )
+
+
+def test_gif_decoder_against_handbuilt_reference_bytes():
+    """Anchor ``decode_gif`` against a byte-literal 2x2 4-color GIF
+    whose LZW code stream was computed BY HAND from the spec (codes
+    (4,1,2,2,1,5) at widths (3,3,3,3,4,4), LSB-packed -> 8C 14 05) —
+    independent of the repo's own compressor, including the width
+    growth point after the third dictionary add."""
+    import struct
+
+    from splio_etl_aggregations_spark.operators.multimodal import decode_gif
+
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    gif = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 2, 2, 0xF1, 0, 0)  # GCT of 4 entries
+        + pal
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        + bytes([2])            # LZW min code size
+        + bytes([3, 0x8C, 0x14, 0x05])  # one 3-byte sub-block
+        + b"\x00\x3b"
+    )
+    im = decode_gif(gif)
+    assert im.shape == (2, 2, 3)
+    # indices [[1, 2], [2, 1]] -> green, blue / blue, green
+    assert im[0, 0].tolist() == [0, 255, 0]
+    assert im[0, 1].tolist() == [0, 0, 255]
+    assert im[1, 0].tolist() == [0, 0, 255]
+    assert im[1, 1].tolist() == [0, 255, 0]
+
+
+def test_gif_lzw_roundtrip_hard_paths():
+    """The compressor/decompressor pair must survive the three hard
+    LZW paths: the cScSc self-reference, 12-bit width growth, and the
+    4096-entry table-full CLEAR reset (sha256-chained incompressible
+    stream) — with the decoder's stats proving each path actually ran."""
+    import hashlib
+
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    cscsc = bytes([1, 2, 1, 2, 1, 2, 1])
+    dec, _ = _lzw_decode(_lzw_encode(cscsc))
+    assert dec == cscsc
+
+    buf, seed = bytearray(), b"lzw-reset-probe"
+    while len(buf) < 60000:
+        seed = hashlib.sha256(seed).digest()
+        buf += seed
+    seq = bytes(buf)
+    dec, stats = _lzw_decode(_lzw_encode(seq))
+    assert dec == seq
+    assert stats["max_width"] == 12 and stats["clears"] >= 1, stats
+
+
+def test_gif_encoder_roundtrip_and_rejects():
+    import os
+    import struct
+
+    import numpy as np
+
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _N_GIF,
+        _gif_indices,
+        _gif_palette,
+        _write_gifs,
+        decode_gif,
+    )
+
+    root = _write_gifs()
+    files = sorted(os.listdir(root))
+    assert len(files) == _N_GIF
+    pal = _gif_palette()
+    for i, fn in enumerate(files):
+        content = open(os.path.join(root, fn), "rb").read()
+        assert np.array_equal(decode_gif(content), pal[_gif_indices(i)]), fn
+
+    with pytest.raises(ValueError):
+        decode_gif(b"PNG nope")
+    interlaced = (
+        b"GIF87a" + struct.pack("<HHBBB", 2, 2, 0xF1, 0, 0) + bytes(12)
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x40)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_gif(interlaced)
