@@ -1088,9 +1088,15 @@ def multimodal_decode_png(spark, t):
     every Spark-side contract (schema, partitioning, batch shape)
     stays unchanged.
     """
+    return _png_features_frame(spark, _write_pngs())
+
+
+def _png_features_frame(spark, root: str):
+    """The decode+features stage of ``multimodal_decode_png`` over any
+    PNG directory — shared with tools/scaling.py's K-probe so the
+    measured plan is the registered operator's plan."""
     import numpy as np
 
-    root = _write_pngs()
     raw = spark.read.format("binaryFile").load(f"{root}/*.png")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1431,9 +1437,15 @@ def multimodal_decode_gif(spark, t):
     binaryFile scan, per-asset decode inside the Arrow-batched
     ``mapInPandas`` stage, one feature row out per asset.
     """
+    return _gif_features_frame(spark, _write_gifs())
+
+
+def _gif_features_frame(spark, root: str):
+    """The decode+features stage of ``multimodal_decode_gif`` over any
+    GIF directory — shared with tools/scaling.py's K-probe so the
+    measured plan is the registered operator's plan."""
     import numpy as np
 
-    root = _write_gifs()
     raw = spark.read.format("binaryFile").load(f"{root}/*.gif")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -74,7 +74,7 @@ def scaled_tables(spark, k: int):
     return out
 
 
-def shapes(spark, t):
+def shapes(spark, t, k: int = 1):
     from splio_etl_aggregations_spark.registry import get
 
     return {
@@ -217,7 +217,32 @@ def shapes(spark, t):
         "mmr_diversify": lambda: get("sim_mmr_diversify").builder(spark, t),
         "readability": lambda: get("text_readability_score").builder(spark, t),
         "code_detect": lambda: get("text_code_detect").builder(spark, t),
+        # r6 wave: the real compressed codecs. K multiplies the FILE
+        # COUNT (the fixture tables don't feed these), asset corpora
+        # regenerated per K via the un-memoized writers; the decode
+        # stage is per-file-independent mapInPandas, so wall should be
+        # ~linear in K until the 32 cores saturate, then flat per-file.
+        "decode_png": lambda: _png_probe(spark, k),
+        "decode_gif": lambda: _gif_probe(spark, k),
     }
+
+
+def _png_probe(spark, k: int):
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _png_features_frame,
+        _write_pngs_impl,
+    )
+
+    return _png_features_frame(spark, _write_pngs_impl(20 * k))
+
+
+def _gif_probe(spark, k: int):
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _gif_features_frame,
+        _write_gifs_impl,
+    )
+
+    return _gif_features_frame(spark, _write_gifs_impl(12 * k))
 
 
 def main() -> None:
@@ -231,7 +256,7 @@ def main() -> None:
     rows: dict[str, dict[int, int]] = {}
     for k in ks:
         t = scaled_tables(spark, k)
-        for name, build in shapes(spark, t).items():
+        for name, build in shapes(spark, t, k).items():
             if only and name not in only:
                 continue
             best = None
