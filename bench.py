@@ -223,7 +223,10 @@ def _prior_numbers() -> dict[str, float]:
     if rounds:
         try:
             with open(rounds[-1]) as f:
-                prior.update(json.load(f).get("queries") or {})
+                doc = json.load(f)
+            # the driver wraps bench's stdout line as {"parsed": {...}}
+            doc = doc.get("parsed") or doc
+            prior.update(doc.get("queries") or {})
         except (json.JSONDecodeError, OSError):
             pass
     extra = os.path.join(_HERE, "BENCH_EXTRA.json")
