@@ -569,3 +569,117 @@ def test_heavy_hitters_estimate_never_undercounts(spark):
         )
     # sanity: estimates are counts from the same stream, not garbage
     assert all(r["cms_estimate"] <= total * 4 for r in rows)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf (its "
+    "state-server wire protocol); absent in this environment — the "
+    "stateful surface is proven via applyInPandasWithState / the "
+    "grouped-state operators instead (stream_stateful_counter)",
+)
+def test_transform_with_state_sessionize(spark):
+    """The Spark-4 ``transformWithStateInPandas`` form of per-user
+    sessionization (ValueState carrying last_ts + session_no across
+    micro-batches), replayed availableNow over the events fixture and
+    asserted equal to the gaps-and-islands window form — the ready
+    swap-in seam for environments that ship protobuf. Probed 2026-08-15:
+    the processor below reaches Spark's TWS driver worker, which dies at
+    `ImportError: google.protobuf.descriptor` before touching state."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class SessionAssigner(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._st = handle.getValueState("sess", "last_us LONG, sess_no LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+            if self._st.exists():
+                last_us, sess_no = self._st.get()
+            else:
+                last_us, sess_no = None, 0
+            out = []
+            for us in pdf["ts_us"]:
+                us = int(us)
+                if last_us is None or us - last_us > 1_800_000_000:
+                    sess_no += 1
+                last_us = us
+                out.append(sess_no)
+            self._st.update((int(last_us), int(sess_no)))
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"].to_numpy(), "session_no": out}
+            )
+
+        def close(self):
+            pass
+
+    t = load(spark, SF_SMALL)
+    tmp = tempfile.mkdtemp(prefix="tws_feed_")
+    feed = t["events"].select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    feed.write.mode("overwrite").parquet(os.path.join(tmp, "feed"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = spark.readStream.schema(
+            "event_id long, user_id long, ts_us long"
+        ).parquet(os.path.join(tmp, "feed"))
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            SessionAssigner(), "event_id long, session_no long", "append", "none"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = t["events"].select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    ref = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("event_id", F.col("session_no").cast("long").alias("session_no"))
+    )
+    joined = got.withColumnRenamed("session_no", "got").join(ref, "event_id")
+    assert joined.filter(F.col("got") != F.col("session_no")).count() == 0
+    assert joined.count() == t["events"].count()
