@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
 import time
 
 import pandas as pd
@@ -24,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.helpers import r4
 from ..registry import register
+from ..sources.tmpdirs import tracked_mkdtemp
 
 
 # ---------------------------------------------------------------- transforms
@@ -212,7 +212,7 @@ def stream_late_data(spark, t):
     old sorted halving.
     """
     events = t["events"]
-    tmp = tempfile.mkdtemp(prefix="late_feed_")
+    tmp = tracked_mkdtemp(prefix="late_feed_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
 
@@ -418,7 +418,7 @@ def stream_upsert_materialize(spark, t):
     and therefore invariant to the exact batch boundaries.)
     """
     events = t["events"]
-    tmp = tempfile.mkdtemp(prefix="upsert_feed_")
+    tmp = tracked_mkdtemp(prefix="upsert_feed_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
 
@@ -657,7 +657,7 @@ def _ingest_events_to_lake(spark, t) -> str:
     from ..operators.lake import sink_commit
 
     events = t["events"]
-    tmp = tempfile.mkdtemp(prefix="lake_sink_")
+    tmp = tracked_mkdtemp(prefix="lake_sink_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
     root = os.path.join(tmp, "table")
