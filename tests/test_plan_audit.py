@@ -112,6 +112,10 @@ SINGLE_PARTITION_OK = {
     "dq_monotonic_id_gap_check": (2, "boundary frame + scalar audit fold"),
     # Catalyst re-expands the shared rank subtree once per use
     "dedup_near_jaccard": (4, "rank offsets frame ×4 re-expansions"),
+    # same two-phase-rank subtree since the r6 rewrite routed the
+    # bigram op through _ranked_sets; the single-partition frame is the
+    # shingle-VOCABULARY-sized boundary-offsets table, never doc rows
+    "dedup_ngram_jaccard": (4, "rank offsets frame ×4 re-expansions"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
     # an absolute 100k rows (vectors.py) regardless of corpus size
     "sim_ann_lsh_knn": (1, "capped probe-budget limit"),
