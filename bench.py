@@ -172,6 +172,7 @@ EXTRA_SHAPES = [
     # round-6 additions
     "multimodal_decode_png",
     "multimodal_decode_gif",
+    "scan_jsonl_gzip_roundtrip",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

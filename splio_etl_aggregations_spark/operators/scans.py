@@ -492,3 +492,60 @@ def scan_text_roundtrip(spark, t):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "scan_jsonl_gzip_roundtrip",
+    oracle="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY source, lang
+    """,
+    tier="P2",
+)
+def scan_jsonl_gzip_roundtrip(spark, t):
+    """GZIP-COMPRESSED JSONL source roundtrip — ``*.jsonl.gz`` is THE
+    interchange format real LLM corpora ship in (CommonCrawl dumps,
+    RedPajama/Dolma shards), and the compressed-source case the
+    roundtrip suite hadn't covered: write `documents` as
+    gzip-compressed JSON lines (Spark's codec option on the JSON sink),
+    read the directory back with an explicit schema (no inference,
+    SURVEY §1.4), and hash a per-(source, lang) aggregate of the
+    RE-READ frame against the original-table oracle — proving the
+    compressed write, the decompressing read, and Jackson's bit-exact
+    string/long round-trip end to end.
+
+    Scale posture: gzip members are NOT splittable — each .json.gz file
+    is one read task, so at 100 TB shard size IS the parallelism knob
+    (the upstream partitioning here, one gz file per input partition;
+    production corpora target 100-500 MB shards for exactly this
+    reason). The aggregate itself is a plain partial-agg shuffle on the
+    bounded (source, lang) key space. For splittable compressed scans
+    the engine's parquet+zstd path (every other operator) is the
+    recommendation; this op covers the interchange-ingest boundary.
+    """
+    path = os.path.join(tracked_mkdtemp(prefix="jsonl_gz_"), "docs_jsonl_gz")
+    t["documents"].write.mode("overwrite").option("compression", "gzip").json(
+        path
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

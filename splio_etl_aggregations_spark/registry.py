@@ -250,6 +250,7 @@ DRIVER_ORDER: list[str] = [
     "sim_ann_lsh_knn_probeall",
     "sim_ivf_knn_probeall",
     "multimodal_decode_gif",
+    "scan_jsonl_gzip_roundtrip",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",
