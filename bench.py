@@ -173,6 +173,10 @@ EXTRA_SHAPES = [
     "multimodal_decode_png",
     "multimodal_decode_gif",
     "scan_jsonl_gzip_roundtrip",
+    "sim_range_search",
+    "graph_kcore_peel",
+    "multimodal_audio_frames",
+    "scan_csv_multiline_quoted",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -1328,6 +1328,93 @@ def graph_degree_distribution(spark, t):
 
 
 @register(
+    "graph_kcore_peel",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 8
+    ),
+    e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM base l1 JOIN base l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    d0 AS (SELECT a, COUNT(*) AS deg FROM e0 GROUP BY a),
+    k0 AS (SELECT a FROM d0 WHERE deg >= 4),
+    e1 AS (SELECT e.a, e.b FROM e0 e
+           JOIN k0 x ON e.a = x.a JOIN k0 y ON e.b = y.a),
+    d1 AS (SELECT a, COUNT(*) AS deg FROM e1 GROUP BY a),
+    k1 AS (SELECT a FROM d1 WHERE deg >= 4),
+    e2 AS (SELECT e.a, e.b FROM e1 e
+           JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+    d2 AS (SELECT a, COUNT(*) AS deg FROM e2 GROUP BY a),
+    k2 AS (SELECT a FROM d2 WHERE deg >= 4),
+    e3 AS (SELECT e.a, e.b FROM e2 e
+           JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a)
+    SELECT a AS part_node, COUNT(*) AS induced_degree
+    FROM e3 GROUP BY a
+    """,
+    tier="P3",
+)
+def graph_kcore_peel(spark, t):
+    """Bounded k-core decomposition (k=4, 3 peel rounds) of the sparse
+    co-purchase graph — the dense-community extractor that feeds
+    recommendation candidate generation: nodes that survive repeated
+    "drop everything with induced degree < k" rounds form the stable
+    core; the long tail peels off.
+
+    The full co-purchase graph is so dense every node sits in a deep
+    core (min degree > 16 at every fixture scale — nothing would ever
+    peel), so the edge set is sparsified first to small-quantity lines
+    (l_quantity ≤ 8), which preserves the power-law shape while giving
+    the peel real work: 183→60→21→5 surviving nodes across the three
+    rounds at sf0.001, 17 936→…→1 800 at sf0.1.
+
+    Spark shape: the iteration is UNROLLED (3 fixed rounds, same plan
+    every run — no driver-side convergence loop), and each round is one
+    groupBy degree count + two LEFT SEMI joins against the survivor
+    set, with a ``localCheckpoint`` lineage cut per round — the same
+    posture as ``graph_pagerank``: each round's edge set feeds THREE
+    downstream consumers (the degree count and both semi-join probes),
+    so without the cut the logical plan re-derives the parent round
+    three times per level (3^rounds growth — the first draft's plan
+    signature showed 108 parquet scans; with the cut it is one scan
+    plus three small in-memory rounds). Survivor sets shrink
+    monotonically and AQE turns the semi joins into broadcasts as soon
+    as they fit; edge blow-up stays bounded by lines-per-order² exactly
+    as ``graph_degree_distribution`` argues. At 100 TB three fixed
+    rounds remove the overwhelming majority of peelable nodes on
+    power-law graphs (peeling converges geometrically) and keep the
+    materialized state to one (shrinking) edge list per round.
+    """
+    k = 4
+    base = t["lineitem"].filter(F.col("l_quantity") <= 8).select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        base.alias("x")
+        .join(base.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(3):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return edges.groupBy(F.col("a").alias("part_node")).agg(
+        F.count(F.lit(1)).alias("induced_degree")
+    )
+
+
+@register(
     "join_accumulating_snapshot",
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,

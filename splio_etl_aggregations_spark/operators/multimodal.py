@@ -757,6 +757,80 @@ def multimodal_decode_wav(spark, t):
 
 
 @register(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH clips AS (
+      SELECT range AS i, 240 + 97 * range AS n FROM range(16)
+    ),
+    s AS (
+      SELECT i, g.t // 256 AS frame_idx,
+             (7919 * i + 2027 * g.t) % 65536 - 32768 AS v
+      FROM clips
+      CROSS JOIN (SELECT range AS t FROM range(1696)) g
+      WHERE g.t < n
+    )
+    SELECT 'clip_' || lpad(i::VARCHAR, 4, '0') || '.wav' AS file_name,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(COUNT(*) AS INT) AS n_in_frame,
+           CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(abs(v)) AS INT) AS peak_abs
+    FROM s GROUP BY i, frame_idx
+    """,
+    tier="P3",
+)
+def multimodal_audio_frames(spark, t):
+    """Frame-level audio feature fan-out: decode each REAL WAV clip
+    (same independent RIFF chunk-walk parser as
+    ``multimodal_decode_wav``) and emit one row per 256-sample frame
+    with exact-integer energy features — the 1→N fan-out shape every
+    audio curation pipeline needs (VAD windows, per-frame loudness
+    screens, silence trimming) where ``multimodal_decode_wav`` is the
+    1→1 clip-summary shape and ``multimodal_frame_sample`` is the video
+    analogue.
+
+    The trailing partial frame is kept (n_in_frame < 256) — dropping it
+    silently biases tail-loudness stats. All features are integer-exact
+    (sum |v|, peak |v|), so the oracle regenerates the signal from its
+    generative formula and groups by ``t // 256``; a hash match proves
+    the decode AND the frame bucketing round-trip exactly. Scale
+    posture: one binaryFile scan, per-batch numpy reshape, ≤⌈n/256⌉
+    output rows per clip — fan-out is bounded by audio length, the
+    stage stays embarrassingly parallel across files, and no shuffle
+    exists in the plan at all.
+    """
+    import numpy as np
+
+    frame_len = 256
+    root = _write_wavs()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.wav")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "file_name": [], "frame_idx": [], "n_in_frame": [],
+                "sum_abs": [], "peak_abs": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _, s = decode_wav_pcm16(content)
+                v = np.abs(s.astype(np.int64))
+                name = path.rsplit("/", 1)[-1]
+                for fi in range(-(-len(v) // frame_len)):
+                    w = v[fi * frame_len : (fi + 1) * frame_len]
+                    out["file_name"].append(name)
+                    out["frame_idx"].append(fi)
+                    out["n_in_frame"].append(len(w))
+                    out["sum_abs"].append(int(w.sum()))
+                    out["peak_abs"].append(int(w.max()))
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        frames,
+        schema="file_name string, frame_idx int, n_in_frame int, "
+        "sum_abs long, peak_abs int",
+    )
+
+
+@register(
     "multimodal_resize_bmp",
     oracle="""
     WITH imgs AS (

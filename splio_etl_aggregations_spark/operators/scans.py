@@ -549,3 +549,57 @@ def scan_jsonl_gzip_roundtrip(spark, t):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "scan_csv_multiline_quoted",
+    oracle="""
+    SELECT doc_id,
+           'v,"' || substr(text, 1, 24) || '"' || chr(10) || 'END'
+             AS payload
+    FROM documents
+    """,
+    tier="P2",
+)
+def scan_csv_multiline_quoted(spark, t):
+    """CSV roundtrip through the three framing hazards at once: every
+    payload cell contains a DELIMITER, an embedded DOUBLE QUOTE, and an
+    embedded NEWLINE — the RFC-4180 corner the plain
+    ``scan_csv_roundtrip`` never exercises and the #1 silent-corruption
+    source when ingesting scraped/exported text as CSV.
+
+    The payload is built deterministically from `documents`
+    (``'v,"' + text[:24] + '"' + \\n + 'END'``) so the DuckDB oracle
+    regenerates the expected strings without reading the temp files;
+    the re-read rows are returned RAW — a hash match proves quoting,
+    RFC doubled-quote escaping (``escape='"'``), and quoted-newline
+    line reassembly all round-trip byte-exact, with no row split or
+    merged (row count = doc count).
+
+    Scale posture: ``multiLine=true`` makes each CSV file ONE read task
+    (a quoted newline is indistinguishable from a record boundary
+    without parsing from the file start), so shard size is the
+    parallelism knob — exactly the gzip-JSONL lesson one operator up.
+    Production guidance stays: land quoted-newline CSV once, convert to
+    parquet, and never scan it twice.
+    """
+    path = os.path.join(tracked_mkdtemp(prefix="csv_ml_"), "docs_multiline")
+    payload = F.concat(
+        F.lit('v,"'), F.substring("text", 1, 24), F.lit('"\nEND')
+    ).alias("payload")
+    t["documents"].select("doc_id", payload).write.mode("overwrite").option(
+        "header", "true"
+    ).option("escape", '"').csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )

@@ -241,6 +241,89 @@ def sim_centroid_by_label(spark, t):
 
 
 @register(
+    "sim_range_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id % 61 = 0 AND vec_id < 500
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(qe, emb), 6) AS cos_sim
+    FROM q CROSS JOIN e
+    WHERE q.query_id <> e.vec_id
+      AND round(list_cosine_similarity(qe, emb), 6) >= 0.30
+    """,
+    tier="P2",
+)
+def sim_range_search(spark, t):
+    """Radius (range) search: every corpus vector within cosine ≥ 0.30
+    of any vector in a FIXED query set — the retrieval shape between
+    single-query kNN (``sim_knn_query``) and all-pairs dedup
+    (``dedup_embedding_cosine``): a batch of probes, each returning an
+    unbounded neighbor list rather than a top-k.
+
+    The query set (vec_id % 61 == 0 AND vec_id < 500) is 9 vectors at
+    every fixture scale — bounded BY CONSTRUCTION by the id cap, so the
+    driver-side collect is O(|Q|·d) regardless of corpus size (same
+    whitelisted-bounded-collect argument as ``sim_knn_query``'s 1-row
+    fetch). The scan side stays a single narrow pass: one Arrow-batched
+    pandas UDF computes the B×|Q| sims matrix per batch (one BLAS
+    matmul), returns an array column, and JVM-side ``posexplode`` +
+    literal-array qid lookup + the 6-dp threshold filter do the rest —
+    zero shuffles, zero joins in the whole plan. The ≥ τ compare runs on
+    the 6-dp HALF_UP round in both engines so a boundary cosine can
+    never flip one side only. At 100 TB the same kernel serves any
+    O(thousands)-probe batch (broadcast the query matrix instead of
+    closure-capturing it); beyond that, batch the queries through the
+    LSH/IVF candidate routes (``sim_ann_lsh_knn`` / ``sim_ivf_knn``).
+    """
+    tau = 0.30
+    qrows = (
+        t["embeddings"]
+        .filter((F.col("vec_id") % 61 == 0) & (F.col("vec_id") < 500))
+        .select("vec_id", F.col("embedding").cast(_EMB_D).alias("emb"))
+        .orderBy("vec_id")
+        .collect()  # bounded: ≤ ceil(500/61) = 9 rows by the id cap
+    )
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in qrows])
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1)[:, None]
+
+    @F.pandas_udf(_EMB_D)
+    def sims_to_queries(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        sims = mat @ q_unit.T  # B×|Q|
+        return pd.Series(list(sims))
+
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.posexplode(
+                sims_to_queries(F.col("embedding").cast(_EMB_D))
+            ).alias("qpos", "raw_sim"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("query_id"),
+            "vec_id",
+            r6("raw_sim").alias("cos_sim"),
+        )
+        .filter(
+            (F.col("cos_sim") >= F.lit(tau))
+            & (F.col("query_id") != F.col("vec_id"))
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,

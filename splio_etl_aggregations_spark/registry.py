@@ -251,6 +251,10 @@ DRIVER_ORDER: list[str] = [
     "sim_ivf_knn_probeall",
     "multimodal_decode_gif",
     "scan_jsonl_gzip_roundtrip",
+    "sim_range_search",
+    "graph_kcore_peel",
+    "multimodal_audio_frames",
+    "scan_csv_multiline_quoted",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",
