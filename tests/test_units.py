@@ -2382,3 +2382,148 @@ def test_jsonl_gzip_roundtrip_actually_compresses(spark):
     assert parts and all(p.endswith(".json.gz") for p in parts), parts
     with open(parts[0], "rb") as fh:
         assert fh.read(2) == b"\x1f\x8b"  # gzip magic
+
+
+def test_kcore_peel_contains_true_core_and_shrinks(spark):
+    """3-round peel invariants on the sf0.001 graph: (a) the TRUE 4-core
+    (peel to fixpoint, computed independently here) is a subset of the
+    bounded 3-round output — unrolling can only UNDER-peel, never drop a
+    core node; (b) every reported induced_degree matches a from-scratch
+    recount on the output's induced subgraph."""
+    tables = load(spark, SF_SMALL)
+    out = {
+        r["part_node"]: r["induced_degree"]
+        for r in Q["graph_kcore_peel"].run(spark, SF_SMALL).collect()
+    }
+    # independent edge build (same sparsification contract)
+    li = [
+        (r["l_orderkey"], r["l_partkey"])
+        for r in tables["lineitem"]
+        .filter(F.col("l_quantity") <= 8)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for ok, pk in li:
+        by_order[ok].add(pk)
+    edges = set()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    # true 4-core: peel to fixpoint
+    cur = set(edges)
+    while True:
+        deg = defaultdict(int)
+        for a, _ in cur:
+            deg[a] += 1
+        keep = {n for n, d in deg.items() if d >= 4}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    true_core = {a for a, _ in cur}
+    assert true_core <= set(out), (
+        f"true 4-core nodes missing from 3-round output: "
+        f"{sorted(true_core - set(out))[:5]}"
+    )
+    # recount induced degrees of the operator's own survivor set
+    surv = set(out)
+    recount = defaultdict(int)
+    for a, b in edges:
+        if a in surv and b in surv:
+            recount[a] += 1
+    assert dict(recount) == out
+
+
+def test_range_search_equals_numpy_brute_force(spark):
+    """sim_range_search must return EXACTLY the brute-force pair set: an
+    independent numpy recompute over the raw parquet (no Spark, no
+    DuckDB) with the same 6-dp HALF_UP threshold."""
+    import numpy as np
+    import pandas as pd
+
+    got = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in Q["sim_range_search"].run(spark, SF_SMALL).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    qmask = (ids % 61 == 0) & (ids < 500)
+    sims = mat[qmask] @ mat.T
+    r6v = np.floor(sims * 1e6 + 0.5) / 1e6  # HALF_UP like both engines
+    want = {}
+    for qi, qid in enumerate(ids[qmask]):
+        for vi, vid in enumerate(ids):
+            if vid != qid and r6v[qi, vi] >= 0.30:
+                want[(int(qid), int(vid))] = r6v[qi, vi]
+    assert set(got) == set(want)
+    for k_ in got:
+        assert abs(got[k_] - want[k_]) < 1e-9
+    assert got, "threshold too high: empty result would mask regressions"
+
+
+def test_audio_frames_reconcile_with_clip_summaries(spark):
+    """Frame-level rows must tile each clip exactly: frame sums
+    re-aggregate to the clip's sum_abs/peak_abs from
+    multimodal_decode_wav, frame count = ceil(n/256), every non-final
+    frame holds exactly 256 samples, and the final frame holds the
+    remainder."""
+    from collections import defaultdict
+
+    clips = {
+        r["file_name"]: r
+        for r in Q["multimodal_decode_wav"].run(spark, SF_SMALL).collect()
+    }
+    frames = defaultdict(list)
+    for r in Q["multimodal_audio_frames"].run(spark, SF_SMALL).collect():
+        frames[r["file_name"]].append(r)
+    assert set(frames) == set(clips)
+    for name, fr in frames.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        c = clips[name]
+        n = c["n_samples"]
+        assert [r["frame_idx"] for r in fr] == list(range(-(-n // 256)))
+        assert sum(r["n_in_frame"] for r in fr) == n
+        assert all(r["n_in_frame"] == 256 for r in fr[:-1])
+        assert fr[-1]["n_in_frame"] == (n % 256 or 256)
+        assert sum(r["sum_abs"] for r in fr) == c["sum_abs"]
+        assert max(r["peak_abs"] for r in fr) == c["peak_abs"]
+
+
+def test_multiline_csv_files_really_embed_newlines(spark):
+    """The multiline CSV roundtrip only proves something if the written
+    files genuinely contain quoted newlines and doubled quotes: check a
+    part file has MORE physical lines than records and carries the
+    RFC-4180 doubled-quote escape; check every re-read payload kept its
+    embedded comma, quote pair, and newline."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    df = Q["scan_csv_multiline_quoted"].run(spark, SF_SMALL)
+    rows = df.collect()
+    n_docs = load(spark, SF_SMALL)["documents"].count()
+    assert len(rows) == n_docs
+    for r in rows:
+        p = r["payload"]
+        assert p.startswith('v,"') and p.endswith('"\nEND'), repr(p)
+    roots = sorted(
+        _glob.glob(os.path.join(tempfile.gettempdir(), "csv_ml_*")),
+        key=os.path.getmtime,
+    )
+    assert roots, "no multiline csv temp dir found"
+    parts = _glob.glob(
+        os.path.join(roots[-1], "docs_multiline", "part-*.csv")
+    )
+    assert parts
+    raw = open(parts[0], "rb").read().decode()
+    body = raw.split("\n", 1)[1]  # drop header
+    n_recs = body.count('v,""')  # each record starts a quoted payload
+    assert raw.count("\n") > n_recs + 1, "no embedded newlines in file"
+    assert '""' in raw, "doubled-quote escaping not present"
