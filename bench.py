@@ -177,6 +177,8 @@ EXTRA_SHAPES = [
     "graph_kcore_peel",
     "multimodal_audio_frames",
     "scan_csv_multiline_quoted",
+    "multimodal_image_histogram",
+    "etl_ivm_join_delta",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

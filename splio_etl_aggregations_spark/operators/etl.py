@@ -1526,3 +1526,74 @@ def dq_monotonic_id_gap_check(spark, t):
         .cast("bigint")
         .alias("n_missing"),
     )
+
+
+@register(
+    "etl_ivm_join_delta",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tier="P2",
+)
+def etl_ivm_join_delta(spark, t):
+    """Incremental view maintenance for a JOIN view (the delta rule) —
+    the join-side companion of ``pipeline_lakehouse_ivm`` /
+    ``lake_incremental_rollup``, which maintain aggregate-only views:
+    a revenue-per-priority view over orders ⋈ lineitem is maintained
+    across three arrival batches using ONLY delta joins, never a full
+    O ⋈ L recompute.
+
+    Arrival times are deterministic and DECORRELATED (an order arrives
+    at batch ``o_orderkey % 3``; its line items at
+    ``(l_orderkey + l_linenumber) % 3``) so the late-arriving-fact case
+    is exercised in both directions. Batch t contributes
+    ``ΔO_t ⋈ L_{≤t}  ∪  O_{<t} ⋈ ΔL_t`` — each matched (order, line)
+    pair is produced at exactly ``max(arrival_o, arrival_l)`` and never
+    twice, so the folded partial aggregates must hash-equal the batch
+    answer over the full join, which IS the oracle (the standard IVM
+    correctness statement, V = fold(ΔV_t)).
+
+    Scale posture: this is the nightly-ingest shape at 100 TB — per
+    batch you join a day's delta (small, broadcastable side) against
+    the key-partitioned accumulated table instead of recomputing the
+    view; each delta row flows through maintenance exactly once; the
+    per-batch partial aggregate is |priority|-bounded, and the final
+    fold is a union of three tiny frames. The engine aggregates each
+    delta join IMMEDIATELY (pairs never accumulate raw), mirroring how
+    the lake-log variant folds per-commit partials.
+    """
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderkey") % 3).alias("arr_o"),
+    )
+    lines = t["lineitem"].select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias("arr_l"),
+    )
+    partials = None
+    for step in range(3):
+        d_o = orders.filter(F.col("arr_o") == step)
+        d_l = lines.filter(F.col("arr_l") == step)
+        seen_l = lines.filter(F.col("arr_l") <= step)
+        prev_o = orders.filter(F.col("arr_o") < step)
+        delta_pairs = d_o.join(
+            seen_l, d_o["o_orderkey"] == seen_l["l_orderkey"]
+        ).unionByName(
+            prev_o.join(d_l, prev_o["o_orderkey"] == d_l["l_orderkey"])
+        )
+        part = delta_pairs.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cents").alias("rev_cents"),
+        )
+        partials = part if partials is None else partials.unionByName(part)
+    return partials.groupBy("o_orderpriority").agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )

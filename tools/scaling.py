@@ -224,7 +224,30 @@ def shapes(spark, t, k: int = 1):
         # ~linear in K until the 32 cores saturate, then flat per-file.
         "decode_png": lambda: _png_probe(spark, k),
         "decode_gif": lambda: _gif_probe(spark, k),
+        # r6 second wave. range_search: fixed 9-probe query matrix,
+        # one B×9 matmul per Arrow batch, no shuffle — expect
+        # scan-linear. kcore_peel: edge build is the dominant self-join
+        # (order-bounded blow-up), then three shrinking checkpointed
+        # rounds — expect ~linear in edges. audio_frames: K multiplies
+        # the FILE COUNT like the codec probes (fan-out per file is
+        # audio-length-bounded). csv_multiline: multiLine parse is
+        # one-task-per-file — growth tracks file count × file size.
+        "range_search": lambda: get("sim_range_search").builder(spark, t),
+        "kcore_peel": lambda: get("graph_kcore_peel").builder(spark, t),
+        "audio_frames": lambda: _wav_frames_probe(spark, k),
+        "csv_multiline": lambda: get("scan_csv_multiline_quoted").builder(
+            spark, t
+        ),
     }
+
+
+def _wav_frames_probe(spark, k: int):
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _wav_frames_frame,
+        _write_wavs_impl,
+    )
+
+    return _wav_frames_frame(spark, _write_wavs_impl(16 * k))
 
 
 def _png_probe(spark, k: int):
@@ -245,6 +268,9 @@ def _gif_probe(spark, k: int):
     return _gif_features_frame(spark, _write_gifs_impl(12 * k))
 
 
+EAGER_BUILD_SHAPES = {"kcore_peel", "csv_multiline"}
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
     # SCALING_ONLY=a,b,c probes a named subset (per-wave re-measures
@@ -261,8 +287,18 @@ def main() -> None:
                 continue
             best = None
             for _ in range(2):  # warm: second run (plan + JIT amortized)
-                df = build()
-                t0 = time.perf_counter()
+                # Shapes whose BUILDER executes eager jobs (localCheckpoint
+                # rounds, sink writes) do their real work before the hash
+                # action — start the clock before build() for those, or the
+                # probe times only the final cheap scan (caught on
+                # kcore_peel: 0.12 s "timed" vs ~6 s of checkpointed peel
+                # work done during build).
+                if name in EAGER_BUILD_SHAPES:
+                    t0 = time.perf_counter()
+                    df = build()
+                else:
+                    df = build()
+                    t0 = time.perf_counter()
                 # hash-sum over every output column: unlike count(), this
                 # action prevents Catalyst from pruning the computed
                 # columns (a count() of a windowed projection silently
