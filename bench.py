@@ -179,6 +179,8 @@ EXTRA_SHAPES = [
     "scan_csv_multiline_quoted",
     "multimodal_image_histogram",
     "etl_ivm_join_delta",
+    "agg_histogram_quantile_merge",
+    "dedup_lsh_band_sweep",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -4726,3 +4726,98 @@ def path_regex_match(spark, t):
             "n_error_bursts"
         ),
     )
+
+
+@register(
+    "agg_histogram_quantile_merge",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS pri,
+             LEAST(63, CAST(floor(o_totalprice / 9000) AS BIGINT)) AS bin,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT pri, bin, c,
+             SUM(c) OVER (PARTITION BY pri ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY pri) AS n
+      FROM h
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN 2 * cum >= n
+                         THEN (bin + 1) * 9000 END) AS BIGINT) AS p50_hi,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n
+                         THEN (bin + 1) * 9000 END) AS BIGINT) AS p90_hi,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * n
+                         THEN (bin + 1) * 9000 END) AS BIGINT) AS p99_hi
+    FROM cum GROUP BY pri
+    """,
+    tier="P2",
+)
+def agg_histogram_quantile_merge(spark, t):
+    """Mergeable fixed-bin quantile sketch — the quantile sibling of
+    ``agg_hll_partial_merge``: per-shard 64-bin histograms of order
+    value (bin width 9 000, top bin clamped) are the persisted partial,
+    histogram MERGE is elementwise count addition (associative and
+    lossless, unlike rank-based sketches), and P50/P90/P99 read off the
+    merged cumulative histogram as bin upper edges.
+
+    The engine actually exercises the merge path: raw orders are split
+    into 4 deterministic ingest shards (``o_orderkey % 4``), partials
+    are built per (shard, priority, bin), then merged by summation —
+    the oracle computes the direct un-sharded histogram, so the hash
+    match proves the partial→merge algebra loses nothing. Threshold
+    tests are exact integer cross-multiplications (``2·cum ≥ n``,
+    ``10·cum ≥ 9·n``, ``100·cum ≥ 99·n`` — ceil(q·n) without floats),
+    and every output is an integer bin edge: no float seam anywhere.
+
+    This is the 100 TB quantile pattern where exact percentiles are
+    unaffordable and t-digest/KLL merge order is engine-private:
+    persist one 64-long histogram per (partition, group) at ingest
+    (O(shards·groups·64) state, vs O(rows) for exact), answer any
+    range/rollup quantile by adding histograms. Error is bounded by
+    bin width by construction and reported honestly as the edge, not a
+    fake interpolated precision; ``agg_approx_percentile`` covers the
+    engine-native sketch and ``agg_percentile`` the exact path. The
+    post-merge cumulative window runs on ≤ |priority|·64 rows —
+    partition-bounded, never data-proportional.
+    """
+    from pyspark.sql import Window
+
+    part = (
+        t["orders"]
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            (F.col("o_orderkey") % 4).alias("shard"),
+            F.least(
+                F.lit(63), F.floor(F.col("o_totalprice") / 9000)
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("pri", "shard", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = part.groupBy("pri", "bin").agg(F.sum("c").alias("c"))
+    w_cum = (
+        Window.partitionBy("pri")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("pri")
+    cum = merged.select(
+        "pri",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    edge = (F.col("bin") + 1) * 9000
+    return cum.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.max("n").alias("n_orders"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), edge)).alias("p50_hi"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), edge)
+        ).alias("p90_hi"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), edge)
+        ).alias("p99_hi"),
+    )

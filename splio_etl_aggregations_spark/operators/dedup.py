@@ -375,6 +375,189 @@ def dedup_near_minhash(spark, t):
 
 
 @register(
+    "dedup_lsh_band_sweep",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+          AS gram
+      FROM toks WHERE len(l) >= 2
+    ),
+    th AS (SELECT doc_id,
+                  ('0x' || substr(md5('mhs:' || gram), 1, 15))
+                    ::ubigint::bigint % 2147483647 AS th
+           FROM g),
+    ab AS (SELECT i,
+                  ((2 * i + 1) * 2654435769) % 2147483647 AS a,
+                  ((i * i + 7) * 668265295) % 2147483647 AS b
+           FROM range(64) t(i)),
+    sig AS (SELECT th.doc_id, ab.i,
+                   MIN((th.th * ab.a + ab.b) % 2147483647) AS mh
+            FROM th CROSS JOIN ab GROUP BY 1, 2),
+    cfg AS (SELECT * FROM (VALUES ('b08r8', 8, 8), ('b16r4', 16, 4),
+                                  ('b32r2', 32, 2)) c(label, nb, rpb)),
+    bl AS (SELECT s.doc_id, c.label, s.i // c.rpb AS band_id,
+                  string_agg(s.mh::VARCHAR, ',' ORDER BY s.i) AS bkey
+           FROM sig s CROSS JOIN cfg c
+           GROUP BY s.doc_id, c.label, s.i // c.rpb),
+    cand AS (SELECT DISTINCT l.label, l.doc_id AS lo, r.doc_id AS hi
+             FROM bl l JOIN bl r
+               ON l.label = r.label AND l.band_id = r.band_id
+              AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    pairj AS (SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    ver AS (
+      SELECT c.label, c.lo, c.hi,
+             COALESCE(p.n_common, 0) * 1.0
+               / (sa.n + sb.n - COALESCE(p.n_common, 0)) AS j
+      FROM cand c
+      LEFT JOIN pairj p ON p.lo = c.lo AND p.hi = c.hi
+      JOIN sz sa ON sa.doc_id = c.lo
+      JOIN sz sb ON sb.doc_id = c.hi
+    )
+    SELECT v.label AS config,
+           CAST(MAX(cfg.nb) AS INT) AS n_bands,
+           CAST(MAX(cfg.rpb) AS INT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (v.j >= 0.6) AS BIGINT) AS n_verified
+    FROM ver v JOIN cfg ON cfg.label = v.label
+    GROUP BY v.label
+    """,
+    tier="P2",
+)
+def dedup_lsh_band_sweep(spark, t):
+    """LSH banding TUNING TABLE — the measurement you run before
+    committing a (bands × rows) configuration at 100 TB: from ONE set
+    of 64 minhash signatures, evaluate three bandings (8×8, 16×4,
+    32×2) and report each one's candidate-pair volume and how many
+    candidates the exact verifier confirms (Jaccard ≥ 0.6). Wide-row
+    bands (8×8) are high-precision/low-recall (P[collide] = s⁸ per
+    band); narrow rows (32×2) maximize recall at τ=0.6 and rely on the
+    verifier — exactly the trade ``dedup_near_minhash`` locked in, here
+    quantified so the choice is data-driven rather than folklore.
+
+    Signatures use the portable md5 hash family (``ph60 % (2³¹−1)``,
+    fixed Mersenne universal coefficients) so DuckDB recomputes them
+    bit-identically — candidate COUNTS are hash-checked, not just the
+    verified survivors (the existing minhash op can only oracle its
+    exact-pair OUTPUT because its xxhash64 signatures are
+    engine-private). Band buckets join on the raw signature slice
+    (injective per engine), so no second hash enters the seam.
+
+    Scale posture: the signature build is the only stage touching the
+    gram stream (one groupBy, 64 map-side mins); it is
+    ``localCheckpoint``-ed once and fanned to the three bandings —
+    each banding shuffles |docs|·B band rows, candidates are
+    band-bucket-local pairs (never all-pairs), and the exact verify
+    joins gram sets for candidate pairs only. The whole sweep costs
+    one signature pass + three cheap banding passes, which is why you
+    can afford to measure before you choose.
+    """
+    from ..functions.portable_hash import ph60
+    from .corpus import _gram_str, _zip_grams
+
+    n_hashes = 64
+    prime = (1 << 31) - 1
+    rng_a = [((2 * i + 1) * 0x9E3779B9) % prime for i in range(n_hashes)]
+    rng_b = [((i * i + 7) * 0x27D4EB4F) % prime for i in range(n_hashes)]
+    configs = [("b08r8", 8, 8), ("b16r4", 16, 4), ("b32r2", 32, 2)]
+
+    docs = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    grams_rows = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("gram"))
+    )
+    gram_sets = grams_rows.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams")
+    )
+    th = grams_rows.select(
+        "doc_id", (ph60("gram", "mhs") % prime).alias("th")
+    )
+    # One signature table feeds all three bandings — materialize it
+    # once (kcore/pagerank lineage-cut pattern) so the gram scan and
+    # 64-way min-agg don't re-run per config.
+    sig = th.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
+                % F.lit(prime)
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    ).localCheckpoint()
+
+    cand_frames = []
+    for label, nb, rpb in configs:
+        bands_long = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * rpb + r}").cast("string")
+                                    for r in range(rpb)
+                                ],
+                            ).alias("bkey"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band_id", "bb.bkey")
+        lft, rgt = bands_long.alias("l"), bands_long.alias("r")
+        cand_frames.append(
+            lft.join(
+                rgt,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.bkey") == F.col("r.bkey"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.lit(label).alias("config"),
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                F.col("l.doc_id").alias("lo"),
+                F.col("r.doc_id").alias("hi"),
+            )
+            .distinct()
+        )
+    cand = cand_frames[0].unionByName(cand_frames[1]).unionByName(
+        cand_frames[2]
+    )
+    lo = gram_sets.select(
+        F.col("doc_id").alias("lo"), F.col("grams").alias("grams_lo")
+    )
+    hi = gram_sets.select(
+        F.col("doc_id").alias("hi"), F.col("grams").alias("grams_hi")
+    )
+    j = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
+        F.array_union("grams_lo", "grams_hi")
+    )
+    return (
+        cand.join(lo, "lo")
+        .join(hi, "hi")
+        .groupBy("config")
+        .agg(
+            F.max("n_bands").cast("int").alias("n_bands"),
+            F.max("rows_per_band").cast("int").alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(j >= 0.6, 1).otherwise(0)).alias("n_verified"),
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

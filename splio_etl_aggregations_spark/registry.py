@@ -220,8 +220,13 @@ DRIVER_ORDER: list[str] = [
     "agg_whale_curve_topshares",
     "agg_duplicate_invoice_detector",
     "join_accumulating_snapshot",
-    # ---- round-8 final never-sampled (12 + the round-5 additions,
-    # which append to the never-sampled pool per rotation policy) ----
+    # ---- round-8 final never-sampled (38 total: the 11 round-5
+    # additions, 12 earlier stragglers, the 13 round-6 additions
+    # appended at the block's end per rotation policy — new ops always
+    # append to the never-sampled pool — plus the 2 rows-only ANN ops
+    # parked at the very end where they can never burn a verified
+    # slot; 50 r6-window + 50 r7 + these 38 = the 138 IDs without a
+    # driver row after r5) ----
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "ts_stl_decompose",
@@ -257,6 +262,8 @@ DRIVER_ORDER: list[str] = [
     "scan_csv_multiline_quoted",
     "multimodal_image_histogram",
     "etl_ivm_join_delta",
+    "agg_histogram_quantile_merge",
+    "dedup_lsh_band_sweep",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",

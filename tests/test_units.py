@@ -2575,3 +2575,54 @@ def test_ivm_join_delta_equals_direct_join(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_band_sweep_candidate_sets_nest_and_agree_with_exact(spark):
+    """Banding structure: an 8-row band is two nested 4-row bands is
+    four nested 2-row bands, so candidate counts must be monotone
+    non-decreasing from b08r8 -> b16r4 -> b32r2, verified counts too;
+    and the recall-maximal 32x2 banding must verify EXACTLY the pairs
+    the exact n-gram operator emits (jaccard >= 0.6) — the minhash
+    recall guarantee, here on the portable hash family."""
+    rows = {
+        r["config"]: r
+        for r in Q["dedup_lsh_band_sweep"].run(spark, SF_SMALL).collect()
+    }
+    assert set(rows) <= {"b08r8", "b16r4", "b32r2"}
+    c8 = rows.get("b08r8")
+    c16 = rows.get("b16r4")
+    c32 = rows["b32r2"]  # the permissive config always has candidates
+    cand = lambda r: r["n_candidates"] if r else 0
+    ver = lambda r: r["n_verified"] if r else 0
+    assert cand(c8) <= cand(c16) <= cand(c32)
+    assert ver(c8) <= ver(c16) <= ver(c32)
+    exact_pairs = Q["dedup_ngram_jaccard"].run(spark, SF_SMALL).count()
+    assert ver(c32) == exact_pairs
+
+
+def test_histogram_quantiles_bracket_exact_percentiles(spark):
+    """Each reported bin edge must be >= the exact percentile and less
+    than one bin width above it (the sketch's stated error bound)."""
+    import math
+
+    tables = load(spark, SF_SMALL)
+    vals = {}
+    for r in tables["orders"].select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    out = {
+        r["o_orderpriority"]: r
+        for r in Q["agg_histogram_quantile_merge"].run(spark, SF_SMALL).collect()
+    }
+    assert set(out) == set(vals)
+    for pri, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        assert out[pri]["n_orders"] == n
+        for q, col in ((0.5, "p50_hi"), (0.9, "p90_hi"), (0.99, "p99_hi")):
+            exact = xs[math.ceil(q * n) - 1]
+            hi = out[pri][col]
+            assert hi >= exact, (pri, col, hi, exact)
+            # clamped top bin can only widen upward; below it the edge
+            # sits within one bin width of the exact percentile
+            if hi < 64 * 9000:
+                assert hi - exact < 9000, (pri, col, hi, exact)
