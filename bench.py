@@ -181,6 +181,7 @@ EXTRA_SHAPES = [
     "etl_ivm_join_delta",
     "agg_histogram_quantile_merge",
     "dedup_lsh_band_sweep",
+    "stream_quantile_histogram",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

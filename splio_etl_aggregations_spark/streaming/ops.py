@@ -916,3 +916,89 @@ def stream_heavy_hitters(spark, t):
         .groupBy("window_start", "user_id", "exact_n")
         .agg(F.min("counter").alias("cms_estimate"))
     )
+
+
+def value_hist_6h(events: DataFrame) -> DataFrame:
+    """6-hour-windowed fixed-bin value histogram as a streaming
+    aggregate: per tumbling window, 32 counters of ``value`` (bin width
+    16, top bin clamped) — the quantile analogue of ``cms_sketch_6h``:
+    state is 32 integers per window whatever the event volume, and the
+    histogram is an ordinary windowed count, so the identical code runs
+    under readStream and batch (replay equivalence asserted in
+    tests/test_streaming.py). Bin width 16 is a power of two, so
+    ``value / 16`` is EXACT in binary floating point — no engine can
+    land a boundary value in a different bin."""
+    b = F.least(F.lit(31), F.floor(F.col("value") / 16)).cast("long")
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "bin", "c")
+    )
+
+
+@register(
+    "stream_quantile_histogram",
+    oracle="""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+             LEAST(31, CAST(floor(value / 16) AS BIGINT)) AS bin
+      FROM events
+    ),
+    h AS (SELECT window_start, bin, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+    cum AS (
+      SELECT window_start, bin, c,
+             SUM(c) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY window_start) AS n
+      FROM h
+    )
+    SELECT window_start,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN 2 * cum >= n
+                         THEN (bin + 1) * 16 END) AS BIGINT) AS p50_hi,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n
+                         THEN (bin + 1) * 16 END) AS BIGINT) AS p90_hi
+    FROM cum GROUP BY window_start
+    """,
+    tier="P2",
+)
+def stream_quantile_histogram(spark, t):
+    """Streaming windowed quantiles via the mergeable fixed-bin
+    histogram — the streaming face of ``agg_histogram_quantile_merge``:
+    ``value_hist_6h`` maintains 32 counters per 6-hour window as
+    ordinary streaming state (micro-batch increments merge by
+    addition, the property the replay test pins), and the batch
+    consumer reads P50/P90 off each window's cumulative histogram as
+    integer bin edges with exact cross-multiplied thresholds.
+
+    This is how you get percentile dashboards over an unbounded stream
+    without per-event state: latency/value quantiles per window cost
+    O(windows·32) state total, versus unbounded buffers for exact
+    streaming percentiles. The histogram stage streams; the edge
+    readout is the tiny batch query every sketch pipeline has
+    (``stream_heavy_hitters`` splits the same way). Window cumsum runs
+    on ≤ 32 rows per window — partition-bounded.
+    """
+    from pyspark.sql import Window
+
+    hist = value_hist_6h(t["events"])
+    w_cum = (
+        Window.partitionBy("window_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("window_start")
+    cum = hist.select(
+        "window_start",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    edge = (F.col("bin") + 1) * 16
+    return cum.groupBy("window_start").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), edge)).alias("p50_hi"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), edge)
+        ).alias("p90_hi"),
+    )

@@ -683,3 +683,14 @@ def test_transform_with_state_sessionize(spark):
     joined = got.withColumnRenamed("session_no", "got").join(ref, "event_id")
     assert joined.filter(F.col("got") != F.col("session_no")).count() == 0
     assert joined.count() == t["events"].count()
+
+
+def test_value_histogram_replay_equals_batch(spark):
+    """The windowed value histogram must be identical whether built in
+    one batch pass or incrementally across micro-batches — count
+    addition is the merge, same property as the CMS counter table."""
+    from splio_etl_aggregations_spark.streaming.ops import value_hist_6h
+
+    batch = value_hist_6h(load(spark, SF_SMALL)["events"])
+    stream = _replay(spark, value_hist_6h, mode="complete")
+    assert _rows(stream) == _rows(batch)
