@@ -450,7 +450,9 @@ def dedup_lsh_band_sweep(spark, t):
     (injective per engine), so no second hash enters the seam.
 
     Scale posture: the signature build is the only stage touching the
-    gram stream (one groupBy, 64 map-side mins); it is
+    gram stream (long-format ×64 hash-family fan-out, one map-side-
+    combined min over (doc, i) — see the in-body note on why the
+    64-wide-column form was compile-bound and got rewritten); it is
     ``localCheckpoint``-ed once and fanned to the three bandings —
     each banding shuffles |docs|·B band rows, candidates are
     band-bucket-local pairs (never all-pairs), and the exact verify
@@ -480,41 +482,69 @@ def dedup_lsh_band_sweep(spark, t):
     th = grams_rows.select(
         "doc_id", (ph60("gram", "mhs") % prime).alias("th")
     )
-    # One signature table feeds all three bandings — materialize it
-    # once (kcore/pagerank lineage-cut pattern) so the gram scan and
-    # 64-way min-agg don't re-run per config.
-    sig = th.groupBy("doc_id").agg(
+    # Signatures in LONG format — (doc_id, i, mh) rows, the exact shape
+    # the oracle uses — NOT 64 wide min-agg columns. The wide form's
+    # generated code (64 fused multiply-add-mod aggregates, then
+    # 32-struct band projections over 64 columns) took whole-stage
+    # codegen seconds to COMPILE per build: the first cut measured
+    # ~17 s warm at sf0.1 while its data work summed to ~8 s, and
+    # stayed ~7 s at sf0.01 where the data is trivial — the signature
+    # of compile-bound, not data-bound. Long format explodes the
+    # 64-entry (i, a, b) literal family per gram occurrence (11 M tiny
+    # rows at sf0.1 — one map-side-combined min over (doc, i)) and
+    # every expression stays 3 ops wide. Materialized once
+    # (kcore/pagerank lineage-cut pattern) and fanned to the three
+    # bandings.
+    fam = F.array(
         *[
-            F.min(
-                (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
-                % F.lit(prime)
-            ).alias(f"mh{i}")
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(rng_a[i]).alias("a"),
+                F.lit(rng_b[i]).alias("b"),
+            )
             for i in range(n_hashes)
         ]
-    ).localCheckpoint()
+    )
+    # Explicit repartition BEFORE the checkpoint: AQE coalesces the
+    # signature agg to ~1 partition (320 k rows is only a few MB — AQE
+    # optimizes bytes, not CPU), localCheckpoint would freeze that, and
+    # every downstream banding/self-join/verify stage then runs 1-3
+    # tasks (measured: the whole sweep serialized to ~19 s warm at
+    # sf0.1; event-log stages showed task counts of 1). An explicit
+    # partition count is exempt from AQE coalescing, so the
+    # checkpointed RDD keeps cores-many partitions and the CPU-heavy
+    # stages downstream parallelize.
+    sigl = (
+        th.select("doc_id", "th", F.explode(fam).alias("x"))
+        .groupBy("doc_id", F.col("x.i").alias("i"))
+        .agg(
+            F.min(
+                (F.col("th") * F.col("x.a") + F.col("x.b")) % F.lit(prime)
+            ).alias("mh")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint()
+    )
+    gram_sets = gram_sets.localCheckpoint()  # feeds TWO broadcasts below
 
     cand_frames = []
     for label, nb, rpb in configs:
-        bands_long = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * rpb + r}").cast("string")
-                                    for r in range(rpb)
-                                ],
-                            ).alias("bkey"),
-                        )
-                        for b in range(nb)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "bb.band_id", "bb.bkey")
+        # band key = the ordered signature slice (array_sort fixes
+        # collect_list's nondeterministic order; ≤8 elements per band)
+        bands_long = (
+            sigl.groupBy(
+                "doc_id", (F.col("i") / rpb).cast("int").alias("band_id")
+            )
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                ).alias("bkey")
+            )
+        )
         lft, rgt = bands_long.alias("l"), bands_long.alias("r")
         cand_frames.append(
             lft.join(
@@ -532,8 +562,18 @@ def dedup_lsh_band_sweep(spark, t):
             )
             .distinct()
         )
-    cand = cand_frames[0].unionByName(cand_frames[1]).unionByName(
-        cand_frames[2]
+    # Explicit repartition between candidate generation and the verify
+    # join: AQE coalesces the distincts' exchanges to ~3 partitions
+    # (≈10 MB of (config, lo, hi) rows — byte-cheap), and the verify's
+    # broadcast joins FUSE into that stage, so 426 k array-intersect
+    # verifications ran on 3 tasks (event log: one 16.9 s stage with
+    # 3 tasks = 85 % of the op's wall). CPU-heavy, byte-light stages
+    # need the explicit (coalesce-exempt) partition count.
+    cand = (
+        cand_frames[0]
+        .unionByName(cand_frames[1])
+        .unionByName(cand_frames[2])
+        .repartition(spark.sparkContext.defaultParallelism, "lo", "hi")
     )
     lo = gram_sets.select(
         F.col("doc_id").alias("lo"), F.col("grams").alias("grams_lo")
@@ -544,9 +584,17 @@ def dedup_lsh_band_sweep(spark, t):
     j = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
         F.array_union("grams_lo", "grams_hi")
     )
+    # BROADCAST the gram-set side: without the hint the planner routes
+    # ~426 k (config, pair) rows AND the 35-string gram arrays through
+    # two sort-merge shuffles — measured 17 s at sf0.1 vs 1.6 s
+    # broadcast (the arrays are the shuffle payload; the doc-side frame
+    # is only ~2 MB). At 100 TB the doc side no longer fits a
+    # broadcast; there you run the sweep on a deterministic sample
+    # shard (a tuning table needs relative, not exhaustive, counts) or
+    # drop the hint and pay the shuffle once.
     return (
-        cand.join(lo, "lo")
-        .join(hi, "hi")
+        cand.join(F.broadcast(lo), "lo")
+        .join(F.broadcast(hi), "hi")
         .groupBy("config")
         .agg(
             F.max("n_bands").cast("int").alias("n_bands"),
