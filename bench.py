@@ -182,6 +182,7 @@ EXTRA_SHAPES = [
     "agg_histogram_quantile_merge",
     "dedup_lsh_band_sweep",
     "stream_quantile_histogram",
+    "ml_knn_label_eval",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

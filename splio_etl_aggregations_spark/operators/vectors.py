@@ -324,6 +324,136 @@ def sim_range_search(spark, t):
 
 
 @register(
+    "ml_knn_label_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id % 61 = 0 AND vec_id < 500
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    s AS (
+      SELECT qid, qlabel, vec_id, label,
+             round(list_cosine_similarity(qe, emb), 6) AS cs
+      FROM q CROSS JOIN e WHERE vec_id <> qid
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cs DESC, vec_id) AS rn
+      FROM s
+    ),
+    v AS (
+      SELECT qid, qlabel, label, COUNT(*) AS votes
+      FROM r WHERE rn <= 5 GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT qid, qlabel, label, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, label) AS pr
+      FROM v
+    )
+    SELECT qid AS query_id,
+           CAST(qlabel AS INT) AS true_label,
+           CAST(label AS INT) AS pred_label,
+           CAST(votes AS BIGINT) AS n_votes,
+           qlabel = label AS is_correct
+    FROM p WHERE pr = 1
+    """,
+    tier="P2",
+)
+def ml_knn_label_eval(spark, t):
+    """k-NN label-vote classifier evaluation — the retrieval-quality
+    measurement every embedding pipeline runs before trusting its
+    vectors: for each probe (the same bounded 9-vector query set as
+    ``sim_range_search``), take the top-5 cosine neighbors, majority-
+    vote their labels, and report predicted vs true label per probe.
+    Low accuracy on near-random embeddings is the honest expected
+    output — the op measures, it does not flatter.
+
+    Every seam is made deterministic the house way: neighbor rank
+    orders by (6-dp HALF_UP cosine DESC, vec_id) — the no-ties total
+    order ``sim_cosine_topk`` established; vote ties break to the
+    smallest label; both window orders are mirrored verbatim in the
+    oracle. The scan side is the ``sim_range_search`` kernel (one
+    B×|Q| BLAS matmul per Arrow batch, no joins); the rank window
+    partitions by query — 9 bounded partitions whose size is the
+    corpus count, the right shape while |Q| is small (for thousands of
+    probes you'd per-partition top-k before the window, exactly as
+    ``sim_cosine_topk`` cuts group-locally).
+    """
+    k = 5
+    qrows = (
+        t["embeddings"]
+        .filter((F.col("vec_id") % 61 == 0) & (F.col("vec_id") < 500))
+        .select(
+            "vec_id", "label", F.col("embedding").cast(_EMB_D).alias("emb")
+        )
+        .orderBy("vec_id")
+        .collect()  # bounded: ≤ ceil(500/61) = 9 rows by the id cap
+    )
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_labels = {int(r["vec_id"]): int(r["label"]) for r in qrows}
+    q_mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in qrows])
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1)[:, None]
+
+    @F.pandas_udf(_EMB_D)
+    def sims_to_queries(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        return pd.Series(list(mat @ q_unit.T))
+
+    from pyspark.sql import Window
+
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    qlabel_arr = F.array(*[F.lit(q_labels[q]) for q in q_ids])
+    scored = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                sims_to_queries(F.col("embedding").cast(_EMB_D))
+            ).alias("qpos", "raw"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("qid"),
+            F.element_at(qlabel_arr, F.col("qpos") + 1).alias("qlabel"),
+            "vec_id",
+            "label",
+            r6("raw").alias("cs"),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc("cs"), F.asc("vec_id")
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .groupBy("qid", "qlabel", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(w_pick))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("votes").alias("n_votes"),
+            (F.col("qlabel") == F.col("label")).alias("is_correct"),
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,

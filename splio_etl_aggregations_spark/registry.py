@@ -220,12 +220,12 @@ DRIVER_ORDER: list[str] = [
     "agg_whale_curve_topshares",
     "agg_duplicate_invoice_detector",
     "join_accumulating_snapshot",
-    # ---- round-8 final never-sampled (39 total: the 11 round-5
-    # additions, 12 earlier stragglers, the 14 round-6 additions
+    # ---- round-8 final never-sampled (40 total: the 11 round-5
+    # additions, 12 earlier stragglers, the 15 round-6 additions
     # appended at the block's end per rotation policy — new ops always
     # append to the never-sampled pool — plus the 2 rows-only ANN ops
     # parked at the very end where they can never burn a verified
-    # slot; 50 r6-window + 50 r7 + these 39 = the 139 IDs without a
+    # slot; 50 r6-window + 50 r7 + these 40 = the 140 IDs without a
     # driver row after r5) ----
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
@@ -265,6 +265,7 @@ DRIVER_ORDER: list[str] = [
     "agg_histogram_quantile_merge",
     "dedup_lsh_band_sweep",
     "stream_quantile_histogram",
+    "ml_knn_label_eval",
     # -- driver-green tail (238 IDs, latest driver row green; r5 window
     # first, then relative order preserved from the r1-r4 windows) --
     "join_left_semi",

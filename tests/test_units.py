@@ -2626,3 +2626,37 @@ def test_histogram_quantiles_bracket_exact_percentiles(spark):
             # sits within one bin width of the exact percentile
             if hi < 64 * 9000:
                 assert hi - exact < 9000, (pri, col, hi, exact)
+
+
+def test_knn_label_eval_agrees_with_numpy_vote(spark):
+    """Per probe, the predicted label must equal an independent numpy
+    recompute: exact top-5 by (6-dp HALF_UP cosine desc, vec_id),
+    majority vote, smallest-label tie-break."""
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+
+    got = {
+        r["query_id"]: (r["true_label"], r["pred_label"], r["n_votes"], r["is_correct"])
+        for r in Q["ml_knn_label_eval"].run(spark, SF_SMALL).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    labels = dict(zip(pdf["vec_id"], pdf["label"]))
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    qmask = (ids % 61 == 0) & (ids < 500)
+    sims = mat[qmask] @ mat.T
+    r6v = np.floor(sims * 1e6 + 0.5) / 1e6
+    assert set(got) == {int(q) for q in ids[qmask]}
+    for qi, qid in enumerate(ids[qmask]):
+        order = sorted(
+            (( -r6v[qi, vi], int(vid)) for vi, vid in enumerate(ids) if vid != qid)
+        )[:5]
+        top_labels = [int(labels[v]) for _, v in order]
+        counts = Counter(top_labels)
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        tl, pl, nv, ok = got[int(qid)]
+        assert (pl, nv) == best, (qid, (pl, nv), best)
+        assert tl == int(labels[qid])
+        assert ok == (pl == tl)
