@@ -238,6 +238,21 @@ def shapes(spark, t, k: int = 1):
         "csv_multiline": lambda: get("scan_csv_multiline_quoted").builder(
             spark, t
         ),
+        # r6 third wave. hist_quantile: (shard, group, bin)-keyed count,
+        # the hourly_buckets profile with a 64-value key — expect
+        # linear. ivm_join_delta: 3 delta joins at 1/3 scale each —
+        # expect the orders⋈lineitem linear shape. knn_label_eval: the
+        # range-search kernel + a 9-partition bounded window. band_sweep:
+        # signature pass linear; candidate volume grows with the square
+        # of bucket occupancy on the replicated corpus (dup docs share
+        # buckets) — the probe shows the verify bill growing, which is
+        # the phenomenon the op exists to price.
+        "hist_quantile": lambda: get("agg_histogram_quantile_merge").builder(
+            spark, t
+        ),
+        "ivm_join_delta": lambda: get("etl_ivm_join_delta").builder(spark, t),
+        "knn_label_eval": lambda: get("ml_knn_label_eval").builder(spark, t),
+        "band_sweep": lambda: get("dedup_lsh_band_sweep").builder(spark, t),
     }
 
 
@@ -268,7 +283,7 @@ def _gif_probe(spark, k: int):
     return _gif_features_frame(spark, _write_gifs_impl(12 * k))
 
 
-EAGER_BUILD_SHAPES = {"kcore_peel", "csv_multiline"}
+EAGER_BUILD_SHAPES = {"kcore_peel", "csv_multiline", "band_sweep"}
 
 
 def main() -> None:
