@@ -183,6 +183,9 @@ EXTRA_SHAPES = [
     "dedup_lsh_band_sweep",
     "stream_quantile_histogram",
     "ml_knn_label_eval",
+    # round-7 additions
+    "multimodal_decode_jpeg",
+    "scan_avro_roundtrip",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface
@@ -374,6 +377,10 @@ def main() -> None:
         f"[bench] extra-shape timings -> BENCH_EXTRA.json ({len(extras)} shapes)",
         file=sys.stderr,
     )
+    # BASELINE.md's baseline-8 warm total at sf0.1; printing the ratio
+    # here keeps the headline number machine-derived, never hand-quoted
+    # (the r6 memory/commit briefly quoted a stale intermediate run).
+    baseline_total = 5.76
     print(
         json.dumps(
             {
@@ -382,6 +389,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: results[n] for n in BASELINE_SHAPES},
                 "sf": sf,
+                "vs_baseline": round(total / baseline_total, 4),
             }
         )
     )

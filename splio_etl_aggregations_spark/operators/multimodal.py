@@ -1,19 +1,24 @@
 """Multimodal columns (SURVEY.md §2-J tail; BASELINE.json north-star).
 
-Images/audio/video are opaque ``binary`` columns + typed metadata. The
-Spark-side plumbing — binaryFile source, schema, Arrow batch shape,
-``mapInPandas`` decode stage — is real and tested; the actual codec call
-is stubbed behind a deterministic fake (no image/audio libs in this
-container), clearly marked where a real decoder would plug in.
+Images/audio/video are opaque ``binary`` columns + typed metadata,
+decoded inside Arrow-batched ``mapInPandas`` stages. Since r7 every
+registered decode path runs a REAL codec written here from the public
+format specs (no imaging libs in this container): 24-bit BMP, PNG
+(zlib + all five scanline filters), GIF87a/89a single- and multi-frame
+(real variable-width LZW), PCM16 WAV — the r3 ``_fake_decode`` /
+``_frames`` stubs are fully retired. The opaque seeded-byte blob corpus
+survives only where opacity IS the semantics (binary ingest manifest,
+perceptual-hash dedup over raw bytes).
 
-Hash-checked since round 3 (rows-only through r2): the fake blobs are
-pure functions of their index (sha256-seeded bytes), so DuckDB can
-regenerate every blob AS HEX and recompute the manifest/decode/frame
-outputs — which makes the oracle a byte-exactness proof of the whole
-binaryFile → Arrow → pandas transport. One accommodation: DuckDB 1.0's
-``sha256`` accepts only VARCHAR, so content fingerprints are computed
-over the UPPERCASE HEX of the bytes (injective, cross-engine) rather
-than the raw bytes.
+Hash-checked since round 3 (rows-only through r2): every corpus is a
+pure function of the file index — seeded bytes for the opaque blobs,
+generative pixel/sample formulas for the media files — so DuckDB can
+regenerate every asset and recompute the manifest/decode/frame outputs
+— which makes the oracle a byte-exactness proof of the whole
+binaryFile → Arrow → pandas transport AND of each decoder. One
+accommodation: DuckDB 1.0's ``sha256`` accepts only VARCHAR, so content
+fingerprints are computed over the UPPERCASE HEX of the bytes
+(injective, cross-engine) rather than the raw bytes.
 """
 
 from __future__ import annotations
@@ -82,161 +87,355 @@ def multimodal_binary_ingest(spark, t):
 
 @register(
     "multimodal_decode_features",
-    oracle=f"""
-    WITH {_BLOBS_SQL},
-    body AS (SELECT file_name, hexdata, substr(hexdata, 21) AS bh FROM blobs),
-    bytes AS (
-      SELECT b.file_name, ('0x' || substr(b.bh, 2 * g.p + 1, 2))::INT AS v
-      FROM body b CROSS JOIN (SELECT range AS p FROM range(3000)) g
-      WHERE g.p < length(b.bh) / 2
+    oracle="""
+    WITH bmp AS (
+      SELECT range AS i, 13 + range % 7 AS w, 8 + (range % 4) * 5 AS h
+      FROM range(18)
+    ),
+    png AS (
+      SELECT range AS i, 9 + range % 8 AS w, 6 + (range % 5) * 3 AS h
+      FROM range(20)
+    ),
+    gif AS (
+      SELECT range AS i, 24 + (range % 5) * 18 AS w,
+             20 + (range % 4) * 20 AS h
+      FROM range(12)
+    ),
+    allpx AS (
+      SELECT 'img_' || lpad(i::VARCHAR, 4, '0') || '.bmp' AS file_name,
+             'bmp' AS fmt, w, h,
+             (31 * i + 7 * gx.x + 13 * gy.y) % 256 AS r,
+             (17 * i + 3 * gx.x + 5 * gy.y) % 256 AS g,
+             (29 * i + 11 * gx.x + 2 * gy.y) % 256 AS b
+      FROM bmp
+      CROSS JOIN (SELECT range AS x FROM range(19)) gx
+      CROSS JOIN (SELECT range AS y FROM range(23)) gy
+      WHERE gx.x < w AND gy.y < h
+      UNION ALL
+      SELECT 'img_' || lpad(i::VARCHAR, 4, '0') || '.png', 'png', w, h,
+             (23 * i + 5 * gx.x + 11 * gy.y) % 256,
+             (13 * i + 7 * gx.x + 3 * gy.y) % 256,
+             (37 * i + 2 * gx.x + 9 * gy.y) % 256
+      FROM png
+      CROSS JOIN (SELECT range AS x FROM range(16)) gx
+      CROSS JOIN (SELECT range AS y FROM range(18)) gy
+      WHERE gx.x < w AND gy.y < h
+      UNION ALL
+      SELECT 'anim_' || lpad(i::VARCHAR, 4, '0') || '.gif', 'gif', w, h,
+             (7 * ((19 * i + 3 * gx.x + 7 * gy.y) % 256) + 31) % 256,
+             (11 * ((19 * i + 3 * gx.x + 7 * gy.y) % 256) + 17) % 256,
+             (5 * ((19 * i + 3 * gx.x + 7 * gy.y) % 256) + 89) % 256
+      FROM gif
+      CROSS JOIN (SELECT range AS x FROM range(96)) gx
+      CROSS JOIN (SELECT range AS y FROM range(80)) gy
+      WHERE gx.x < w AND gy.y < h
     )
-    SELECT b.file_name,
-           16 * (('0x' || substr(b.hexdata, 17, 2))::INT + 1) AS width,
-           9 * (('0x' || substr(b.hexdata, 19, 2))::INT + 1) AS height,
-           round(s.byte_sum / s.n_body, 4) AS byte_mean
-    FROM body b JOIN (
-      SELECT file_name, SUM(v)::DOUBLE AS byte_sum,
-             COUNT(*)::DOUBLE AS n_body
-      FROM bytes GROUP BY file_name
-    ) s USING (file_name)
+    SELECT file_name, fmt,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           round(SUM(r + g + b)::DOUBLE / (3 * MAX(w) * MAX(h)), 4)
+             AS mean_rgb,
+           CAST(SUM(CASE WHEN (2 * r + 5 * g + b) // 8 > 127
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+    FROM allpx GROUP BY 1, 2
     """,
     tier="P3",
 )
 def multimodal_decode_features(spark, t):
-    """Decode + feature-extract stage over binary media via mapInPandas.
+    """GENERIC image decode + feature stage over a MIXED-format corpus
+    — one binaryFile scan across the BMP, PNG and GIF asset
+    directories, with per-file codec dispatch on magic bytes inside a
+    single Arrow-batched ``mapInPandas`` stage. This is the shape of a
+    real scraped-media pipeline (formats arrive interleaved; the
+    decode stage must route each blob), and since r7 every branch is a
+    REAL decoder: ``decode_bmp`` (padding/BGR/bottom-up),
+    ``decode_png`` (zlib inflate + all five scanline filters),
+    ``decode_gif`` (variable-width LZW + palette) — the r3
+    ``_fake_decode`` stub is retired.
 
-    The decode is a deterministic fake (header parse + byte statistics)
-    standing in for e.g. PIL/libvips/ffmpeg — swap ``_fake_decode`` for a
-    real codec and the schema, batching and partitioning stay unchanged.
-    Arrow moves the binary column in columnar batches; one Python worker
-    per core processes whole batches (never per-row pickling). The UDF
-    emits EXACT integer byte sums; the mean + 4-dp rounding fold happens
-    JVM-side with ``F.round`` so the float path matches the oracle's
-    (the repo-wide r4 cross-engine rounding convention).
+    The oracle regenerates all three corpora from their generative
+    pixel formulas (GIF through the palette formula composition) and
+    never sees a file byte, so the value-hash match proves each
+    format's full container walk. Exact integer RGB sums in the UDF;
+    the 4-dp mean division happens JVM-side (``F.round``) — the
+    repo-wide cross-engine float convention.
+
+    Scale posture: one scan, one Python stage, one output row per
+    asset; files parallelize perfectly and per-batch cost is bounded
+    by decoded image size. At 100 TB the only change is swapping the
+    pure-Python codec bodies for libpng/giflib bindings — schema,
+    dispatch, batching and partitioning are already the real thing.
     """
-    root = _write_blobs()
-    raw = spark.read.format("binaryFile").load(f"{root}/*.bin")
+    import numpy as np
 
-    def _fake_decode(content: bytes) -> dict:
-        # STUB: a real implementation would decode pixels/samples here.
-        # Deterministic stand-in: header fields + byte histogram moments.
-        if not content.startswith(b"FAKEIMG1"):
-            raise NotImplementedError(
-                "real codec not available in this environment"
-            )
-        body = content[10:]
-        return {
-            "width": 16 * (content[8] + 1),
-            "height": 9 * (content[9] + 1),
-            "byte_sum": sum(body),
-            "n_body": len(body),
-        }
+    roots = [_write_bmps(), _write_pngs(), _write_gifs()]
+    raw = spark.read.format("binaryFile").load([f"{r}/*" for r in roots])
+
+    def decode_any(content: bytes):
+        if content[:2] == b"BM":
+            return "bmp", decode_bmp(content)
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png", decode_png(content)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif", decode_gif(content)
+        raise ValueError(f"unsupported media format: {content[:8]!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(c) for c in pdf["content"]]
-            out = pd.DataFrame(feats)
-            out.insert(
-                0, "file_name", pdf["path"].str.split("/").str[-1].to_numpy()
-            )
-            yield out
+            out = {
+                "file_name": [], "fmt": [], "width": [], "height": [],
+                "sum_rgb": [], "n_bright": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fmt, im = decode_any(content)
+                h, w = im.shape[:2]
+                px = im.astype(np.int64)
+                luma = (2 * px[:, :, 0] + 5 * px[:, :, 1] + px[:, :, 2]) // 8
+                out["file_name"].append(path.rsplit("/", 1)[-1])
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_rgb"].append(int(px.sum()))
+                out["n_bright"].append(int((luma > 127).sum()))
+            yield pd.DataFrame(out)
 
     decoded = raw.select("path", "content").mapInPandas(
         decode,
-        schema="file_name string, width int, height int, "
-        "byte_sum long, n_body long",
+        schema="file_name string, fmt string, width int, height int, "
+        "sum_rgb long, n_bright long",
     )
+    n_samples = (3 * F.col("width") * F.col("height")).cast("double")
     return decoded.select(
         "file_name",
+        "fmt",
         "width",
         "height",
-        F.round(
-            F.col("byte_sum").cast("double") / F.col("n_body").cast("double"),
-            4,
-        ).alias("byte_mean"),
+        F.round(F.col("sum_rgb") / n_samples, 4).alias("mean_rgb"),
+        "n_bright",
     )
+
+
+_N_AGIF = 12
+
+
+def _agif_dims(i: int) -> tuple[int, int]:
+    # small frames (16..40 x 12..32): many frames per file matter more
+    # than pixels per frame for the 1->N fan-out this op exercises
+    return 16 + (i % 4) * 8, 12 + (i % 3) * 10
+
+
+def _agif_n_frames(i: int) -> int:
+    return 8 + i % 5  # 8..12 frames; every-4th sampling keeps 2 or 3
+
+
+def _agif_indices(i: int, f: int):
+    """Generative palette-index frame f of file i:
+    idx = (19i + 29f + 3x + 7y) % 256 — the same index formula family
+    as the still-GIF corpus with a per-frame term, so the oracle
+    regenerates any frame without decoding."""
+    import numpy as np
+
+    w, h = _agif_dims(i)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return ((19 * i + 29 * f + 3 * x + 7 * y) % 256).astype(np.uint8)
+
+
+def _write_agifs_impl(n: int = _N_AGIF) -> str:
+    """Write n REAL multi-frame (animated) GIF89a files: global color
+    table from the shared palette formula, then per frame a Graphics
+    Control Extension (the decoder must skip extensions), an image
+    descriptor, and the frame's indices through the real LZW
+    compressor in <=255-byte sub-blocks."""
+    import struct
+
+    root = os.path.join(tracked_mkdtemp(prefix="mm_agif_"), "agifs")
+    os.makedirs(root, exist_ok=True)
+    pal = _gif_palette().tobytes()
+    for i in range(n):
+        w, h = _agif_dims(i)
+        screen = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        parts = [b"GIF89a", screen, pal]
+        for f in range(_agif_n_frames(i)):
+            # GCE: 4-byte block, 2-centisecond delay, no transparency
+            parts.append(b"\x21\xf9\x04\x00\x02\x00\x00\x00")
+            parts.append(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+            lzw = _lzw_encode(_agif_indices(i, f).tobytes())
+            parts.append(bytes([8]))
+            parts.append(
+                b"".join(
+                    bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+                    for o in range(0, len(lzw), 255)
+                )
+            )
+            parts.append(b"\x00")
+        parts.append(b"\x3b")
+        with open(os.path.join(root, f"vid_{i:04d}.gif"), "wb") as fh:
+            fh.write(b"".join(parts))
+    return root
+
+
+def _write_agifs(n: int = _N_AGIF) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("agifs", n), lambda: _write_agifs_impl(n))
+
+
+def gif_frames(content: bytes):
+    """REAL multi-frame GIF walker: yields (frame_idx, (h, w, 3) RGB)
+    for EVERY image block in an animated GIF — the multi-image case
+    the single-image ``decode_gif`` deliberately rejects. Shares the
+    independent ``_lzw_decode``; skips 89a extension blocks; raises on
+    interlace/local-palette variants (same envelope as decode_gif)."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pal = np.frombuffer(content, np.uint8, count=3 * gct_n, offset=pos)
+    pal = pal.reshape(gct_n, 3)
+    pos += 3 * gct_n
+    frame_idx = 0
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _, _, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", content, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x80:
+                raise NotImplementedError("local color table not supported")
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            min_code = content[pos]
+            pos += 1
+            lzw = bytearray()
+            while content[pos]:
+                sz = content[pos]
+                lzw += content[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx_bytes, _stats = _lzw_decode(bytes(lzw), min_code)
+            if len(idx_bytes) != w * h:
+                raise ValueError("LZW stream decoded to wrong pixel count")
+            idx = np.frombuffer(idx_bytes, np.uint8).reshape(h, w)
+            if idx.max() >= gct_n:
+                raise ValueError("palette index out of range")
+            yield frame_idx, pal[idx]
+            frame_idx += 1
+        elif b0 == 0x3B:
+            return
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
 
 
 @register(
     "multimodal_frame_sample",
-    oracle=f"""
-    WITH {_BLOBS_SQL},
-    body AS (SELECT file_name, substr(hexdata, 21) AS bh,
-                    length(hexdata) / 2 - 10 AS n_body
-             FROM blobs),
-    frames AS (
-      SELECT b.file_name, g.f AS frame_idx, b.bh
-      FROM body b CROSS JOIN (SELECT range AS f FROM range(64)) g
-      WHERE 64 * g.f + 64 <= b.n_body AND g.f % 4 = 0
+    oracle="""
+    WITH vids AS (
+      SELECT range AS i, 16 + (range % 4) * 8 AS w,
+             12 + (range % 3) * 10 AS h, 8 + range % 5 AS nf
+      FROM range(12)
+    ),
+    fr AS (
+      SELECT i, w, h, gf.f AS f FROM vids
+      CROSS JOIN (SELECT range AS f FROM range(12)) gf
+      WHERE gf.f < nf AND gf.f % 4 = 0
+    ),
+    thumb AS (
+      SELECT i, f, gu.u AS u, gv.v AS v,
+             (gu.u * w) // 8 AS sx, (gv.v * h) // 8 AS sy
+      FROM fr
+      CROSS JOIN (SELECT range AS u FROM range(8)) gu
+      CROSS JOIN (SELECT range AS v FROM range(8)) gv
+    ),
+    px AS (
+      SELECT i, f, u, v,
+             (19 * i + 29 * f + 3 * sx + 7 * sy) % 256 AS c
+      FROM thumb
+    ),
+    rgb AS (
+      SELECT i, f, u, v,
+             (7 * c + 31) % 256 AS r,
+             (11 * c + 17) % 256 AS g,
+             (5 * c + 89) % 256 AS b
+      FROM px
     )
-    SELECT file_name, CAST(frame_idx AS INT) AS frame_idx,
-           8 AS resized_len,
-           sha256(upper(
-             substr(bh, 128 * frame_idx + 1, 2)
-             || substr(bh, 128 * frame_idx + 17, 2)
-             || substr(bh, 128 * frame_idx + 33, 2)
-             || substr(bh, 128 * frame_idx + 49, 2)
-             || substr(bh, 128 * frame_idx + 65, 2)
-             || substr(bh, 128 * frame_idx + 81, 2)
-             || substr(bh, 128 * frame_idx + 97, 2)
-             || substr(bh, 128 * frame_idx + 113, 2)
-           )) AS frame_sha
-    FROM frames
+    SELECT 'vid_' || lpad(i::VARCHAR, 4, '0') || '.gif' AS file_name,
+           CAST(f AS INT) AS frame_idx,
+           CAST(SUM(r + g + b) AS BIGINT) AS thumb_rgb_sum,
+           CAST(SUM((u + 2 * v) * g) AS BIGINT) AS uv_weighted_g
+    FROM rgb GROUP BY 1, 2
     """,
     tier="P3",
 )
 def multimodal_frame_sample(spark, t):
-    """Frame-sampling + resize stage over binary 'video' blobs: every
-    k-th fixed-size frame is extracted and 'resized' (strided byte
-    downsample standing in for a real scaler), one output row per
-    sampled frame.
+    """Frame-sampling + resize over REAL animated GIFs: every 4th frame
+    of each multi-frame GIF89a file is LZW-decoded (``gif_frames``
+    walks GCE extensions + every image descriptor), nearest-neighbor
+    resized to an 8x8 RGB thumbnail (floor index mapping — a real
+    scaler, not a byte stride), one output row per sampled frame. The
+    r3 byte-window ``_frames`` stub is retired; the 1->N mapInPandas
+    fan-out shape (output rows >> input rows, still Arrow-batched) is
+    unchanged.
 
-    The Spark-side plumbing is the real thing — binaryFile scan,
-    mapInPandas with a 1→N row fan-out per blob (the batch shape a
-    video pipeline needs: output rows ≫ input rows, still
-    Arrow-batched), deterministic frame indexing — while the codec is
-    the documented fake (a real one would wrap pyav/ffmpeg in
-    ``_frames``). Partitioning note: each blob expands independently,
-    so files parallelize perfectly and output skew follows blob size —
-    at scale, repartition on (file, frame bucket) before any heavy
+    The oracle regenerates each sampled frame's thumbnail from the
+    generative index+palette formulas and the same floor mapping
+    ``src = (dst * dim) // 8``, never touching file bytes — a hash
+    match proves sub-block reassembly, per-frame LZW, palette lookup
+    AND the resize arithmetic. All features are exact integer sums
+    (no float path at all).
+
+    Partitioning note: each file expands independently, so files
+    parallelize perfectly and output skew follows frame count; at
+    scale, repartition on (file, frame bucket) before any heavy
     per-frame model stage.
     """
-    frame_bytes, every_k, resize_stride = 64, 4, 8
-    root = _write_blobs()
-    raw = spark.read.format("binaryFile").load(f"{root}/*.bin")
+    import numpy as np
 
-    def _frames(content: bytes):
-        # STUB codec: fixed-size byte windows as 'frames'; a real
-        # implementation would decode containers/codecs here.
-        body = content[10:]
-        for i in range(0, len(body) - frame_bytes + 1, frame_bytes):
-            yield i // frame_bytes, body[i : i + frame_bytes]
+    every_k, thumb = 4, 8
+    root = _write_agifs()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.gif")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            out = {"file_name": [], "frame_idx": [], "resized_len": [], "frame_sha": []}
+            out = {
+                "file_name": [], "frame_idx": [],
+                "thumb_rgb_sum": [], "uv_weighted_g": [],
+            }
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = path.rsplit("/", 1)[-1]
-                for idx, frame in _frames(content):
+                for idx, im in gif_frames(content):
                     if idx % every_k:
                         continue
-                    resized = frame[::resize_stride]  # stand-in scaler
+                    h, w = im.shape[:2]
+                    sy = (np.arange(thumb) * h) // thumb
+                    sx = (np.arange(thumb) * w) // thumb
+                    th = im[sy][:, sx].astype(np.int64)  # NN resize
+                    u = np.arange(thumb, dtype=np.int64)[None, :]
+                    v = np.arange(thumb, dtype=np.int64)[:, None]
                     out["file_name"].append(name)
                     out["frame_idx"].append(idx)
-                    out["resized_len"].append(len(resized))
-                    # fingerprint over uppercase hex (module docstring)
-                    out["frame_sha"].append(
-                        hashlib.sha256(
-                            resized.hex().upper().encode()
-                        ).hexdigest()
+                    out["thumb_rgb_sum"].append(int(th.sum()))
+                    out["uv_weighted_g"].append(
+                        int(((u + 2 * v) * th[:, :, 1]).sum())
                     )
             yield pd.DataFrame(out)
 
     return raw.select("path", "content").mapInPandas(
         sample,
-        schema="file_name string, frame_idx int, resized_len int, frame_sha string",
+        schema="file_name string, frame_idx int, thumb_rgb_sum long, "
+        "uv_weighted_g long",
     )
 
 
@@ -1660,3 +1859,596 @@ def _write_bmps(n: int = _N_BMP) -> str:
 def _write_wavs(n: int = _N_WAV) -> str:
     """Memoized per process — the corpus is a pure function of n."""
     return memoized_asset_dir(("wavs", n), lambda: _write_wavs_impl(n))
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT + Huffman (ITU-T T.81), the dominant
+# real-world image interchange format and the third compressed codec
+# implemented here (deflate/PNG, LZW/GIF, now DCT+Huffman/JPEG).
+#
+# JPEG is LOSSY, which usually makes a formula-regenerating oracle
+# impossible. The corpus dodges that honestly: every 8x8 block of the
+# generative images lies in the span of the four DCT basis functions
+# (0,0), (4,0), (0,4), (4,4) — the only basis functions whose IDCT
+# contributions are EXACT EIGHTHS (cos((2x+1)*4*pi/16) = ±sqrt(2)/2 and
+# the sqrt(2)s cancel against the C(u) normalizers) — with coefficient
+# amplitudes that are exact multiples of the quant step at those four
+# positions. The ENTIRE real pipeline still runs: forward 2-D DCT from
+# pixels, quantization against a full 64-entry table, per-file optimal
+# Huffman code construction, (RUN,SIZE) run-length + DC-difference
+# entropy coding with 0xFF byte stuffing — and on the way back, marker
+# walk, DHT/DQT parsing, canonical Huffman rebuild, entropy decode,
+# dequant, dezigzag, float IDCT, level shift, round, clamp. The
+# round-trip is bit-exact BY CONSTRUCTION of the corpus, so the DuckDB
+# oracle regenerates decoded pixels from the closed-form block formula
+# pixel(x,y) = 128 + a + b*s4(x) + c*s4(y) + d*s4(x)*s4(y), where
+# s4(t) = +1 for t%8 in {0,3,4,7} else -1 (the sign pattern of the
+# u=4 cosine), and a,b,c,d are per-block index formulas.
+
+_N_JPG = 16
+
+
+def _jpg_dims(i: int) -> tuple[int, int]:
+    # multiples of 8 (baseline MCU size, no partial-block padding):
+    # widths 16/24/32, heights 16..40
+    return 8 * (2 + i % 3), 8 * (2 + i % 4)
+
+
+def _jpg_block_coefs(i: int, bx: int, by: int) -> tuple[int, int, int, int]:
+    """Per-block generative amplitudes (a=flat, b=horizontal u=4,
+    c=vertical v=4, d=checker): |a|<=32, |b|,|c|<=8, |d|<=4 keeps every
+    pixel inside [76, 176] — no clamp ever fires, so the decoder's
+    clamp can't silently absorb an arithmetic bug."""
+    a = (5 * i + 3 * bx + 2 * by) % 64 - 32
+    b = (7 * i + bx + 3 * by) % 16 - 8
+    c = (11 * i + 2 * bx + by) % 16 - 8
+    d = (3 * i + bx + by) % 8 - 4
+    return a, b, c, d
+
+
+def _jpg_pixels(i: int):
+    """Generative grayscale image for file i (see block comment above).
+    Returns (h, w) uint8, y top-down."""
+    import numpy as np
+
+    w, h = _jpg_dims(i)
+    s4 = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    im = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            a, b, c, d = _jpg_block_coefs(i, bx, by)
+            blk = (
+                128
+                + a
+                + b * s4[None, :]
+                + c * s4[:, None]
+                + d * s4[:, None] * s4[None, :]
+            )
+            im[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = blk
+    return im
+
+
+def _jpg_qtable():
+    """Full 64-entry luminance quant table: step 8 at the four corpus
+    basis positions (so amplitudes quantize losslessly), a varying
+    formula elsewhere (so DQT parsing and dequant of arbitrary steps
+    are still exercised — those positions carry only float-noise
+    coefficients that quantize to 0)."""
+    import numpy as np
+
+    v = np.arange(8)[:, None]
+    u = np.arange(8)[None, :]
+    q = 16 + (3 * v + 5 * u) % 12
+    for pos in ((0, 0), (0, 4), (4, 0), (4, 4)):
+        q[pos] = 8
+    return q.astype(np.int64)
+
+
+def _jpg_zigzag():
+    """The spec zigzag as (row, col) pairs, generated by the diagonal
+    walk (even diagonals run bottom-left -> top-right): index 0 is DC,
+    1 is (0,1), 2 is (1,0), ... — anchored against hand-transcribed
+    spec values in tests."""
+    order = []
+    for s in range(15):
+        diag = [(s - k, k) for k in range(s + 1) if s - k < 8 and k < 8]
+        order.extend(diag[::-1] if s % 2 else diag)
+    return order
+
+
+def _dct_mat():
+    """Orthonormal 8-point DCT-II matrix M: forward F = M B M^T,
+    inverse B = M^T F M (both used below; the spec's C(u)/2 scaling)."""
+    import numpy as np
+
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _huff_lengths(freq: dict[int, int]) -> dict[int, int]:
+    """Optimal Huffman code lengths via the classic two-least merge,
+    with a freq-1 DUMMY symbol included so no REAL symbol can receive
+    the all-ones code (the T.81 Annex K.2 reservation). Our alphabets
+    are tiny, so depths stay far under the 16-bit JPEG cap (asserted)."""
+    import heapq
+
+    heap = [(f, k, (sym,)) for k, (sym, f) in enumerate(sorted(freq.items()))]
+    heap.append((1, len(heap), (None,)))  # the reserved-codepoint dummy
+    tie = len(heap)  # deterministic heap tiebreaker (symbols aren't <-able)
+    heapq.heapify(heap)
+    depth: dict[int | None, int] = {s: 0 for _, _, grp in heap for s in grp}
+    while len(heap) > 1:
+        fa, _, ga = heapq.heappop(heap)
+        fb, _, gb = heapq.heappop(heap)
+        for s in ga + gb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, tie, ga + gb))
+        tie += 1
+    depth.pop(None, None)
+    if not depth:
+        raise ValueError("empty Huffman alphabet")
+    if len(depth) == 1:  # single real symbol still needs 1 bit
+        depth = {s: max(1, d) for s, d in depth.items()}
+    assert max(depth.values()) <= 16, "alphabet too deep for JPEG"
+    return depth
+
+
+def _huff_spec(depth: dict[int, int]):
+    """(BITS[16], HUFFVAL) in canonical order: by length, then symbol
+    value — the exact layout DHT carries and both codecs rebuild."""
+    huffval = sorted(depth, key=lambda s: (depth[s], s))
+    bits = [0] * 16
+    for s in huffval:
+        bits[depth[s] - 1] += 1
+    return bits, huffval
+
+
+def _canonical_codes(bits, huffval):
+    """Canonical (code, length) per symbol from BITS/HUFFVAL — the
+    T.81 Annex C generation both encoder and decoder share."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpg_mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category: (size, appended-bits) — negative
+    values are stored as v + 2^size - 1 (the spec's reflected code)."""
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+class _JpgBitWriter:
+    """MSB-first bit packer with the entropy-segment 0xFF -> 0xFF 0x00
+    byte stuffing; flush pads the final byte with 1-bits (spec)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _jpg_block_tokens(i: int):
+    """Quantize every block of file i through the REAL forward path
+    (pixels -> level shift -> float DCT -> /qtable -> round) and
+    serialize to (dc_diff, [(run, ac_value), ...]) token lists in
+    raster block order — shared by the frequency pass and the emit
+    pass so the two can never disagree."""
+    import numpy as np
+
+    m = _dct_mat()
+    q = _jpg_qtable()
+    zz = _jpg_zigzag()
+    im = _jpg_pixels(i).astype(np.float64)
+    h, w = im.shape
+    prev_dc = 0
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = im[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+            coef = m @ blk @ m.T
+            qc = np.round(coef / q).astype(np.int64)
+            seq = [int(qc[r, c]) for r, c in zz]
+            dc_diff = seq[0] - prev_dc
+            prev_dc = seq[0]
+            acs = []
+            run = 0
+            for v in seq[1:]:
+                if v == 0:
+                    run += 1
+                else:
+                    acs.append((run, v))
+                    run = 0
+            blocks.append((dc_diff, acs))
+    return blocks
+
+
+def _write_jpgs_impl(n: int = _N_JPG) -> str:
+    """Write n REAL baseline JFIF-less JPEG files (SOI, DQT, SOF0, DHT,
+    SOS, entropy-coded scan, EOI): per-file OPTIMAL Huffman tables
+    built from actual symbol frequencies (carried in DHT), full
+    (RUN,SIZE) AC coding with ZRL for >15-zero gaps (the zigzag gap
+    between (0,4) and (4,0) is 16+ when intermediate formula noise
+    quantizes away, so ZRL genuinely occurs), DC difference coding,
+    and 0xFF byte stuffing."""
+    import struct
+
+    root = os.path.join(tracked_mkdtemp(prefix="mm_jpg_"), "jpgs")
+    os.makedirs(root, exist_ok=True)
+    q = _jpg_qtable()
+    zz = _jpg_zigzag()
+    for i in range(n):
+        w, h = _jpg_dims(i)
+        blocks = _jpg_block_tokens(i)
+        dc_freq: dict[int, int] = {}
+        ac_freq: dict[int, int] = {}
+        for dc_diff, acs in blocks:
+            size, _ = _jpg_mag_bits(dc_diff)
+            dc_freq[size] = dc_freq.get(size, 0) + 1
+            for run, v in acs:
+                while run > 15:
+                    ac_freq[0xF0] = ac_freq.get(0xF0, 0) + 1  # ZRL
+                    run -= 16
+                size, _ = _jpg_mag_bits(v)
+                sym = (run << 4) | size
+                ac_freq[sym] = ac_freq.get(sym, 0) + 1
+            ac_freq[0x00] = ac_freq.get(0x00, 0) + 1  # EOB every block
+        dc_bits, dc_vals = _huff_spec(_huff_lengths(dc_freq))
+        ac_bits, ac_vals = _huff_spec(_huff_lengths(ac_freq))
+        dc_codes = _canonical_codes(dc_bits, dc_vals)
+        ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+        bw = _JpgBitWriter()
+        for dc_diff, acs in blocks:
+            size, mag = _jpg_mag_bits(dc_diff)
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(mag, size)
+            for run, v in acs:
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, mag = _jpg_mag_bits(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(mag, size)
+            code, length = ac_codes[0x00]
+            bw.write(code, length)
+        scan = bw.flush()
+
+        dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+            int(q[r, c]) for r, c in zz
+        )
+        sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+            (1, 0x11, 0)
+        )
+        dht = (
+            b"\xff\xc4"
+            + struct.pack(
+                ">H", 2 + (1 + 16 + len(dc_vals)) + (1 + 16 + len(ac_vals))
+            )
+            + bytes([0x00])
+            + bytes(dc_bits)
+            + bytes(dc_vals)
+            + bytes([0x10])
+            + bytes(ac_bits)
+            + bytes(ac_vals)
+        )
+        sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            (1, 0x00, 0, 63, 0)
+        )
+        with open(os.path.join(root, f"img_{i:04d}.jpg"), "wb") as fh:
+            fh.write(
+                b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+            )
+    return root
+
+
+def _write_jpgs(n: int = _N_JPG) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("jpgs", n), lambda: _write_jpgs_impl(n))
+
+
+class _JpgBitReader:
+    """MSB-first bit reader over the entropy segment, undoing the
+    0xFF 0x00 stuffing — written independently of the writer."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy segment exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _JpgBitReader, codes: dict[int, tuple[int, int]]):
+    """Walk the canonical code bit-by-bit (tiny alphabets — a lookup
+    table would be the production move, linear probe is fine here)."""
+    code = 0
+    length = 0
+    by_len: dict[tuple[int, int], int] = {
+        (c, ln): sym for sym, (c, ln) in codes.items()
+    }
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = by_len.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(content: bytes):
+    """REAL baseline JPEG decoder (stdlib struct + numpy, no imaging
+    libs): marker walk (skips APPn/COM), DQT (zigzag-stored) and DHT
+    (canonical BITS/HUFFVAL) parsing, single-component SOF0, entropy
+    decode with DC prediction / (RUN,SIZE) / ZRL / EOB and byte
+    unstuffing, dequantization, dezigzag, float IDCT, +128 level
+    shift, round, clamp. Returns (h, w) uint8 grayscale, y top-down.
+    Raises on progressive (SOF2), multi-component, or 16-bit variants.
+    """
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    dims = None
+    comp_tables = None
+    scan_start = None
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = content[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+        body = content[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[pq_tq & 15] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 15)] = _canonical_codes(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nf != 1:
+                raise NotImplementedError("only 8-bit single-component")
+            if body[6] != 1 or body[7] != 0x11:
+                raise NotImplementedError("subsampled components")
+            dims = (h, w, body[8])
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0 supported")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            comp_tables = (body[2] >> 4, body[2] & 15)
+            scan_start = pos + 2 + seg_len
+            break
+        # APPn / COM / anything else: skip via its length field
+        pos += 2 + seg_len
+    if dims is None or scan_start is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, tq = dims
+    if h % 8 or w % 8:
+        raise NotImplementedError("partial-MCU dimensions")
+    eoi = content.rindex(b"\xff\xd9")
+    reader = _JpgBitReader(content[scan_start:eoi])
+    dc_codes = huff[(0, comp_tables[0])]
+    ac_codes = huff[(1, comp_tables[1])]
+    q_zz = qtables[tq]
+    zz = _jpg_zigzag()
+    m = _dct_mat()
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            size = _huff_decode(reader, dc_codes)
+            diff = reader.bits(size) if size else 0
+            if size and diff < (1 << (size - 1)):
+                diff += 1 - (1 << size)
+            prev_dc += diff
+            seq = [0] * 64
+            seq[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_codes)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                v = reader.bits(size)
+                if v < (1 << (size - 1)):
+                    v += 1 - (1 << size)
+                seq[k] = v
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for idx, (r, c) in enumerate(zz):
+                coef[r, c] = seq[idx] * q_zz[idx]
+            blk = m.T @ coef @ m + 128.0
+            out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
+                np.round(blk), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH imgs AS (
+      SELECT range AS i, 8 * (2 + range % 3) AS w,
+             8 * (2 + range % 4) AS h
+      FROM range(16)
+    ),
+    px AS (
+      SELECT i, w, h, gx.x AS x, gy.y AS y,
+             128
+             + ((5 * i + 3 * (gx.x // 8) + 2 * (gy.y // 8)) % 64 - 32)
+             + (CASE WHEN (gx.x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * ((7 * i + (gx.x // 8) + 3 * (gy.y // 8)) % 16 - 8)
+             + (CASE WHEN (gy.y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * ((11 * i + 2 * (gx.x // 8) + (gy.y // 8)) % 16 - 8)
+             + (CASE WHEN (gx.x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (gy.y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * ((3 * i + (gx.x // 8) + (gy.y // 8)) % 8 - 4)
+               AS v
+      FROM imgs
+      CROSS JOIN (SELECT range AS x FROM range(32)) gx
+      CROSS JOIN (SELECT range AS y FROM range(40)) gy
+      WHERE gx.x < w AND gy.y < h
+    )
+    SELECT 'img_' || lpad(i::VARCHAR, 4, '0') || '.jpg' AS file_name,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           round(SUM(v)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_px,
+           CAST(SUM(CASE WHEN v > 127 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bright,
+           CAST(SUM((x + 2 * y) * v) AS BIGINT) AS xy_weighted
+    FROM px GROUP BY 1
+    """,
+    tier="P3",
+)
+def multimodal_decode_jpeg(spark, t):
+    """Image decode over REAL baseline JPEGs — DCT + Huffman, the
+    format real image corpora actually ship in, and a third
+    compression family after deflate (PNG) and LZW (GIF). See the
+    section comment above for how a lossy codec gets an EXACT
+    formula-regenerating oracle (corpus blocks live in the span of the
+    four rational-IDCT basis functions); the decode path is the full
+    real thing — marker walk, DHT canonical Huffman rebuild, DC
+    prediction, (RUN,SIZE)/ZRL/EOB entropy decode, byte unstuffing,
+    dequant, dezigzag, float IDCT — so one wrong bit anywhere
+    desynchronizes the stream and corrupts every downstream sum.
+
+    ``xy_weighted`` is asymmetric in x and y (catches transposition);
+    exact integer sums in the UDF, 4-dp mean JVM-side (``F.round``) —
+    the repo's standard cross-engine float convention.
+
+    Scale: identical posture to the other decode stages — one
+    binaryFile scan, per-asset decode inside the Arrow-batched
+    ``mapInPandas`` stage, one feature row per asset; swap the codec
+    body for libjpeg-turbo bindings at production scale, everything
+    Spark-side stays.
+    """
+    return _jpg_features_frame(spark, _write_jpgs())
+
+
+def _jpg_features_frame(spark, root: str):
+    """The decode+features stage of ``multimodal_decode_jpeg`` over any
+    JPEG directory — split out so tools/scaling.py's K-probe measures
+    the registered operator's exact plan."""
+    import numpy as np
+
+    raw = spark.read.format("binaryFile").load(f"{root}/*.jpg")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "file_name": [], "width": [], "height": [],
+                "px_sum": [], "n_bright": [], "xy_weighted": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                im = decode_jpeg(content).astype(np.int64)
+                h, w = im.shape
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                out["file_name"].append(path.rsplit("/", 1)[-1])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(im.sum()))
+                out["n_bright"].append(int((im > 127).sum()))
+                out["xy_weighted"].append(int(((xw + 2 * yw) * im).sum()))
+            yield pd.DataFrame(out)
+
+    decoded = raw.select("path", "content").mapInPandas(
+        feats,
+        schema="file_name string, width int, height int, px_sum long, "
+        "n_bright long, xy_weighted long",
+    )
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "file_name",
+        "width",
+        "height",
+        F.round(F.col("px_sum") / npx, 4).alias("mean_px"),
+        "n_bright",
+        "xy_weighted",
+    )

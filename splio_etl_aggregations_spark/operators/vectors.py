@@ -44,6 +44,21 @@ _EMB_D = "array<double>"
 _BLOCK_ROWS = 4096
 
 
+def _unit_rows(mat: "np.ndarray") -> "np.ndarray":
+    """Row-normalize, failing LOUDLY on a zero-norm row. A zero
+    embedding has no direction, so any cosine against it is undefined;
+    silently dividing would propagate NaN similarities through top-k
+    ranks and label votes with no error (ADVICE r6). The fixtures never
+    contain zero vectors — this guard exists so a degenerate future
+    fixture (or upstream bug) surfaces as an exception, not NaNs."""
+    norms = np.linalg.norm(mat, axis=1)
+    if not (norms > 0.0).all():
+        raise ValueError(
+            f"zero-norm embedding row(s): {np.flatnonzero(norms == 0.0)[:5]}"
+        )
+    return mat / norms[:, None]
+
+
 def _block_pairs(t):
     """Replicated frame (gi, gj, b, vec_id, emb): each row appears once
     in every block-pair group it participates in. The one count() here
@@ -293,12 +308,12 @@ def sim_range_search(spark, t):
     )
     q_ids = [int(r["vec_id"]) for r in qrows]
     q_mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in qrows])
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1)[:, None]
+    q_unit = _unit_rows(q_mat)
 
     @F.pandas_udf(_EMB_D)
     def sims_to_queries(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        mat = _unit_rows(mat)
         sims = mat @ q_unit.T  # B×|Q|
         return pd.Series(list(sims))
 
@@ -398,12 +413,12 @@ def ml_knn_label_eval(spark, t):
     q_ids = [int(r["vec_id"]) for r in qrows]
     q_labels = {int(r["vec_id"]): int(r["label"]) for r in qrows}
     q_mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in qrows])
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1)[:, None]
+    q_unit = _unit_rows(q_mat)
 
     @F.pandas_udf(_EMB_D)
     def sims_to_queries(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        mat = _unit_rows(mat)
         return pd.Series(list(mat @ q_unit.T))
 
     from pyspark.sql import Window

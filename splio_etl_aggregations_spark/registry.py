@@ -103,73 +103,15 @@ def get(name: str) -> Query:
 # the window is disjoint from every EARLIER round's CORRECTNESS file and
 # fails loudly if a LATER round's file appears (i.e. the rotation was
 # forgotten and the driver burned a round on an already-green window).
-WINDOW_ROUND = 6
+WINDOW_ROUND = 7
 
 DRIVER_ORDER: list[str] = [
-    # -- slots 1-50: ROUND-6 verification window (all never driver-
+    # -- slots 1-50: ROUND-7 verification window (all never driver-
     # sampled before this round; rotation guarded by
     # tests/test_registry.py::test_driver_window_rotated). This is the
-    # pre-committed round-6 block from the r5 burn-down plan: heavy on
-    # the never-sampled agg_*/ts_*/text_*/win_* families the judge
-    # flagged as the largest unverified debt. ----------------------
-    "lake_point_lookup_bloom",
-    "dedup_embedding_cluster",
-    "str_extended",
-    "text_token_bpe",
-    "text_lang_id",
-    "text_quality_score",
-    "join_lateral_topn",
-    "join_interval_overlap",
-    "sample_hash_bernoulli",
-    "sample_split_assign",
-    "sample_topk_per_stratum",
-    "agg_decay_weighted",
-    "agg_entropy",
-    "ml_standardize_features",
-    "vec_quantize_int8",
-    "text_rep_ngram_filter",
-    "corpus_mix_rebalance",
-    "dedup_keep_best",
-    "corpus_shuffle_shards",
-    "text_vocab_coverage",
-    "ml_feature_hashing",
-    "dedup_cross_source",
-    "ts_anomaly_mad",
-    "win_streak_islands",
-    "bitwise_funcs",
-    "corpus_length_buckets",
-    "ts_gap_stats",
-    "attribution_last_touch",
-    "dq_freshness_report",
-    "encoding_funcs",
-    "dedup_cluster_size_hist",
-    "ts_hourly_profile",
-    "pareto_revenue_deciles",
-    "join_null_safe_equi",
-    "win_bollinger_bands",
-    "agg_gini_revenue",
-    "ts_year_over_year",
-    "win_rolling_distinct",
-    "agg_sketch_accuracy_report",
-    "graph_triangle_count",
-    "ts_peak_concurrency",
-    "dq_fk_orphans",
-    "ts_ewma10",
-    "agg_regression",
-    "agg_cumulative_unique_users",
-    "set_symmetric_diff",
-    "agg_weighted_median",
-    "funnel_time_to_convert",
-    "text_js_divergence",
-    "etl_anonymize_kanon",
-    # -- never driver-sampled pool, burn-down pre-committed:
-    # ROUND-7 window = the next 50 below (slots 51-100); ROUND-8 = the
-    # remaining never-sampled tail (the r5 additions plus any r6
-    # additions, appended per rotation policy) + re-sample slots for
-    # regression proofs. After each round, move the newly-verified 50
-    # into the green tail and promote the next 50 to the top — never
-    # reorder a committed round's window mid-round.
-    # ---- round-7 planned window (50) -----------------------------
+    # pre-committed round-7 block from the r5/r6 burn-down plan
+    # (formerly slots 51-100), promoted verbatim at round-7 start.
+    # ----------------------------------------------------------------
     "join_asof_nearest",
     "ml_target_encoding",
     "dq_ks_drift",
@@ -220,6 +162,14 @@ DRIVER_ORDER: list[str] = [
     "agg_whale_curve_topshares",
     "agg_duplicate_invoice_detector",
     "join_accumulating_snapshot",
+    # -- never driver-sampled pool, burn-down pre-committed:
+    # ROUND-7 window = the next 50 below (slots 51-100); ROUND-8 = the
+    # remaining never-sampled tail (the r5 additions plus any r6
+    # additions, appended per rotation policy) + re-sample slots for
+    # regression proofs. After each round, move the newly-verified 50
+    # into the green tail and promote the next 50 to the top — never
+    # reorder a committed round's window mid-round.
+    # ---- (round-7 window promoted to slots 1-50 above) -----------
     # ---- round-8 final never-sampled (40 total: the 11 round-5
     # additions, 12 earlier stragglers, the 15 round-6 additions
     # appended at the block's end per rotation policy — new ops always
@@ -266,8 +216,62 @@ DRIVER_ORDER: list[str] = [
     "dedup_lsh_band_sweep",
     "stream_quantile_histogram",
     "ml_knn_label_eval",
-    # -- driver-green tail (238 IDs, latest driver row green; r5 window
-    # first, then relative order preserved from the r1-r4 windows) --
+    # round-7 additions (appended to the never-sampled pool)
+    "multimodal_decode_jpeg",
+    "scan_avro_roundtrip",
+    # -- driver-green tail (288 IDs, latest driver row green; r6 window
+    # first, then r5, then relative order preserved from the r1-r4
+    # windows) --
+    "lake_point_lookup_bloom",
+    "dedup_embedding_cluster",
+    "str_extended",
+    "text_token_bpe",
+    "text_lang_id",
+    "text_quality_score",
+    "join_lateral_topn",
+    "join_interval_overlap",
+    "sample_hash_bernoulli",
+    "sample_split_assign",
+    "sample_topk_per_stratum",
+    "agg_decay_weighted",
+    "agg_entropy",
+    "ml_standardize_features",
+    "vec_quantize_int8",
+    "text_rep_ngram_filter",
+    "corpus_mix_rebalance",
+    "dedup_keep_best",
+    "corpus_shuffle_shards",
+    "text_vocab_coverage",
+    "ml_feature_hashing",
+    "dedup_cross_source",
+    "ts_anomaly_mad",
+    "win_streak_islands",
+    "bitwise_funcs",
+    "corpus_length_buckets",
+    "ts_gap_stats",
+    "attribution_last_touch",
+    "dq_freshness_report",
+    "encoding_funcs",
+    "dedup_cluster_size_hist",
+    "ts_hourly_profile",
+    "pareto_revenue_deciles",
+    "join_null_safe_equi",
+    "win_bollinger_bands",
+    "agg_gini_revenue",
+    "ts_year_over_year",
+    "win_rolling_distinct",
+    "agg_sketch_accuracy_report",
+    "graph_triangle_count",
+    "ts_peak_concurrency",
+    "dq_fk_orphans",
+    "ts_ewma10",
+    "agg_regression",
+    "agg_cumulative_unique_users",
+    "set_symmetric_diff",
+    "agg_weighted_median",
+    "funnel_time_to_convert",
+    "text_js_divergence",
+    "etl_anonymize_kanon",
     "join_left_semi",
     "join_left_anti",
     "join_cross",

@@ -24,6 +24,12 @@ from typing import Callable
 _CREATED: list[str] = []
 _MEMO: dict[tuple, str] = {}
 
+# Exact output directory of the most recent write per operator id, so
+# tests can inspect the files an operator ACTUALLY produced instead of
+# globbing the global tempdir by prefix+mtime (which races against
+# concurrent/stale runs — ADVICE r6).
+LAST_PATHS: dict[str, str] = {}
+
 
 def tracked_mkdtemp(prefix: str) -> str:
     """``tempfile.mkdtemp`` that is removed at interpreter exit."""
