@@ -186,6 +186,76 @@ EXTRA_SHAPES = [
     # round-7 additions
     "multimodal_decode_jpeg",
     "scan_avro_roundtrip",
+    "agg_cuped_adjusted",
+    "graph_label_propagation",
+    "corpus_cdc_chunk_dedup",
+    "ts_holt_linear_forecast",
+    "ml_pca_power_iteration",
+    "etl_late_arriving_dimension",
+    # round-7 bench-coverage extension (VERDICT r6 #5): every remaining
+    # never-benched op of the r7 driver window, so the round's
+    # verification evidence and timing evidence move together ...
+    "dq_chi2_independence",
+    "dq_benford_test",
+    "sim_threshold_sweep",
+    "clv_cohort_ltv",
+    "etl_gdpr_erasure",
+    "agg_moments_skew_kurt",
+    "path_analysis_topk",
+    "agg_ab_test_welch",
+    "ts_seasonality_index",
+    "win_vwap",
+    "agg_price_elasticity",
+    "win_rank_change",
+    "join_fuzzy_name",
+    "ts_cusum_changepoint",
+    "ts_autocorrelation",
+    "agg_robust_means",
+    "agg_topk_with_others",
+    "agg_basket_size_hist",
+    "rfm_score_segments",
+    "agg_abc_xyz_classes",
+    "ts_forecast_backtest",
+    "text_pmi_collocations",
+    "ts_purchase_cycle",
+    "agg_hhi_concentration",
+    "graph_degree_distribution",
+    "ml_calibration_bins",
+    "agg_pvm_decomposition",
+    "agg_customer_migration_matrix",
+    "agg_theil_decomposition",
+    "win_mtd_ytd_running",
+    "ts_burstiness_fano",
+    "sample_systematic_every_nth",
+    "ml_bootstrap_ci_hash",
+    "corpus_interleave_sources_round_robin",
+    "ts_ohlc_bars",
+    "agg_whale_curve_topshares",
+    "join_accumulating_snapshot",
+    # ... plus the never-benched half of the pre-planned r8 window
+    "vec_dedup_exact",
+    "ts_revenue_index_rebased",
+    "agg_percent_of_total_multi_level",
+    "vec_subspace_variance",
+    "ts_shipping_delay_trend",
+    "corpus_epoch_repeat_schedule",
+    "join_role_playing_dates",
+    "agg_assortment_penetration",
+    "ts_month_end_lift",
+    "win_user_activity_entropy",
+    "text_lang_label_audit",
+    "agg_price_dispersion_audit",
+    "sim_ann_lsh_knn_probeall",
+    "sim_ivf_knn_probeall",
+    "lake_point_lookup_bloom",
+    "dedup_embedding_cluster",
+    "str_extended",
+    "text_token_bpe",
+    "text_lang_id",
+    "text_quality_score",
+    "join_lateral_topn",
+    "sample_hash_bernoulli",
+    "sample_split_assign",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

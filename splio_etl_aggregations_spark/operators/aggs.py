@@ -4821,3 +4821,168 @@ def agg_histogram_quantile_merge(spark, t):
             F.when(100 * F.col("cum") >= 99 * F.col("n"), edge)
         ).alias("p99_hi"),
     )
+
+
+@register(
+    "agg_cuped_adjusted",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS post
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sx,
+             CAST(SUM(post) AS BIGINT) AS sy,
+             CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+             CAST(SUM(pre * post) AS BIGINT) AS sxy
+      FROM pu
+    ),
+    theta AS (
+      SELECT n,
+             (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) AS th,
+             sx::DOUBLE / n AS mean_pre_pooled
+      FROM pooled
+    ),
+    grp AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(pre) AS BIGINT) AS gx,
+             CAST(SUM(post) AS BIGINT) AS gy,
+             CAST(SUM(pre * pre) AS BIGINT) AS gxx,
+             CAST(SUM(post * post) AS BIGINT) AS gyy,
+             CAST(SUM(pre * post) AS BIGINT) AS gxy
+      FROM pu GROUP BY 1
+    )
+    SELECT g.grp, g.n_users,
+           round(g.gy::DOUBLE / g.n_users / 100, 6) AS mean_post,
+           round((g.gy::DOUBLE / g.n_users
+                  - t.th * (g.gx::DOUBLE / g.n_users - t.mean_pre_pooled))
+                 / 100, 6) AS mean_adjusted,
+           round((g.n_users * g.gyy - g.gy * g.gy)::DOUBLE
+                 / (g.n_users * (g.n_users - 1)) / 10000, 4) AS var_post,
+           round(((g.n_users * g.gyy - g.gy * g.gy)::DOUBLE
+                    / (g.n_users * (g.n_users - 1))
+                  - 2 * t.th * ((g.n_users * g.gxy - g.gx * g.gy)::DOUBLE
+                    / (g.n_users * (g.n_users - 1)))
+                  + t.th * t.th * ((g.n_users * g.gxx - g.gx * g.gx)::DOUBLE
+                    / (g.n_users * (g.n_users - 1)))) / 10000, 4)
+             AS var_adjusted
+    FROM grp g CROSS JOIN theta t
+    """,
+    tier="P2",
+)
+def agg_cuped_adjusted(spark, t):
+    """CUPED variance reduction for A/B metrics (Deng et al., WSDM'13
+    — the industry-standard experiment-sensitivity technique): per-user
+    purchase revenue is split at 2024-01-16 into a PRE-period covariate
+    and the POST-period metric, θ = cov(pre, post) / var(pre) is fit on
+    the POOLED population, and each deterministic assignment group
+    (user_id parity) reports its raw vs CUPED-adjusted mean and
+    variance — the adjusted variance is what shrinks the experiment's
+    required sample size.
+
+    Float discipline (the repo's r3 lesson): revenue folds to exact
+    integer CENTS per user per period, every moment (Σx, Σxy, Σx², …)
+    is exact BIGINT arithmetic, and θ plus each variance is ONE closed-
+    form expression over those integers — var(adjusted) is expanded
+    analytically as var(y) − 2θ·cov + θ²·var(x) rather than re-
+    aggregating adjusted doubles, so both engines evaluate the same
+    scalar expression tree on identical integers (6/4-dp rounded).
+
+    Scale: one conditional scan → per-user partial aggregation (the
+    natural pre-shuffle combine) → a 2-row group frame crossed with a
+    1-row broadcast θ. The per-user frame is the only shuffle and it
+    is keyed on the experiment unit — exactly how a 100 TB events
+    table wants to aggregate.
+    """
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0)).alias(
+                "post"
+            ),
+        )
+    )
+    pooled = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_pre_pooled"),
+    )
+    grp = (
+        pu.groupBy(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+                "grp"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("pre").alias("gx"),
+            F.sum("post").alias("gy"),
+            F.sum(F.col("pre") * F.col("pre")).alias("gxx"),
+            F.sum(F.col("post") * F.col("post")).alias("gyy"),
+            F.sum(F.col("pre") * F.col("post")).alias("gxy"),
+        )
+    )
+    nn = F.col("n_users") * (F.col("n_users") - 1)
+    var_post = (
+        F.col("n_users") * F.col("gyy") - F.col("gy") * F.col("gy")
+    ).cast("double") / nn
+    cov = (
+        F.col("n_users") * F.col("gxy") - F.col("gx") * F.col("gy")
+    ).cast("double") / nn
+    var_pre = (
+        F.col("n_users") * F.col("gxx") - F.col("gx") * F.col("gx")
+    ).cast("double") / nn
+    return grp.crossJoin(F.broadcast(pooled)).select(
+        "grp",
+        "n_users",
+        F.round(F.col("gy").cast("double") / F.col("n_users") / 100, 6).alias(
+            "mean_post"
+        ),
+        F.round(
+            (
+                F.col("gy").cast("double") / F.col("n_users")
+                - F.col("th")
+                * (
+                    F.col("gx").cast("double") / F.col("n_users")
+                    - F.col("mean_pre_pooled")
+                )
+            )
+            / 100,
+            6,
+        ).alias("mean_adjusted"),
+        F.round(var_post / 10000, 4).alias("var_post"),
+        F.round(
+            (
+                var_post
+                - 2 * F.col("th") * cov
+                + F.col("th") * F.col("th") * var_pre
+            )
+            / 10000,
+            4,
+        ).alias("var_adjusted"),
+    )

@@ -896,3 +896,138 @@ def corpus_importance_resampling(spark, t):
             "tokens_kept"
         ),
     )
+
+
+@register(
+    "corpus_cdc_chunk_dedup",
+    oracle="""
+    WITH pos AS (
+      SELECT d.doc_id, d.source, d.text, g.p
+      FROM documents d
+      CROSS JOIN (SELECT range + 1 AS p FROM range(600)) g
+      WHERE g.p <= length(d.text)
+    ),
+    bnd AS (
+      SELECT doc_id, source, text, p
+      FROM pos
+      WHERE p >= 3
+        AND (7 * ascii(substr(text, p - 2, 1))
+             + 31 * ascii(substr(text, p - 1, 1))
+             + 101 * ascii(substr(text, p, 1))) % 64 = 0
+      UNION
+      SELECT doc_id, source, text, length(text) AS p FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, source, text, p AS e,
+             COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+               AS prev
+      FROM bnd
+    ),
+    chunks AS (
+      SELECT doc_id, source, e - prev AS clen,
+             md5(substr(text, prev + 1, e - prev)) AS chash
+      FROM spans WHERE e > prev
+    ),
+    uniq AS (
+      SELECT source, chash, MAX(clen) AS clen
+      FROM chunks GROUP BY source, chash
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.clen) AS BIGINT) AS total_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM uniq u
+            WHERE u.source = c.source) AS n_unique_chunks,
+           (SELECT CAST(SUM(u.clen) AS BIGINT) FROM uniq u
+            WHERE u.source = c.source) AS unique_chars,
+           round(AVG(c.clen), 4) AS mean_chunk_len
+    FROM chunks c GROUP BY c.source
+    """,
+    tier="P2",
+)
+def corpus_cdc_chunk_dedup(spark, t):
+    """Content-defined chunking (CDC) dedup accounting — the
+    rolling-hash boundary technique (Rabin/Gear, FastCDC family) that
+    deduplicates STORAGE rather than documents: chunk boundaries are
+    declared wherever a 3-byte rolling hash
+    ``(7·c[i-2] + 31·c[i-1] + 101·c[i]) % 64 == 0`` fires (expected
+    chunk ≈ 64 chars), so identical passages ANYWHERE in two documents
+    produce identical chunks regardless of their offsets — the
+    property fixed-size blocking fundamentally lacks, and the reason
+    every dedup store (and training-corpus delta pipelines) chunk by
+    content. Identical chunks then collapse by md5 within each source;
+    the (total_chars vs unique_chars) gap is the dedup saving the
+    near-duplicate-rich fixture corpus actually exposes.
+
+    Everything is codegen JVM work: positions via an exploded
+    ``sequence(3, length)``, boundary test on three ``ascii(substr)``
+    codepoints (the corpus is verified printable-ASCII; the unit test
+    guards that invariant), LAG window for span starts, one substring
+    per chunk, md5 + two aggregations. No Python, no shuffle beyond
+    the two keyed aggregations.
+
+    Scale: chunking is embarrassingly parallel per document (the
+    explode fans out ~length rows per doc and collapses to ~length/64
+    chunks immediately); the md5 dedup groupBy is the only
+    data-proportional shuffle and is keyed on (source, hash) — at
+    100 TB you'd roll the same plan with the hash pre-bucketed and
+    spans emitted by a mapPartitions rolling scan instead of an
+    explode, trading shuffle width for per-task state.
+    """
+    docs = t["documents"].select("doc_id", "source", "text")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.posexplode(F.expr("sequence(3, length(text))")).alias("_i", "p"),
+    )
+    c = lambda off: F.ascii(F.col("text").substr(F.col("p") - off, F.lit(1)))
+    hash_bnd = (7 * c(2) + 31 * c(1) + 101 * c(0)) % 64 == 0
+    bnd = (
+        pos.filter(hash_bnd)
+        .select("doc_id", "source", "text", "p")
+        .union(
+            docs.select(
+                "doc_id", "source", "text", F.length("text").alias("p")
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = bnd.select(
+        "doc_id",
+        "source",
+        "text",
+        F.col("p").alias("e"),
+        F.coalesce(F.lag("p").over(w), F.lit(0)).alias("prev"),
+    ).filter(F.col("e") > F.col("prev"))
+    chunks = spans.select(
+        "source",
+        (F.col("e") - F.col("prev")).alias("clen"),
+        F.md5(
+            F.col("text").substr(
+                F.col("prev") + 1, F.col("e") - F.col("prev")
+            )
+        ).alias("chash"),
+    )
+    per_source = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").alias("total_chars"),
+        F.round(F.avg("clen"), 4).alias("mean_chunk_len"),
+    )
+    uniq = (
+        chunks.groupBy("source", "chash")
+        .agg(F.max("clen").alias("clen"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_chunks"),
+            F.sum("clen").alias("unique_chars"),
+        )
+    )
+    return per_source.join(uniq, "source").select(
+        "source",
+        "n_chunks",
+        "total_chars",
+        "n_unique_chunks",
+        "unique_chars",
+        "mean_chunk_len",
+    )

@@ -1597,3 +1597,130 @@ def etl_ivm_join_delta(spark, t):
         F.sum("n_pairs").alias("n_pairs"),
         F.sum("rev_cents").alias("rev_cents"),
     )
+
+
+@register(
+    "etl_late_arriving_dimension",
+    oracle="""
+    WITH referenced AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_early
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT r.o_custkey AS c_custkey,
+           c.c_name AS final_name,
+           CAST(c.c_nationkey AS INT) AS final_nationkey,
+           CASE WHEN r.o_custkey % 3 = 0 AND r.n_early > 0
+                THEN 1 ELSE 0 END AS was_inferred,
+           CASE WHEN r.o_custkey % 3 = 0 THEN r.n_early ELSE 0 END
+             AS n_facts_while_inferred,
+           r.n_orders
+    FROM referenced r JOIN customer c ON c.c_custkey = r.o_custkey
+    """,
+    tier="P2",
+)
+def etl_late_arriving_dimension(spark, t):
+    """Late-arriving dimension handling (Kimball's 'early-arriving
+    fact' pattern): facts reference dimension keys whose attribute
+    rows have not landed yet, so the load must (1) insert INFERRED
+    placeholder members for unknown keys rather than dropping or
+    orphaning facts, (2) count the facts that accrued against a
+    placeholder, and (3) type-1 backfill the real attributes when the
+    late dimension batch arrives — keeping the inferred-origin flag
+    for audit.
+
+    The engine RUNS the state machine: dim batch 1 is the on-time
+    customers (c_custkey % 3 != 0), early facts (o_orderdate <
+    1997-01-01) LEFT ANTI join against it to discover unknown keys,
+    placeholders are unioned in with NULL attributes + inferred flag,
+    then the late batch (the % 3 == 0 rows) merges type-1 over the
+    placeholders (COALESCE backfill preserving the flag) before the
+    remaining facts land. The oracle computes the same end state in
+    closed form — the hash proves the anti-join discovery, the union,
+    and the backfill merge reconstruct exactly the final dimension.
+
+    Scale: one aggregation over facts (map-side combinable, keyed on
+    the dimension key) + anti/equi joins that AQE broadcasts once the
+    dim side fits; placeholders are bounded by |referenced keys|. This
+    is the nightly shape: the expensive side is always the fact scan,
+    and it is touched exactly once per phase.
+    """
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    early = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    late_facts = t["orders"].filter(F.col("o_orderdate") >= cutoff)
+    dim_on_time = t["customer"].filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_nationkey", F.lit(0).alias("was_inferred")
+    )
+    dim_late = t["customer"].filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    # phase 1: early facts arrive; unknown keys become inferred members
+    inferred = (
+        early.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .join(dim_on_time.select("c_custkey"), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.lit(1).alias("was_inferred"),
+        )
+    )
+    facts_while_inferred = (
+        early.join(
+            inferred.select("c_custkey"),
+            early["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_facts_while_inferred"))
+    )
+    dim_v1 = dim_on_time.unionByName(inferred)
+    # phase 2: the late dimension batch MERGES — type-1 backfill of
+    # matched placeholders, plain insert of members nobody inferred
+    # (keys whose first fact arrives after the late batch)
+    dim_final = (
+        dim_v1.alias("d")
+        .join(dim_late.alias("l"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("l.c_name"), F.col("d.c_name")).alias(
+                "final_name"
+            ),
+            F.coalesce(F.col("l.c_nationkey"), F.col("d.c_nationkey"))
+            .cast("int")
+            .alias("final_nationkey"),
+            F.col("d.was_inferred").alias("was_inferred"),
+        )
+        .unionByName(
+            dim_late.join(dim_v1.select("c_custkey"), "c_custkey", "left_anti")
+            .select(
+                "c_custkey",
+                F.col("c_name").alias("final_name"),
+                F.col("c_nationkey").cast("int").alias("final_nationkey"),
+                F.lit(0).alias("was_inferred"),
+            )
+        )
+    )
+    # all facts (early + late batch) against the final dimension state
+    n_orders = (
+        early.unionByName(late_facts)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        dim_final.join(n_orders, "c_custkey")  # referenced members only
+        .join(facts_while_inferred, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "final_name",
+            "final_nationkey",
+            "was_inferred",
+            F.coalesce("n_facts_while_inferred", F.lit(0)).alias(
+                "n_facts_while_inferred"
+            ),
+            "n_orders",
+        )
+    )

@@ -1719,3 +1719,125 @@ def graph_bfs_shortest_path(spark, t):
     for df in cached:
         df.unpersist()
     return result
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 8
+    ),
+    e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM base l1 JOIN base l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e0),
+    c1 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l0 l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l1 l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    ),
+    c3 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l2 l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c3) WHERE rn = 1
+    )
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM l3 GROUP BY label HAVING COUNT(*) >= 2
+    """,
+    tier="P3",
+)
+def graph_label_propagation(spark, t):
+    """Community detection by SYNCHRONOUS majority label propagation
+    (Raghavan et al. 2007) over the sparsified co-purchase graph — the
+    near-linear-time community extractor, here in its deterministic
+    synchronous form: every node starts labeled with its own id, and
+    each of 3 unrolled rounds relabels EVERY node simultaneously with
+    the most frequent label among its neighbors, ties broken toward
+    the SMALLEST label (classic async LPA visits nodes in random order
+    and never hash-checks; the synchronous + total-order variant is a
+    pure function of the graph, so DuckDB replays it exactly).
+
+    Same sparsified edge set as ``graph_kcore_peel`` (l_quantity ≤ 8 —
+    the full co-purchase graph is near-complete and would collapse to
+    one community in a single round); the edge list carries both
+    directions, so one groupBy per round sees every neighborhood.
+    Output: communities with ≥ 2 members after round 3.
+
+    Spark shape mirrors ``graph_kcore_peel``: 3 fixed unrolled rounds
+    (no driver convergence loop — one Catalyst plan), each round =
+    edge⋈labels equi-join, (node, label) count, and a row_number
+    argmax window; ``localCheckpoint`` cuts lineage because each
+    round's labels feed the next round's join. Label frames shrink to
+    |V| rows immediately, so AQE broadcasts the label side of every
+    round's join; the only data-proportional shuffle is the first
+    neighbor count. At 100 TB, synchronous LPA is exactly the
+    Pregel-style iteration GraphX/GraphFrames run — fixed rounds keep
+    the plan bounded and power-law graphs converge in a handful of
+    sweeps.
+    """
+    base = t["lineitem"].filter(F.col("l_quantity") <= 8).select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        base.alias("x")
+        .join(base.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(3):
+        labels = (
+            edges.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+    )

@@ -1433,3 +1433,116 @@ def ts_stl_decompose(spark, t):
             "mean_abs_resid"
         ),
     )
+
+
+@register(
+    "ts_holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT o_orderpriority AS pri,
+             date_trunc('month', o_orderdate) AS mo,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT pri, cents,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY mo) AS tt,
+             COUNT(*) OVER (PARTITION BY pri) AS tn
+      FROM m
+    ),
+    hw(pri, tt, l, b) AS (
+      SELECT pri, 1, cents::DOUBLE, CAST(0.0 AS DOUBLE) FROM s WHERE tt = 1
+      UNION ALL
+      SELECT s.pri, s.tt,
+             0.5 * s.cents + 0.5 * (hw.l + hw.b),
+             0.5 * ((0.5 * s.cents + 0.5 * (hw.l + hw.b)) - hw.l)
+               + 0.5 * hw.b
+      FROM hw JOIN s ON s.pri = hw.pri AND s.tt = hw.tt + 1
+    )
+    SELECT hw.pri AS o_orderpriority,
+           CAST(hw.tt AS BIGINT) AS n_months,
+           round(hw.l / 100, 6) AS level,
+           round(hw.b / 100, 6) AS trend,
+           round((hw.l + 1 * hw.b) / 100, 6) AS forecast_1,
+           round((hw.l + 2 * hw.b) / 100, 6) AS forecast_2,
+           round((hw.l + 3 * hw.b) / 100, 6) AS forecast_3
+    FROM hw JOIN (SELECT pri, MAX(tt) AS tn FROM s GROUP BY pri) z
+      ON z.pri = hw.pri AND z.tn = hw.tt
+    """,
+    tier="P2",
+)
+def ts_holt_linear_forecast(spark, t):
+    """Holt's two-parameter linear-trend exponential smoothing (the
+    level+trend member of the Holt-Winters family) over each
+    priority's monthly revenue, with a 3-month-ahead forecast — the
+    workhorse short-horizon forecaster between the naive seasonal
+    index (``ts_seasonality_index``) and a full STL fit
+    (``ts_stl_decompose``). α = β = 1/2, initialized l₁ = y₁, b₁ = 0;
+    the recursion runs over each group's OBSERVED months in order
+    (sparse fixture months are a ranked sequence, not gap-filled —
+    documented semantics shared by both engines).
+
+    Determinism: monthly revenue folds to exact BIGINT cents first;
+    the smoothing recursion is then the identical IEEE double sequence
+    on both sides — the oracle's recursive CTE and the numpy loop
+    evaluate literally the same expression tree per step
+    (l ← ½y + ½(l+b); b ← ½(l_new − l) + ½b), so no tolerance is
+    needed even after 80 steps (dyadic α keeps every op exact until
+    the mantissa fills, after which both engines round identically).
+
+    Scale shape: the heavy work is the per-(priority, month) cents
+    aggregation — one map-side-combinable shuffle over the fact table.
+    The recursion itself is inherently sequential PER GROUP, so it
+    runs in ``applyInPandas`` over the ≤ 80-row monthly frames (the
+    canonical Spark split: reduce big data to small per-key state
+    distributively, iterate the state where iteration is cheap). At
+    100 TB the month frames are still 80 rows per key — the pattern
+    holds for any bounded-window recursive filter (EWMA/Kalman/Holt).
+    """
+    import pandas as pd
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mo")
+        ys = pdf["cents"].to_numpy()
+        l = float(ys[0])
+        b = 0.0
+        for y in ys[1:]:
+            l_new = 0.5 * float(y) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        # raw doubles out; the 6-dp round happens JVM-side so the
+        # half-away tie rule matches DuckDB (Python round() is
+        # half-EVEN — the repo's cross-engine rounding convention)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["pri"].iloc[0]],
+                "n_months": [len(ys)],
+                "l": [l],
+                "b": [b],
+            }
+        )
+
+    state = monthly.groupBy("pri").applyInPandas(
+        holt,
+        schema="o_orderpriority string, n_months long, l double, b double",
+    )
+    return state.select(
+        "o_orderpriority",
+        "n_months",
+        F.round(F.col("l") / 100, 6).alias("level"),
+        F.round(F.col("b") / 100, 6).alias("trend"),
+        F.round((F.col("l") + 1 * F.col("b")) / 100, 6).alias("forecast_1"),
+        F.round((F.col("l") + 2 * F.col("b")) / 100, 6).alias("forecast_2"),
+        F.round((F.col("l") + 3 * F.col("b")) / 100, 6).alias("forecast_3"),
+    )

