@@ -192,6 +192,7 @@ EXTRA_SHAPES = [
     "ts_holt_linear_forecast",
     "ml_pca_power_iteration",
     "etl_late_arriving_dimension",
+    "multimodal_decode_jpeg420",
     # round-7 bench-coverage extension (VERDICT r6 #5): every remaining
     # never-benched op of the r7 driver window, so the round's
     # verification evidence and timing evidence move together ...

@@ -2452,3 +2452,503 @@ def _jpg_features_frame(spark, root: str):
         "n_bright",
         "xy_weighted",
     )
+
+
+# ---------------------------------------------------------------------------
+# Color JPEG with 4:2:0 chroma subsampling — the second JPEG rung after
+# the grayscale baseline above: 3 components (Y full-res, Cb/Cr at half
+# resolution), interleaved 16x16 MCUs (4 Y blocks + Cb + Cr), separate
+# luma/chroma quant + Huffman tables, per-component DC prediction, and
+# chroma upsampling + YCbCr->RGB conversion on decode. The exactness
+# trick is per-PLANE: each plane's 8x8 blocks live in the span of the
+# rational-IDCT basis functions (see the grayscale section), and the
+# color convert is a fixed scalar formula both engines evaluate
+# identically (FLOOR(x + 0.5) — no banker's/away ambiguity), so the
+# decoded RGB is a closed form DuckDB regenerates.
+
+_N_JPG420 = 12
+
+
+def _jpg420_dims(i: int) -> tuple[int, int]:
+    # multiples of 16 (the 4:2:0 MCU size): 16/32 x 16/32/48
+    return 16 * (1 + i % 2), 16 * (1 + i % 3)
+
+
+def _jpg420_block_coefs(
+    i: int, p: int, bx: int, by: int
+) -> tuple[int, int, int, int]:
+    """Per-(plane, block) basis amplitudes; p = 0 Y, 1 Cb, 2 Cr."""
+    a = (5 * i + 3 * bx + 2 * by + 11 * p) % 64 - 32
+    b = (7 * i + bx + 3 * by + 5 * p) % 16 - 8
+    c = (11 * i + 2 * bx + by + 3 * p) % 16 - 8
+    d = (3 * i + bx + by + p) % 8 - 4
+    return a, b, c, d
+
+
+def _jpg420_plane(i: int, p: int, w: int, h: int):
+    """Generative plane (h, w) uint8 built block-wise from the basis
+    amplitudes — Y at full res (p=0), Cb/Cr called at half res."""
+    import numpy as np
+
+    s4 = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    out = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            a, b, c, d = _jpg420_block_coefs(i, p, bx, by)
+            blk = (
+                128
+                + a
+                + b * s4[None, :]
+                + c * s4[:, None]
+                + d * s4[:, None] * s4[None, :]
+            )
+            out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = blk
+    return out
+
+
+def _jpg420_rgb(i: int):
+    """The decoded-RGB ground truth: planes by formula, chroma
+    replicated 2x2, JFIF YCbCr->RGB with FLOOR(x + 0.5). Amplitude
+    bounds keep every channel inside [0, 255], so the decoder's clamp
+    can't mask arithmetic bugs."""
+    import numpy as np
+
+    w, h = _jpg420_dims(i)
+    y = _jpg420_plane(i, 0, w, h).astype(np.float64)
+    cb = _jpg420_plane(i, 1, w // 2, h // 2).repeat(2, 0).repeat(2, 1)
+    cr = _jpg420_plane(i, 2, w // 2, h // 2).repeat(2, 0).repeat(2, 1)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(y + 1.772 * cb + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _jpg_chroma_qtable():
+    """Chroma quant table: same basis positions pinned to step 8, a
+    different formula elsewhere so the two DQT tables really differ."""
+    import numpy as np
+
+    v = np.arange(8)[:, None]
+    u = np.arange(8)[None, :]
+    q = 24 + (5 * v + 7 * u) % 16
+    for pos in ((0, 0), (0, 4), (4, 0), (4, 4)):
+        q[pos] = 8
+    return q.astype(np.int64)
+
+
+def _jpg420_component_tokens(i: int):
+    """Tokenize file i into interleaved-MCU order: per MCU the 4 Y
+    blocks (2x2 raster), then Cb, then Cr — each component with its
+    own DC predictor; returns [(comp, dc_diff, [(run, val), ...])]."""
+    import numpy as np
+
+    m = _dct_mat()
+    zz = _jpg_zigzag()
+    w, h = _jpg420_dims(i)
+    planes = [
+        _jpg420_plane(i, 0, w, h).astype(np.float64),
+        _jpg420_plane(i, 1, w // 2, h // 2).astype(np.float64),
+        _jpg420_plane(i, 2, w // 2, h // 2).astype(np.float64),
+    ]
+    qt = [_jpg_qtable(), _jpg_chroma_qtable(), _jpg_chroma_qtable()]
+    prev_dc = [0, 0, 0]
+    tokens = []
+
+    def emit(comp: int, bx: int, by: int):
+        pl = planes[comp]
+        blk = pl[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+        qc = np.round((m @ blk @ m.T) / qt[comp]).astype(np.int64)
+        seq = [int(qc[r, c]) for r, c in zz]
+        dc_diff = seq[0] - prev_dc[comp]
+        prev_dc[comp] = seq[0]
+        acs = []
+        run = 0
+        for v in seq[1:]:
+            if v == 0:
+                run += 1
+            else:
+                acs.append((run, v))
+                run = 0
+        tokens.append((comp, dc_diff, acs))
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    emit(0, 2 * mx + dx, 2 * my + dy)
+            emit(1, mx, my)
+            emit(2, mx, my)
+    return tokens
+
+
+def _write_jpg420s_impl(n: int = _N_JPG420) -> str:
+    """Write n REAL 4:2:0 color JPEGs: two DQT tables, a 3-component
+    SOF0 (Y sampling 2x2, chroma 1x1), four DHT tables (DC/AC x
+    luma/chroma, per-file optimal), and the interleaved MCU scan."""
+    import struct
+
+    root = os.path.join(tracked_mkdtemp(prefix="mm_jpg420_"), "jpgs")
+    os.makedirs(root, exist_ok=True)
+    zz = _jpg_zigzag()
+    ql, qc = _jpg_qtable(), _jpg_chroma_qtable()
+    for i in range(n):
+        w, h = _jpg420_dims(i)
+        tokens = _jpg420_component_tokens(i)
+        freqs = {  # (class, table): frequency dict
+            (0, 0): {}, (1, 0): {}, (0, 1): {}, (1, 1): {}
+        }
+        for comp, dc_diff, acs in tokens:
+            tb = 0 if comp == 0 else 1
+            size, _ = _jpg_mag_bits(dc_diff)
+            freqs[(0, tb)][size] = freqs[(0, tb)].get(size, 0) + 1
+            for run, v in acs:
+                while run > 15:
+                    freqs[(1, tb)][0xF0] = freqs[(1, tb)].get(0xF0, 0) + 1
+                    run -= 16
+                size, _ = _jpg_mag_bits(v)
+                sym = (run << 4) | size
+                freqs[(1, tb)][sym] = freqs[(1, tb)].get(sym, 0) + 1
+            freqs[(1, tb)][0x00] = freqs[(1, tb)].get(0x00, 0) + 1
+        specs = {
+            k: _huff_spec(_huff_lengths(f)) for k, f in freqs.items()
+        }
+        codes = {
+            k: _canonical_codes(bits, vals)
+            for k, (bits, vals) in specs.items()
+        }
+        bw = _JpgBitWriter()
+        for comp, dc_diff, acs in tokens:
+            tb = 0 if comp == 0 else 1
+            size, mag = _jpg_mag_bits(dc_diff)
+            code, length = codes[(0, tb)][size]
+            bw.write(code, length)
+            if size:
+                bw.write(mag, size)
+            for run, v in acs:
+                while run > 15:
+                    code, length = codes[(1, tb)][0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, mag = _jpg_mag_bits(v)
+                code, length = codes[(1, tb)][(run << 4) | size]
+                bw.write(code, length)
+                bw.write(mag, size)
+            code, length = codes[(1, tb)][0x00]
+            bw.write(code, length)
+        scan = bw.flush()
+
+        dqt = (
+            b"\xff\xdb"
+            + struct.pack(">H", 2 + 65 + 65)
+            + bytes([0x00])
+            + bytes(int(ql[r, c]) for r, c in zz)
+            + bytes([0x01])
+            + bytes(int(qc[r, c]) for r, c in zz)
+        )
+        sof = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            + bytes((1, 0x22, 0))  # Y: 2x2 sampling, quant table 0
+            + bytes((2, 0x11, 1))  # Cb
+            + bytes((3, 0x11, 1))  # Cr
+        )
+        dht_parts = []
+        for (cls, tb), (bits, vals) in sorted(specs.items()):
+            dht_parts.append(
+                bytes([(cls << 4) | tb]) + bytes(bits) + bytes(vals)
+            )
+        dht_body = b"".join(dht_parts)
+        dht = b"\xff\xc4" + struct.pack(">H", 2 + len(dht_body)) + dht_body
+        sos = (
+            b"\xff\xda"
+            + struct.pack(">HB", 12, 3)
+            + bytes((1, 0x00, 2, 0x11, 3, 0x11))
+            + bytes((0, 63, 0))
+        )
+        with open(os.path.join(root, f"img_{i:04d}.jpg"), "wb") as fh:
+            fh.write(
+                b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+            )
+    return root
+
+
+def _write_jpg420s(n: int = _N_JPG420) -> str:
+    """Memoized per process — the corpus is a pure function of n."""
+    return memoized_asset_dir(("jpg420s", n), lambda: _write_jpg420s_impl(n))
+
+
+def decode_jpeg420(content: bytes):
+    """REAL 4:2:0 color JPEG decoder: 3-component SOF0 with 2x2/1x1
+    sampling, two DQT tables, four DHT tables, interleaved MCU entropy
+    decode with per-component DC prediction, dequant + dezigzag +
+    float IDCT per block, chroma 2x2 replication upsample, and JFIF
+    YCbCr->RGB with FLOOR(x + 0.5). Returns (h, w, 3) uint8 RGB.
+    Raises on progressive or other sampling layouts."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    sof = None
+    scan_comp = None
+    scan_start = None
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = content[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+        body = content[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[pq_tq & 15] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 15)] = _canonical_codes(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nf != 3:
+                raise NotImplementedError("only 8-bit 3-component")
+            comps = []
+            for k in range(3):
+                cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            if comps[0][1:3] != (2, 2) or any(
+                c[1:3] != (1, 1) for c in comps[1:]
+            ):
+                raise NotImplementedError("only 4:2:0 sampling")
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0 supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise NotImplementedError("expected 3-component scan")
+            scan_comp = {
+                body[1 + 2 * k]: (
+                    body[2 + 2 * k] >> 4,
+                    body[2 + 2 * k] & 15,
+                )
+                for k in range(ns)
+            }
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sof is None or scan_start is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = sof
+    if h % 16 or w % 16:
+        raise NotImplementedError("partial-MCU dimensions")
+    eoi = content.rindex(b"\xff\xd9")
+    reader = _JpgBitReader(content[scan_start:eoi])
+    zz = _jpg_zigzag()
+    m = _dct_mat()
+    planes = [
+        np.zeros((h, w), dtype=np.float64),
+        np.zeros((h // 2, w // 2), dtype=np.float64),
+        np.zeros((h // 2, w // 2), dtype=np.float64),
+    ]
+    prev_dc = [0, 0, 0]
+
+    def read_block(ci: int, bx: int, by: int):
+        cid, _hs, _vs, tq = comps[ci]
+        dc_codes = huff[(0, scan_comp[cid][0])]
+        ac_codes = huff[(1, scan_comp[cid][1])]
+        q_zz = qtables[tq]
+        size = _huff_decode(reader, dc_codes)
+        diff = reader.bits(size) if size else 0
+        if size and diff < (1 << (size - 1)):
+            diff += 1 - (1 << size)
+        prev_dc[ci] += diff
+        seq = [0] * 64
+        seq[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_codes)
+            if sym == 0x00:
+                break
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            v = reader.bits(size)
+            if v < (1 << (size - 1)):
+                v += 1 - (1 << size)
+            seq[k] = v
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.float64)
+        for idx, (r, c) in enumerate(zz):
+            coef[r, c] = seq[idx] * q_zz[idx]
+        planes[ci][
+            8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+        ] = m.T @ coef @ m + 128.0
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    read_block(0, 2 * mx + dx, 2 * my + dy)
+            read_block(1, mx, my)
+            read_block(2, mx, my)
+    y = planes[0]
+    cb = planes[1].repeat(2, 0).repeat(2, 1) - 128.0
+    cr = planes[2].repeat(2, 0).repeat(2, 1) - 128.0
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(y + 1.772 * cb + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _jpg420_oracle_sql() -> str:
+    """Generate the closed-form oracle: per pixel, the three plane
+    values from the block-basis formulas (chroma at half-res
+    coordinates), then the same JFIF FLOOR(x+0.5) color convert the
+    decoder applies — the SQL expression tree mirrors the numpy one
+    left-associatively so every double op is bit-identical."""
+
+    def s4(expr: str) -> str:
+        return f"(CASE WHEN ({expr}) % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)"
+
+    def plane(p: int, xe: str, ye: str) -> str:
+        bx, by = f"(({xe}) // 8)", f"(({ye}) // 8)"
+        return (
+            f"(128 + ((5 * i + 3 * {bx} + 2 * {by} + {11 * p}) % 64 - 32)"
+            f" + {s4(xe)} * ((7 * i + {bx} + 3 * {by} + {5 * p}) % 16 - 8)"
+            f" + {s4(ye)} * ((11 * i + 2 * {bx} + {by} + {3 * p}) % 16 - 8)"
+            f" + {s4(xe)} * {s4(ye)}"
+            f" * ((3 * i + {bx} + {by} + {p}) % 8 - 4))"
+        )
+
+    yv = plane(0, "x", "y")
+    cb = plane(1, "x // 2", "y // 2")
+    cr = plane(2, "x // 2", "y // 2")
+    return f"""
+    WITH imgs AS (
+      SELECT range AS i, 16 * (1 + range % 2) AS w,
+             16 * (1 + range % 3) AS h
+      FROM range(12)
+    ),
+    px AS (
+      SELECT i, w, h, gx.x AS x, gy.y AS y
+      FROM imgs
+      CROSS JOIN (SELECT range AS x FROM range(32)) gx
+      CROSS JOIN (SELECT range AS y FROM range(48)) gy
+      WHERE gx.x < w AND gy.y < h
+    ),
+    rgb AS (
+      SELECT i, w, h, x, y,
+        CAST(FLOOR({yv} + 1.402 * ({cr} - 128) + 0.5) AS BIGINT) AS r,
+        CAST(FLOOR({yv} - 0.344136 * ({cb} - 128)
+                   - 0.714136 * ({cr} - 128) + 0.5) AS BIGINT) AS g,
+        CAST(FLOOR({yv} + 1.772 * ({cb} - 128) + 0.5) AS BIGINT) AS b
+      FROM px
+    )
+    SELECT 'img_' || lpad(i::VARCHAR, 4, '0') || '.jpg' AS file_name,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           round(SUM(r)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_r,
+           round(SUM(g)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_g,
+           round(SUM(b)::DOUBLE / (MAX(w) * MAX(h)), 4) AS mean_b,
+           CAST(SUM(CASE WHEN (2 * r + 5 * g + b) // 8 > 127
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+           CAST(SUM((x + 2 * y) * g) AS BIGINT) AS xy_weighted_g
+    FROM rgb GROUP BY 1
+    """
+
+
+@register(
+    "multimodal_decode_jpeg420",
+    oracle=_jpg420_oracle_sql(),
+    tier="P3",
+)
+def multimodal_decode_jpeg420(spark, t):
+    """Color image decode over REAL 4:2:0 chroma-subsampled JPEGs —
+    the full production JPEG shape on top of the grayscale baseline:
+    interleaved 16x16 MCUs (4 Y + Cb + Cr blocks), separate
+    luma/chroma quant and Huffman tables, per-component DC predictors,
+    chroma replication upsample, and the JFIF YCbCr->RGB convert. The
+    per-plane rational-basis corpus keeps the lossy pipeline bit-exact
+    (grayscale section comment), and the color convert is pinned to
+    FLOOR(x + 0.5) so no rounding-mode seam exists; the oracle
+    regenerates decoded RGB from the closed-form plane formulas.
+
+    One wrong bit anywhere — a swapped chroma table, a DC predictor
+    shared across components, an MCU ordered Cb-before-Y — corrupts
+    the stream or the colors and cannot hash-match. ``xy_weighted_g``
+    is asymmetric in x/y; exact integer channel sums in the UDF, 4-dp
+    means JVM-side.
+
+    Scale: identical posture to every decode stage — one binaryFile
+    scan, per-asset decode in Arrow-batched ``mapInPandas``, one row
+    per asset; libjpeg-turbo swaps in at production scale with the
+    Spark plumbing unchanged.
+    """
+    import numpy as np
+
+    raw = spark.read.format("binaryFile").load(f"{_write_jpg420s()}/*.jpg")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "file_name": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "n_bright": [], "xy_weighted_g": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                im = decode_jpeg420(content)
+                h, w = im.shape[:2]
+                px = im.astype(np.int64)
+                luma = (2 * px[:, :, 0] + 5 * px[:, :, 1] + px[:, :, 2]) // 8
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                out["file_name"].append(path.rsplit("/", 1)[-1])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["n_bright"].append(int((luma > 127).sum()))
+                out["xy_weighted_g"].append(
+                    int(((xw + 2 * yw) * px[:, :, 1]).sum())
+                )
+            yield pd.DataFrame(out)
+
+    decoded = raw.select("path", "content").mapInPandas(
+        feats,
+        schema="file_name string, width int, height int, sum_r long, "
+        "sum_g long, sum_b long, n_bright long, xy_weighted_g long",
+    )
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "file_name",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / npx, 4).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 4).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 4).alias("mean_b"),
+        "n_bright",
+        "xy_weighted_g",
+    )

@@ -225,6 +225,7 @@ DRIVER_ORDER: list[str] = [
     "ts_holt_linear_forecast",
     "ml_pca_power_iteration",
     "etl_late_arriving_dimension",
+    "multimodal_decode_jpeg420",
     # -- driver-green tail (288 IDs, latest driver row green; r6 window
     # first, then r5, then relative order preserved from the r1-r4
     # windows) --

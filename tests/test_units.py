@@ -3067,3 +3067,61 @@ def test_late_arriving_dimension_state_machine(spark):
         assert r["n_facts_while_inferred"] == (
             early if r["c_custkey"] % 3 == 0 else 0
         )
+
+
+def test_jpeg420_roundtrip_exact_and_mcu_structure():
+    """Every 4:2:0 color file must decode to the closed-form RGB
+    exactly; the SOF0 must declare 2x2/1x1 sampling with distinct
+    quant tables; and chroma really is quarter-resolution (the Cb
+    plane the formulas generate has half dims)."""
+    import os
+    import struct
+
+    import numpy as np
+
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _N_JPG420,
+        _jpg420_dims,
+        _jpg420_rgb,
+        _write_jpg420s,
+        decode_jpeg420,
+    )
+
+    root = _write_jpg420s()
+    files = sorted(os.listdir(root))
+    assert len(files) == _N_JPG420
+    for i, fn in enumerate(files):
+        content = open(os.path.join(root, fn), "rb").read()
+        assert np.array_equal(decode_jpeg420(content), _jpg420_rgb(i)), fn
+    content = open(os.path.join(root, files[0]), "rb").read()
+    sof_at = content.index(b"\xff\xc0")
+    body = content[sof_at + 4 :]
+    prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+    assert (prec, nf) == (8, 3) and (w, h) == _jpg420_dims(0)
+    assert body[7] == 0x22 and body[10] == 0x11 and body[13] == 0x11
+    assert body[8] == 0 and body[11] == 1  # luma vs chroma quant tables
+
+
+def test_jpeg420_decoder_rejects_gray_and_vice_versa():
+    """The two JPEG decoders enforce their envelopes: the color
+    decoder refuses 1-component files and the grayscale decoder
+    refuses 3-component files — no silent mis-decode."""
+    import os
+
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _write_jpg420s,
+        _write_jpgs,
+        decode_jpeg,
+        decode_jpeg420,
+    )
+
+    gray = open(
+        os.path.join(_write_jpgs(), "img_0000.jpg"), "rb"
+    ).read()
+    color = open(
+        os.path.join(_write_jpg420s(), "img_0000.jpg"), "rb"
+    ).read()
+    with pytest.raises(NotImplementedError):
+        decode_jpeg420(gray)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(color)
