@@ -193,6 +193,9 @@ EXTRA_SHAPES = [
     "ml_pca_power_iteration",
     "etl_late_arriving_dimension",
     "multimodal_decode_jpeg420",
+    "agg_bloom_filter_membership",
+    "etl_data_vault_load",
+    "stream_hll_distinct",
     # round-7 bench-coverage extension (VERDICT r6 #5): every remaining
     # never-benched op of the r7 driver window, so the round's
     # verification evidence and timing evidence move together ...

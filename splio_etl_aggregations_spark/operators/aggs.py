@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.helpers import net_price, r4, sorted_list
+from ..functions.portable_hash import ph60, ph60_sql
 from ..registry import register
 
 
@@ -4985,4 +4986,126 @@ def agg_cuped_adjusted(spark, t):
             / 10000,
             4,
         ).alias("var_adjusted"),
+    )
+
+
+@register(
+    "agg_bloom_filter_membership",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    probe AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    bits AS (
+      SELECT DISTINCT ({ph60_sql('b.k', 'bloom1')}) % 65536 AS pos
+      FROM build b
+      UNION
+      SELECT DISTINCT ({ph60_sql('b.k', 'bloom2')}) % 65536 FROM build b
+      UNION
+      SELECT DISTINCT ({ph60_sql('b.k', 'bloom3')}) % 65536 FROM build b
+    ),
+    probe_pos AS (
+      SELECT k, ({ph60_sql('k', 'bloom1')}) % 65536 AS p1,
+             ({ph60_sql('k', 'bloom2')}) % 65536 AS p2,
+             ({ph60_sql('k', 'bloom3')}) % 65536 AS p3
+      FROM probe
+    ),
+    fp AS (
+      SELECT pp.k FROM probe_pos pp
+      WHERE EXISTS (SELECT 1 FROM bits WHERE pos = pp.p1)
+        AND EXISTS (SELECT 1 FROM bits WHERE pos = pp.p2)
+        AND EXISTS (SELECT 1 FROM bits WHERE pos = pp.p3)
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_false_positives
+    )
+    SELECT n_build, n_bits_set, n_probes, n_false_positives,
+           round(n_false_positives::DOUBLE / n_probes, 6) AS fp_rate,
+           round((n_bits_set::DOUBLE / 65536)
+                 * (n_bits_set::DOUBLE / 65536)
+                 * (n_bits_set::DOUBLE / 65536), 6) AS fp_expected
+    FROM stats
+    """,
+    tier="P2",
+)
+def agg_bloom_filter_membership(spark, t):
+    """Bloom filter build + probe with an EXACT false-positive audit —
+    the membership sketch that completes the family (HLL cardinality,
+    count-min frequency, bitmap exact-distinct, histogram quantiles):
+    even-key orders build an m=65536-bit, k=3 filter through the
+    portable ph60 hash family; odd keys (true non-members by
+    construction) probe it, and a probe is a false positive iff ALL
+    three of its bit positions are set. The measured fp_rate sits next
+    to the occupancy-based expectation (bits-set/m)³ — written as an
+    explicit product, never POW, because libm pow is not bit-identical
+    across engines.
+
+    Spark shape: the filter is a DISTINCT-positions frame (≤ m rows —
+    the sketch property), built by a 3-way union of hash projections
+    and probed with three LEFT SEMI joins (each AQE-broadcast: the
+    bit-set side is ≤ 64 Ki rows no matter how big the build side
+    gets). This is the join-pruning primitive `join_bloom_prune` uses
+    via Spark's native injected filter — here the filter itself is the
+    subject, bit-exactly reproducible cross-engine.
+
+    At 100 TB: build-side dedup + hash projection is one shuffle;
+    the bit array would be a fixed-size aggregate buffer (Spark's
+    BloomFilterAggregate) instead of a distinct frame, and the probe
+    is map-side only — the shape every shuffle-free semi-join wants.
+    """
+    m_bits = 65536
+    build = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    probe = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        build.select((ph60("k", "bloom1") % m_bits).alias("pos"))
+        .union(build.select((ph60("k", "bloom2") % m_bits).alias("pos")))
+        .union(build.select((ph60("k", "bloom3") % m_bits).alias("pos")))
+        .distinct()
+    )
+    probe_pos = probe.select(
+        "k",
+        (ph60("k", "bloom1") % m_bits).alias("p1"),
+        (ph60("k", "bloom2") % m_bits).alias("p2"),
+        (ph60("k", "bloom3") % m_bits).alias("p3"),
+    )
+    fp = (
+        probe_pos.join(
+            bits.withColumnRenamed("pos", "p1"), "p1", "left_semi"
+        )
+        .join(bits.withColumnRenamed("pos", "p2"), "p2", "left_semi")
+        .join(bits.withColumnRenamed("pos", "p3"), "p3", "left_semi")
+    )
+    counts = (
+        build.agg(F.count(F.lit(1)).alias("n_build"))
+        .crossJoin(F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+        .crossJoin(F.broadcast(probe.agg(F.count(F.lit(1)).alias("n_probes"))))
+        .crossJoin(
+            F.broadcast(fp.agg(F.count(F.lit(1)).alias("n_false_positives")))
+        )
+    )
+    occ = F.col("n_bits_set").cast("double") / m_bits
+    return counts.select(
+        "n_build",
+        "n_bits_set",
+        "n_probes",
+        "n_false_positives",
+        F.round(
+            F.col("n_false_positives").cast("double") / F.col("n_probes"), 6
+        ).alias("fp_rate"),
+        F.round(occ * occ * occ, 6).alias("fp_expected"),
     )

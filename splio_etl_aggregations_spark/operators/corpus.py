@@ -973,33 +973,44 @@ def corpus_cdc_chunk_dedup(spark, t):
     spans emitted by a mapPartitions rolling scan instead of an
     explode, trading shuffle width for per-task state.
     """
+    # Boundary discovery is a per-document HIGHER-ORDER filter over
+    # sequence(3, len) — pure codegen, no explode/union/distinct/window
+    # shuffle (the first cut's union+distinct+lag chain cost ~3 extra
+    # stages for work that is row-local by construction). The end
+    # boundary is appended with array_distinct (a hash boundary at the
+    # last char would otherwise duplicate it); spans come from zipping
+    # the ends array with its 0-prepended shift.
     docs = t["documents"].select("doc_id", "source", "text")
-    pos = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        F.posexplode(F.expr("sequence(3, length(text))")).alias("_i", "p"),
+    ends = F.expr(
+        "array_distinct(concat(filter(sequence(3, length(text)), p -> "
+        "(7 * ascii(substring(text, p - 2, 1))"
+        " + 31 * ascii(substring(text, p - 1, 1))"
+        " + 101 * ascii(substring(text, p, 1))) % 64 = 0), "
+        "array(length(text))))"
     )
-    c = lambda off: F.ascii(F.col("text").substr(F.col("p") - off, F.lit(1)))
-    hash_bnd = (7 * c(2) + 31 * c(1) + 101 * c(0)) % 64 == 0
-    bnd = (
-        pos.filter(hash_bnd)
-        .select("doc_id", "source", "text", "p")
-        .union(
-            docs.select(
-                "doc_id", "source", "text", F.length("text").alias("p")
-            )
+    spans = (
+        docs.withColumn("ends", ends)
+        .filter(F.size("ends") > 0)  # guards the empty-text degenerate
+        .select(
+            "source",
+            "text",
+            F.explode(
+                F.arrays_zip(
+                    F.expr(
+                        "concat(array(0), slice(ends, 1, size(ends) - 1))"
+                    ).alias("prev"),
+                    F.col("ends").alias("e"),
+                )
+            ).alias("sp"),
         )
-        .distinct()
+        .select(
+            "source",
+            F.col("sp.prev").alias("prev"),
+            F.col("sp.e").alias("e"),
+            "text",
+        )
+        .filter(F.col("e") > F.col("prev"))
     )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    spans = bnd.select(
-        "doc_id",
-        "source",
-        "text",
-        F.col("p").alias("e"),
-        F.coalesce(F.lag("p").over(w), F.lit(0)).alias("prev"),
-    ).filter(F.col("e") > F.col("prev"))
     chunks = spans.select(
         "source",
         (F.col("e") - F.col("prev")).alias("clen"),

@@ -1724,3 +1724,130 @@ def etl_late_arriving_dimension(spark, t):
             "n_orders",
         )
     )
+
+
+@register(
+    "etl_data_vault_load",
+    oracle="""
+    WITH hub_c AS (
+      SELECT md5('cust:' || c_custkey) AS hk FROM customer
+    ),
+    hub_o AS (
+      SELECT md5('ord:' || o_orderkey) AS hk FROM orders
+    ),
+    lnk AS (
+      SELECT DISTINCT md5('link:' || o_orderkey || ':' || o_custkey) AS hk
+      FROM orders
+    ),
+    sat_rows AS (
+      SELECT c_custkey,
+             md5(c_name || '|'
+                 || CAST(round(c_acctbal * 100) AS BIGINT)) AS hd
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             md5(c_name || '|'
+                 || CAST(round(c_acctbal * 100) AS BIGINT) + 10000) AS hd
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT 'hub_customer' AS artifact,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_keys,
+           MIN(hk) AS min_hk
+    FROM hub_c
+    UNION ALL
+    SELECT 'hub_order', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT hk) AS BIGINT), MIN(hk) FROM hub_o
+    UNION ALL
+    SELECT 'link_order_customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT hk) AS BIGINT), MIN(hk) FROM lnk
+    UNION ALL
+    SELECT 'sat_customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT), MIN(hd)
+    FROM sat_rows
+    """,
+    tier="P2",
+)
+def etl_data_vault_load(spark, t):
+    """Data Vault 2.0 raw-vault load — the hash-keyed warehouse
+    modeling family (hubs = business keys, links = relationships,
+    satellites = attribute history with hashdiff change detection)
+    that complements the Kimball-star operators (`etl_scd2_history`,
+    `join_scd2_point_in_time`, `etl_late_arriving_dimension`):
+
+    * ``hub_customer`` / ``hub_order``: md5 hash keys over the
+      business keys — hash keys exist so loads parallelize with NO
+      sequence bottleneck and hubs/links load independently;
+    * ``link_order_customer``: distinct relationship hash keys;
+    * ``sat_customer``: the engine RUNS the two-load state machine —
+      initial attribute load, then a delta batch where every 5th
+      customer's balance shifted (+100); the satellite INSERTs a new
+      version only where the md5 HASHDIFF differs (the Data Vault
+      change-detection idiom), so changed keys carry 2 versions and
+      unchanged keys 1.
+
+    Hashdiff inputs fold the money column to integer CENTS before
+    hashing — hashing a double's string render would be an engine-
+    formatting seam. The oracle rebuilds all four artifacts closed-
+    form; min_hk pins the actual md5 key bytes, so a wrong
+    concatenation order or separator cannot hash-match.
+
+    Scale: every artifact load is one scan + one keyed dedup/agg —
+    hash-keyed vault loads are embarrassingly parallel BY DESIGN
+    (their selling point over sequence-keyed dimensions), and the
+    satellite's anti-join-by-hashdiff broadcasts the delta batch.
+    """
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    hub_c = t["customer"].select(
+        F.md5(F.concat(F.lit("cust:"), F.col("c_custkey"))).alias("hk")
+    )
+    hub_o = t["orders"].select(
+        F.md5(F.concat(F.lit("ord:"), F.col("o_orderkey"))).alias("hk")
+    )
+    lnk = t["orders"].select(
+        F.md5(
+            F.concat(
+                F.lit("link:"),
+                F.col("o_orderkey"),
+                F.lit(":"),
+                F.col("o_custkey"),
+            )
+        ).alias("hk")
+    ).distinct()
+    load1 = t["customer"].select(
+        "c_custkey",
+        F.md5(F.concat(F.col("c_name"), F.lit("|"), cents)).alias("hd"),
+    )
+    # delta batch: every 5th customer's balance moved by +100.00
+    load2 = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.md5(
+                F.concat(F.col("c_name"), F.lit("|"), cents + 10000)
+            ).alias("hd"),
+        )
+    )
+    # satellite state machine: insert delta rows whose hashdiff differs
+    # from the key's current version (all of load2 here — the join IS
+    # the change detection, not an assumption)
+    changed = load2.join(
+        load1.withColumnRenamed("hd", "hd_cur"), "c_custkey"
+    ).filter(F.col("hd") != F.col("hd_cur")).select("c_custkey", "hd")
+    sat = load1.unionByName(changed)
+
+    def stats(df, name, key_col, hk_col):
+        return df.agg(
+            F.lit(name).alias("artifact"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key_col).alias("n_keys"),
+            F.min(hk_col).alias("min_hk"),
+        ).select("artifact", "n_rows", "n_keys", "min_hk")
+
+    return (
+        stats(hub_c, "hub_customer", "hk", "hk")
+        .unionByName(stats(hub_o, "hub_order", "hk", "hk"))
+        .unionByName(stats(lnk, "link_order_customer", "hk", "hk"))
+        .unionByName(stats(sat, "sat_customer", "c_custkey", "hd"))
+    )

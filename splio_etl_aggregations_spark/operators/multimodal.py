@@ -2906,9 +2906,16 @@ def multimodal_decode_jpeg420(spark, t):
     per asset; libjpeg-turbo swaps in at production scale with the
     Spark plumbing unchanged.
     """
+    return _jpg420_features_frame(spark, _write_jpg420s())
+
+
+def _jpg420_features_frame(spark, root: str):
+    """The decode+features stage of ``multimodal_decode_jpeg420`` over
+    any 4:2:0 JPEG directory — split out so tools/scaling.py's K-probe
+    measures the registered operator's exact plan."""
     import numpy as np
 
-    raw = spark.read.format("binaryFile").load(f"{_write_jpg420s()}/*.jpg")
+    raw = spark.read.format("binaryFile").load(f"{root}/*.jpg")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -226,6 +226,9 @@ DRIVER_ORDER: list[str] = [
     "ml_pca_power_iteration",
     "etl_late_arriving_dimension",
     "multimodal_decode_jpeg420",
+    "agg_bloom_filter_membership",
+    "etl_data_vault_load",
+    "stream_hll_distinct",
     # -- driver-green tail (288 IDs, latest driver row green; r6 window
     # first, then r5, then relative order preserved from the r1-r4
     # windows) --

@@ -1002,3 +1002,97 @@ def stream_quantile_histogram(spark, t):
             F.when(10 * F.col("cum") >= 9 * F.col("n"), edge)
         ).alias("p90_hi"),
     )
+
+
+def hll_registers_6h(events: DataFrame) -> DataFrame:
+    """6-hour-windowed portable-HLL register table as a streaming
+    aggregate: per tumbling window, ≤256 (register, max-rank) rows of
+    ``user_id`` — approximate distinct users per window with state
+    bounded by m=256 whatever the user cardinality. Register max is
+    duplicate-invariant, so no pre-distinct is needed (max IS the
+    merge — the same mergeability argument as ``cms_sketch_6h``'s
+    counter addition); the identical code runs under readStream and
+    batch, replay equivalence asserted in tests/test_streaming.py."""
+    from ..functions.portable_hash import hll_rank, ph60
+    from ..operators.aggs import _HLL_M, _HLL_W
+
+    h = events.withWatermark("ts", "1 hour").select(
+        "ts", ph60("user_id", "hll").alias("h")
+    )
+    reg = h.select(
+        "ts",
+        (F.col("h") % _HLL_M).alias("j"),
+        hll_rank(F.expr(f"h div {_HLL_M}"), _HLL_W).alias("r"),
+    )
+    return (
+        reg.groupBy(F.window("ts", "6 hours").alias("w"), "j")
+        .agg(F.max("r").alias("mj"))
+        .select(F.col("w.start").alias("window_start"), "j", "mj")
+    )
+
+
+@register(
+    "stream_hll_distinct",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+             user_id
+      FROM events
+    ),
+    h AS (SELECT window_start,
+                 ('0x' || substr(md5('hll:' || user_id), 1, 15))::ubigint AS h
+          FROM u),
+    reg AS (SELECT window_start, h % 256 AS j,
+                   CASE WHEN h // 256 = 0 THEN 53
+                        ELSE strpos(lpad(bin(h // 256), 52, '0'), '1')
+                   END AS r
+            FROM h),
+    rm AS (SELECT window_start, j, MAX(r) AS mj FROM reg GROUP BY 1, 2),
+    s AS (SELECT window_start,
+                 (SUM(1::BIGINT << (53 - mj))
+                  + (256 - COUNT(*)) * (1::BIGINT << 53))::BIGINT AS s_int,
+                 256 - COUNT(*) AS v
+          FROM rm GROUP BY window_start
+    ),
+    ex AS (
+      SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM u GROUP BY window_start
+    )
+    SELECT s.window_start,
+           round(CASE WHEN s.v > 0 AND 4.2399330249068963e+20 / s.s_int <= 640.0
+                      THEN 256.0 * ln(256.0 / s.v)
+                      ELSE 4.2399330249068963e+20 / s.s_int END, 4)
+             AS est_users,
+           ex.n_exact
+    FROM s JOIN ex USING (window_start)
+    """,
+    tier="P3",
+)
+def stream_hll_distinct(spark, t):
+    """Streaming approximate distinct users per 6-hour window via the
+    portable HLL register table (``hll_registers_6h``) — the streaming
+    face of ``agg_approx_count_distinct`` and the third windowed
+    sketch state after the count-min counter table and the fixed-bin
+    histogram: distinct-user dashboards over an unbounded stream at
+    O(windows·256) total state, where exact streaming distinct needs
+    per-user state.
+
+    The register stage streams (windowed MAX is the HLL merge); the
+    estimate readout is the tiny batch fold every sketch pipeline has
+    — exact-integer register sums (`shiftleft`, no float log2 ranks)
+    plus one division and one `ln`, the r2-established cross-engine
+    HLL discipline. Exact per-window distinct rides along for the
+    accuracy audit the dashboards want.
+    """
+    from ..operators.aggs import _hll_estimate
+
+    regs = hll_registers_6h(t["events"])
+    est = _hll_estimate(regs, ["window_start"], "est_users")
+    exact = (
+        t["events"]
+        .select(F.window("ts", "6 hours").alias("w"), "user_id")
+        .select(F.col("w.start").alias("window_start"), "user_id")
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, "window_start")

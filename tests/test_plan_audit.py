@@ -229,6 +229,11 @@ SINGLE_PARTITION_OK = {
     "vec_binary_quantize_hamming": (1, "capped top-50 shortlist limit"),
     # r7 CUPED: the pooled θ fit is a 1-row scalar fold by definition
     "agg_cuped_adjusted": (1, "scalar pooled-theta fold"),
+    # r7 Bloom audit: four scalar count folds (build/bits/probes/fp),
+    # each a 1-row aggregate by definition
+    "agg_bloom_filter_membership": (4, "scalar sketch-audit count folds"),
+    # r7 Data Vault: one 1-row stats fold per artifact (hub/hub/link/sat)
+    "etl_data_vault_load": (4, "per-artifact scalar stats folds"),
 }
 
 BNLJ_OK = {
@@ -294,6 +299,8 @@ BNLJ_OK = {
     "ml_lift_deciles": (2, "1-row totals crossJoin"),
     # r7 CUPED: 1-row pooled-θ crossJoin (×2 explain sections)
     "agg_cuped_adjusted": (2, "1-row pooled-theta crossJoin"),
+    # r7 Bloom audit: three 1-row count crossJoins (×2 explain sections)
+    "agg_bloom_filter_membership": (6, "1-row audit-count crossJoins"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

@@ -694,3 +694,15 @@ def test_value_histogram_replay_equals_batch(spark):
     batch = value_hist_6h(load(spark, SF_SMALL)["events"])
     stream = _replay(spark, value_hist_6h, mode="complete")
     assert _rows(stream) == _rows(batch)
+
+
+def test_hll_registers_replay_equals_batch(spark):
+    """The windowed HLL register table must be identical whether built
+    in one batch pass or incrementally across micro-batches — windowed
+    MAX is the HLL merge, the same mergeability argument as the CMS
+    counter table and the value histogram."""
+    from splio_etl_aggregations_spark.streaming.ops import hll_registers_6h
+
+    batch = hll_registers_6h(load(spark, SF_SMALL)["events"])
+    stream = _replay(spark, hll_registers_6h, mode="complete")
+    assert _rows(stream) == _rows(batch)

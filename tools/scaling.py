@@ -253,6 +253,28 @@ def shapes(spark, t, k: int = 1):
         "ivm_join_delta": lambda: get("etl_ivm_join_delta").builder(spark, t),
         "knn_label_eval": lambda: get("ml_knn_label_eval").builder(spark, t),
         "band_sweep": lambda: get("dedup_lsh_band_sweep").builder(spark, t),
+        # r7 wave. jpeg/jpeg420: K multiplies the FILE COUNT like the
+        # other codec probes (per-file decode cost is corpus-constant).
+        # cdc_chunking: per-doc explode is length-bounded, docs grow K×
+        # — expect linear. cuped: events grow K× over a FIXED user set
+        # (copies shift ts, not user_id) — the per-user pre-aggregation
+        # is the only data-proportional stage. label_prop: edge-BUILD
+        # input grows K× while the distinct co-purchase graph is
+        # K-invariant (copies reuse part keys) — probes the build, like
+        # kcore. pca_gram: the (vec, 64²) moment fan-out grows K×; the
+        # driver-side 64×64 iteration is K-invariant by design. holt:
+        # monthly fold grows K×, recursion depth fixed. avro_rt:
+        # container write+read both K×. late_dim: fact scans K×, dim
+        # fixed — anti/equi joins broadcast.
+        "jpeg_decode": lambda: _jpg_probe(spark, k),
+        "jpeg420_decode": lambda: _jpg420_probe(spark, k),
+        "cdc_chunking": lambda: get("corpus_cdc_chunk_dedup").builder(spark, t),
+        "cuped": lambda: get("agg_cuped_adjusted").builder(spark, t),
+        "label_prop": lambda: get("graph_label_propagation").builder(spark, t),
+        "pca_gram": lambda: get("ml_pca_power_iteration").builder(spark, t),
+        "holt": lambda: get("ts_holt_linear_forecast").builder(spark, t),
+        "avro_rt": lambda: get("scan_avro_roundtrip").builder(spark, t),
+        "late_dim": lambda: get("etl_late_arriving_dimension").builder(spark, t),
     }
 
 
@@ -274,6 +296,24 @@ def _png_probe(spark, k: int):
     return _png_features_frame(spark, _write_pngs_impl(20 * k))
 
 
+def _jpg_probe(spark, k: int):
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _jpg_features_frame,
+        _write_jpgs_impl,
+    )
+
+    return _jpg_features_frame(spark, _write_jpgs_impl(16 * k))
+
+
+def _jpg420_probe(spark, k: int):
+    from splio_etl_aggregations_spark.operators.multimodal import (
+        _jpg420_features_frame,
+        _write_jpg420s_impl,
+    )
+
+    return _jpg420_features_frame(spark, _write_jpg420s_impl(12 * k))
+
+
 def _gif_probe(spark, k: int):
     from splio_etl_aggregations_spark.operators.multimodal import (
         _gif_features_frame,
@@ -283,7 +323,12 @@ def _gif_probe(spark, k: int):
     return _gif_features_frame(spark, _write_gifs_impl(12 * k))
 
 
-EAGER_BUILD_SHAPES = {"kcore_peel", "csv_multiline", "band_sweep"}
+EAGER_BUILD_SHAPES = {
+    "kcore_peel", "csv_multiline", "band_sweep",
+    # r7: label_prop checkpoints per round; pca_gram collects the 64×64
+    # matrix during build; avro_rt materializes the container write
+    "label_prop", "pca_gram", "avro_rt",
+}
 
 
 def main() -> None:
