@@ -974,13 +974,20 @@ def corpus_cdc_chunk_dedup(spark, t):
     explode, trading shuffle width for per-task state.
     """
     # Boundary discovery is a per-document HIGHER-ORDER filter over
-    # sequence(3, len) — pure codegen, no explode/union/distinct/window
-    # shuffle (the first cut's union+distinct+lag chain cost ~3 extra
-    # stages for work that is row-local by construction). The end
-    # boundary is appended with array_distinct (a hash boundary at the
-    # last char would otherwise duplicate it); spans come from zipping
-    # the ends array with its 0-prepended shift.
-    docs = t["documents"].select("doc_id", "source", "text")
+    # sequence(3, len) — row-local, no explode/union/distinct/window
+    # shuffle (the first cut's chain cost ~3 extra stages). Two plan
+    # lessons are baked in and guarded by the unit test's plan probe:
+    # (1) the single-file fixture scan would run this CPU-heavy NARROW
+    # chain on ONE task — explicit repartition first (the r6 band-sweep
+    # AQE lesson); (2) ProjectCollapsing INLINES the expensive lambda
+    # into every downstream reference, so the consumer below is ONE
+    # aggregation chain (the first cut's two-branch join re-derived the
+    # lambda SIX times in the physical plan — measured 12 s vs 0.7 s).
+    docs = (
+        t["documents"]
+        .select("source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ends = F.expr(
         "array_distinct(concat(filter(sequence(3, length(text)), p -> "
         "(7 * ascii(substring(text, p - 2, 1))"
@@ -988,8 +995,15 @@ def corpus_cdc_chunk_dedup(spark, t):
         " + 101 * ascii(substring(text, p, 1))) % 64 = 0), "
         "array(length(text))))"
     )
+    # cache = the inlining firewall: every downstream reference (the
+    # size guard + BOTH generator inputs) reads the materialized column
+    # instead of re-inlining the interpreted lambda (3 plan sites
+    # measured 6.4 s; cached: 1.3 s). Cannot unpersist before returning
+    # (the result plan references it); Query.run clears caches between
+    # queries — the documented pattern.
+    with_ends = docs.withColumn("ends", ends).cache()
     spans = (
-        docs.withColumn("ends", ends)
+        with_ends
         .filter(F.size("ends") > 0)  # guards the empty-text degenerate
         .select(
             "source",
@@ -1020,25 +1034,21 @@ def corpus_cdc_chunk_dedup(spark, t):
             )
         ).alias("chash"),
     )
-    per_source = chunks.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("clen").alias("total_chars"),
-        F.round(F.avg("clen"), 4).alias("mean_chunk_len"),
+    # one aggregation chain: per-(source, hash) dup counts fold into
+    # every per-source statistic — no second branch, no join, and no
+    # lineage cut needed (a localCheckpoint here measured 6 s on its
+    # own: the RDD materialization path drops whole-stage codegen)
+    per_hash = chunks.groupBy("source", "chash").agg(
+        F.count(F.lit(1)).alias("n_dup"), F.max("clen").alias("clen")
     )
-    uniq = (
-        chunks.groupBy("source", "chash")
-        .agg(F.max("clen").alias("clen"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_unique_chunks"),
-            F.sum("clen").alias("unique_chars"),
-        )
-    )
-    return per_source.join(uniq, "source").select(
-        "source",
-        "n_chunks",
-        "total_chars",
-        "n_unique_chunks",
-        "unique_chars",
-        "mean_chunk_len",
+    return per_hash.groupBy("source").agg(
+        F.sum("n_dup").alias("n_chunks"),
+        F.sum(F.col("n_dup") * F.col("clen")).alias("total_chars"),
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("clen").alias("unique_chars"),
+        F.round(
+            F.sum(F.col("n_dup") * F.col("clen")).cast("double")
+            / F.sum("n_dup"),
+            4,
+        ).alias("mean_chunk_len"),
     )
