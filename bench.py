@@ -196,6 +196,8 @@ EXTRA_SHAPES = [
     "agg_bloom_filter_membership",
     "etl_data_vault_load",
     "stream_hll_distinct",
+    "dq_rules_engine",
+    "dedup_url_canonical",
     # round-7 bench-coverage extension (VERDICT r6 #5): every remaining
     # never-benched op of the r7 driver window, so the round's
     # verification evidence and timing evidence move together ...

@@ -1310,3 +1310,100 @@ def corpus_span_removal(spark, t):
             removed.cast("double") / F.col("tokens_total"), 4
         ).alias("pct_removed"),
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || 'Site' || (doc_id % 7) || '.Example.com'
+             || '/p/' || (doc_id % 50)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                 THEN '?utm_source=feed&ref=' || (doc_id % 11) ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://', ''),
+                   '^www\\.', ''),
+                 '\\?.*$', ''),
+               '/$', '') AS curl
+      FROM urls
+    ),
+    grp AS (
+      SELECT curl,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM canon GROUP BY curl
+    )
+    SELECT curl, n_docs, keeper_doc, n_sources
+    FROM grp WHERE n_docs >= 2
+    """,
+    tier="P2",
+)
+def dedup_url_canonical(spark, t):
+    """URL-canonicalization dedup — the FIRST dedup pass every web
+    corpus runs, before any content hashing: the same page arrives
+    under scheme/case/www/query-string/trailing-slash variants, and
+    canonicalization (lowercase → strip scheme → strip ``www.`` →
+    strip query → strip trailing slash) collapses them without reading
+    a byte of content. URLs here are synthesized deterministically
+    from doc_id (the fixture corpus has no URL column) with all four
+    noise dimensions injected on independent residues, so the oracle
+    regenerates both the dirty URLs and the canonical groups; the
+    min-doc_id keeper is the survivorship rule ``dedup_keep_best``
+    applies on richer signals.
+
+    Everything is codegen string work (concat + four regexp_replace) —
+    one projection, one keyed aggregation. At 100 TB this is the
+    textbook map-side pass: canonicalize in the scan projection,
+    aggregate on the canonical key (the only shuffle), and feed the
+    keeper set forward; the regex chain is anchored-prefix/suffix only
+    (no backtracking blowup on hostile URLs).
+    """
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS://").otherwise("http://"),
+        F.when(F.col("doc_id") % 3 == 0, "WWW.").otherwise(""),
+        F.lit("Site"),
+        (F.col("doc_id") % 7),
+        F.lit(".Example.com/p/"),
+        (F.col("doc_id") % 50),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), F.col("doc_id") % 11),
+        ).otherwise(""),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""),
+                r"^www\.",
+                "",
+            ),
+            r"\?.*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1851,3 +1851,106 @@ def etl_data_vault_load(spark, t):
         .unionByName(stats(lnk, "link_order_customer", "hk", "hk"))
         .unionByName(stats(sat, "sat_customer", "c_custkey", "hd"))
     )
+
+
+#: the rules-as-data table for ``dq_rules_engine``: every rule is DATA
+#: (id, column, predicate kind, threshold), compiled into ONE projection
+#: at plan-build time. Adding a rule is a row edit, not a code change.
+DQ_RULES: list[tuple[str, str, str, object]] = [
+    ("r1_price_positive", "o_totalprice", "gt", 0.0),
+    ("r2_date_not_null", "o_orderdate", "not_null", None),
+    ("r3_priority_in_set", "o_orderpriority", "in_set",
+     ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+    ("r4_price_below_cap", "o_totalprice", "le", 600000.0),
+    ("r5_status_known", "o_orderstatus", "rlike", r"^[OFP]$"),
+]
+
+
+@register(
+    "dq_rules_engine",
+    oracle="""
+    WITH checked AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    SELECT 'r1_price_positive' AS rule_id, checked.n AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE NOT (o_totalprice > 0.0)) AS n_violations
+    FROM checked
+    UNION ALL
+    SELECT 'r2_date_not_null', checked.n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderdate IS NULL)
+    FROM checked
+    UNION ALL
+    SELECT 'r3_priority_in_set', checked.n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderpriority NOT IN
+              ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
+               '5-LOW') OR o_orderpriority IS NULL)
+    FROM checked
+    UNION ALL
+    SELECT 'r4_price_below_cap', checked.n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE NOT (o_totalprice <= 600000.0))
+    FROM checked
+    UNION ALL
+    SELECT 'r5_status_known', checked.n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE NOT regexp_matches(o_orderstatus, '^[OFP]$')
+               OR o_orderstatus IS NULL)
+    FROM checked
+    """,
+    tier="P2",
+)
+def dq_rules_engine(spark, t):
+    """Rules-as-DATA quality engine: the validation rules live in a
+    declarative table (``DQ_RULES`` — id, column, predicate kind,
+    threshold) and are COMPILED into one projection over the fact
+    table, then unpivoted to a per-rule violation report. This is the
+    Deequ/Great-Expectations shape: analysts add rows to a rule table;
+    nobody writes a new query per rule.
+
+    The scale decision is compile-don't-join: the naive rules engine
+    cross-joins facts × rules (an R× scan amplification); this one
+    turns each rule row into one boolean column in a SINGLE pass
+    (violations are 0/1 sums — map-side combinable), then ``stack``s
+    the R per-rule sums out of ONE result row. Rule semantics follow
+    the DQ convention that NULL fails any value rule (violation =
+    NOT(pred) OR pred IS NULL — Spark's ternary logic would otherwise
+    silently pass NULLs).
+
+    The oracle evaluates each rule as an independent closed-form
+    count, so a mis-compiled predicate (or a NULL slipping through the
+    ternary seam) cannot hash-match.
+    """
+    import re as _re
+
+    def violation(col: str, kind: str, arg) -> F.Column:
+        c = F.col(col)
+        if kind == "gt":
+            ok = c > F.lit(arg)
+        elif kind == "le":
+            ok = c <= F.lit(arg)
+        elif kind == "in_set":
+            ok = c.isin(*arg)
+        elif kind == "rlike":
+            ok = c.rlike(arg)
+        elif kind == "not_null":
+            return F.when(c.isNull(), 1).otherwise(0)
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+        # NULL fails any value rule (DQ convention)
+        return F.when(ok, 0).otherwise(1)
+
+    sums = t["orders"].agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum(violation(col, kind, arg)).alias(rule_id)
+            for rule_id, col, kind, arg in DQ_RULES
+        ],
+    )
+    stack_expr = ", ".join(f"'{r[0]}', {r[0]}" for r in DQ_RULES)
+    return sums.select(
+        F.expr(
+            f"stack({len(DQ_RULES)}, {stack_expr}) AS (rule_id, n_violations)"
+        ),
+        "n_checked",
+    ).select("rule_id", "n_checked", "n_violations")

@@ -229,6 +229,8 @@ DRIVER_ORDER: list[str] = [
     "agg_bloom_filter_membership",
     "etl_data_vault_load",
     "stream_hll_distinct",
+    "dq_rules_engine",
+    "dedup_url_canonical",
     # -- driver-green tail (288 IDs, latest driver row green; r6 window
     # first, then r5, then relative order preserved from the r1-r4
     # windows) --

@@ -234,6 +234,9 @@ SINGLE_PARTITION_OK = {
     "agg_bloom_filter_membership": (4, "scalar sketch-audit count folds"),
     # r7 Data Vault: one 1-row stats fold per artifact (hub/hub/link/sat)
     "etl_data_vault_load": (4, "per-artifact scalar stats folds"),
+    # r7 rules engine: the compiled rule sums are ONE global aggregate
+    # whose output is a single |rules|-column row by definition
+    "dq_rules_engine": (1, "scalar compiled-rule-sums fold"),
 }
 
 BNLJ_OK = {

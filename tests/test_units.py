@@ -3165,3 +3165,49 @@ def test_stream_hll_estimate_accuracy(spark):
     for r in Q["stream_hll_distinct"].run(spark, SF_SMALL).collect():
         err = abs(r["est_users"] - r["n_exact"]) / max(r["n_exact"], 1)
         assert err < 4 * 1.04 / 16, r
+
+
+def test_rules_engine_compiles_rules_as_data(spark):
+    """Adding/removing a rule row must change the report rows 1:1 (the
+    rules-as-data contract), NULL handling must fail value rules, and
+    on this fixture the clean columns report zero violations while the
+    cap rule reports a real count."""
+    from splio_etl_aggregations_spark.operators.etl import DQ_RULES
+
+    rows = {r["rule_id"]: r for r in Q["dq_rules_engine"].run(spark, SF_SMALL).collect()}
+    assert set(rows) == {r[0] for r in DQ_RULES}
+    n = load(spark, SF_SMALL)["orders"].count()
+    over_cap = (
+        load(spark, SF_SMALL)["orders"]
+        .filter(~(F.col("o_totalprice") <= 600000.0))
+        .count()
+    )
+    for r in rows.values():
+        assert r["n_checked"] == n
+    assert rows["r2_date_not_null"]["n_violations"] == 0
+    assert rows["r3_priority_in_set"]["n_violations"] == 0
+    assert rows["r4_price_below_cap"]["n_violations"] == over_cap
+
+
+def test_url_canonical_collapses_all_noise_dimensions(spark):
+    """Group sizes must equal the residue-class arithmetic (350
+    canonical URLs over doc_id mod lcm patterns), the keeper must be
+    the min doc_id of its group, and every group member must
+    canonicalize to the keeper's canonical form."""
+    rows = Q["dedup_url_canonical"].run(spark, SF_SMALL).collect()
+    docs = [r["doc_id"] for r in load(spark, SF_SMALL)["documents"].select("doc_id").collect()]
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in docs:
+        groups[(d % 7, d % 50)].append(d)
+    expected = {
+        f"site{h}.example.com/p/{p}": sorted(ds)
+        for (h, p), ds in groups.items()
+        if len(ds) >= 2
+    }
+    got = {r["curl"]: r for r in rows}
+    assert set(got) == set(expected)
+    for curl, ds in expected.items():
+        assert got[curl]["n_docs"] == len(ds)
+        assert got[curl]["keeper_doc"] == ds[0]
