@@ -275,6 +275,18 @@ def shapes(spark, t, k: int = 1):
         "holt": lambda: get("ts_holt_linear_forecast").builder(spark, t),
         "avro_rt": lambda: get("scan_avro_roundtrip").builder(spark, t),
         "late_dim": lambda: get("etl_late_arriving_dimension").builder(spark, t),
+        # r7 second/third wave. bloom: build-side distinct + 3 semi
+        # joins against a <=64Ki-row bit set — probe side K×, filter
+        # constant. data_vault: hash-key loads are per-row md5 over K×
+        # facts, one dedup per artifact. stream_hll: register table is
+        # windowed MAX — K× events fold into the same <=256-row state
+        # per window. rules: ONE compiled projection over K× facts.
+        # url_canon: regex chain in the scan projection + one keyed agg.
+        "bloom_audit": lambda: get("agg_bloom_filter_membership").builder(spark, t),
+        "data_vault": lambda: get("etl_data_vault_load").builder(spark, t),
+        "stream_hll": lambda: get("stream_hll_distinct").builder(spark, t),
+        "rules_engine": lambda: get("dq_rules_engine").builder(spark, t),
+        "url_canon": lambda: get("dedup_url_canonical").builder(spark, t),
     }
 
 
