@@ -198,6 +198,7 @@ EXTRA_SHAPES = [
     "stream_hll_distinct",
     "dq_rules_engine",
     "dedup_url_canonical",
+    "dedup_bow_fingerprint",
     # round-7 bench-coverage extension (VERDICT r6 #5): every remaining
     # never-benched op of the r7 driver window, so the round's
     # verification evidence and timing evidence move together ...

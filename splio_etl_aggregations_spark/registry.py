@@ -231,6 +231,7 @@ DRIVER_ORDER: list[str] = [
     "stream_hll_distinct",
     "dq_rules_engine",
     "dedup_url_canonical",
+    "dedup_bow_fingerprint",
     # -- driver-green tail (288 IDs, latest driver row green; r6 window
     # first, then r5, then relative order preserved from the r1-r4
     # windows) --

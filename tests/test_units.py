@@ -3211,3 +3211,39 @@ def test_url_canonical_collapses_all_noise_dimensions(spark):
     for curl, ds in expected.items():
         assert got[curl]["n_docs"] == len(ds)
         assert got[curl]["keeper_doc"] == ds[0]
+
+
+def test_bow_fingerprint_groups_are_true_token_set_matches(spark):
+    """Every reported group must be a REAL sorted-distinct-token-set
+    collision (re-verified doc-by-doc against raw texts), and at least
+    one group must NOT be a byte-exact duplicate (the order-invariance
+    the fingerprint exists for)."""
+    rows = Q["dedup_bow_fingerprint"].run(spark, SF_SMALL).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_SMALL)["documents"].collect()
+    }
+    from collections import defaultdict
+
+    by_set = defaultdict(list)
+    for did, text in docs.items():
+        by_set[frozenset(text.lower().split(" "))].append(did)
+    expected = {
+        tuple(sorted(v)) for v in by_set.values() if len(v) >= 2
+    }
+    got = set()
+    non_exact_seen = False
+    for r in rows:
+        members = [
+            did for did, text in docs.items()
+            if frozenset(text.lower().split(" "))
+            in {k for k, v in by_set.items() if min(v) == r["keeper_doc"]}
+        ]
+        got.add(tuple(sorted(members)))
+        texts = {docs[m] for m in members}
+        non_exact_seen = non_exact_seen or len(texts) > 1
+        assert r["n_docs"] == len(members)
+        assert r["keeper_doc"] == min(members)
+    assert got == expected
+    assert non_exact_seen, "all groups byte-identical: fingerprint adds nothing"
