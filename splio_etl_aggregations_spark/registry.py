@@ -103,15 +103,81 @@ def get(name: str) -> Query:
 # the window is disjoint from every EARLIER round's CORRECTNESS file and
 # fails loudly if a LATER round's file appears (i.e. the rotation was
 # forgotten and the driver burned a round on an already-green window).
-WINDOW_ROUND = 7
+WINDOW_ROUND = 8
 
 DRIVER_ORDER: list[str] = [
-    # -- slots 1-50: ROUND-7 verification window (all never driver-
-    # sampled before this round; rotation guarded by
-    # tests/test_registry.py::test_driver_window_rotated). This is the
-    # pre-committed round-7 block from the r5/r6 burn-down plan
-    # (formerly slots 51-100), promoted verbatim at round-7 start.
+    # -- slots 1-50: ROUND-8 verification window (rotation guarded by
+    # tests/test_registry.py::test_driver_window_rotated). 47 of the 53
+    # never-driver-sampled oracle-backed IDs, front-loaded by risk
+    # (all nine real codec ops, then scans, streaming/ETL state, dedup/
+    # sim, then analytics), plus THREE deliberate re-samples listed in
+    # the guard test's RESAMPLE_ALLOWLIST: multimodal_decode_features /
+    # multimodal_frame_sample (stub->real-codec swap regression proof,
+    # carried from the r6+r7 verdicts) and ml_bootstrap_ci_hash (its
+    # implementation AND oracle change this round — VERDICT r7 #3 — so
+    # the r7 driver row is evidence for the retired form).
     # ----------------------------------------------------------------
+    "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg420",
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "multimodal_resize_bmp",
+    "multimodal_audio_frames",
+    "multimodal_image_histogram",
+    "scan_avro_roundtrip",
+    "scan_text_roundtrip",
+    "scan_jsonl_gzip_roundtrip",
+    "scan_csv_multiline_quoted",
+    "multimodal_decode_features",  # re-sample (see window comment)
+    "multimodal_frame_sample",  # re-sample (see window comment)
+    "stream_hll_distinct",
+    "stream_quantile_histogram",
+    "etl_ivm_join_delta",
+    "etl_late_arriving_dimension",
+    "etl_data_vault_load",
+    "dq_rules_engine",
+    "corpus_cdc_chunk_dedup",
+    "dedup_url_canonical",
+    "dedup_bow_fingerprint",
+    "dedup_lsh_band_sweep",
+    "sim_ann_lsh_knn_probeall",
+    "sim_ivf_knn_probeall",
+    "sim_range_search",
+    "sim_mmr_diversify",
+    "vec_pq_encode",
+    "vec_dedup_exact",
+    "vec_subspace_variance",
+    "graph_label_propagation",
+    "graph_kcore_peel",
+    "ml_pca_power_iteration",
+    "ml_knn_label_eval",
+    "ml_train_test_leakage_check",
+    "ml_bootstrap_ci_hash",  # re-sample (see window comment)
+    "agg_cuped_adjusted",
+    "agg_bloom_filter_membership",
+    "agg_histogram_quantile_merge",
+    "ts_holt_linear_forecast",
+    "ts_stl_decompose",
+    "text_readability_score",
+    "text_code_detect",
+    "text_lang_label_audit",
+    "corpus_span_removal",
+    "corpus_epoch_repeat_schedule",
+    "join_role_playing_dates",
+    "win_user_activity_entropy",
+    # -- never-sampled pool deferred to ROUND 9 (6 lowest-risk r5-era
+    # aggregation analytics, each sweep-green in SWEEP_r06 AND
+    # SWEEP_r07; round-8 additions append below per rotation policy) --
+    "ts_revenue_index_rebased",
+    "agg_percent_of_total_multi_level",
+    "ts_shipping_delay_trend",
+    "agg_assortment_penetration",
+    "ts_month_end_lift",
+    "agg_price_dispersion_audit",
+    # -- driver-green tail (latest driver row green; r7 window first,
+    # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",
     "ml_target_encoding",
     "dq_ks_drift",
@@ -156,85 +222,11 @@ DRIVER_ORDER: list[str] = [
     "win_mtd_ytd_running",
     "ts_burstiness_fano",
     "sample_systematic_every_nth",
-    "ml_bootstrap_ci_hash",
     "corpus_interleave_sources_round_robin",
     "ts_ohlc_bars",
     "agg_whale_curve_topshares",
     "agg_duplicate_invoice_detector",
     "join_accumulating_snapshot",
-    # -- never driver-sampled pool, burn-down pre-committed:
-    # ROUND-7 window = the next 50 below (slots 51-100); ROUND-8 = the
-    # remaining never-sampled tail (the r5 additions plus any r6
-    # additions, appended per rotation policy) + re-sample slots for
-    # regression proofs. After each round, move the newly-verified 50
-    # into the green tail and promote the next 50 to the top — never
-    # reorder a committed round's window mid-round.
-    # ---- (round-7 window promoted to slots 1-50 above) -----------
-    # ---- round-8 final never-sampled (40 total: the 11 round-5
-    # additions, 12 earlier stragglers, the 15 round-6 additions
-    # appended at the block's end per rotation policy — new ops always
-    # append to the never-sampled pool — plus the 2 rows-only ANN ops
-    # parked at the very end where they can never burn a verified
-    # slot; 50 r6-window + 50 r7 + these 40 = the 140 IDs without a
-    # driver row after r5) ----
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "ts_stl_decompose",
-    "vec_pq_encode",
-    "text_readability_score",
-    "sim_mmr_diversify",
-    "text_code_detect",
-    "corpus_span_removal",
-    "ml_train_test_leakage_check",
-    "multimodal_resize_bmp",
-    "scan_text_roundtrip",
-    "vec_dedup_exact",
-    "ts_revenue_index_rebased",
-    "agg_percent_of_total_multi_level",
-    "vec_subspace_variance",
-    "ts_shipping_delay_trend",
-    "corpus_epoch_repeat_schedule",
-    "join_role_playing_dates",
-    "agg_assortment_penetration",
-    "ts_month_end_lift",
-    "win_user_activity_entropy",
-    "text_lang_label_audit",
-    "agg_price_dispersion_audit",
-    # round-6 additions (appended to the never-sampled pool)
-    "multimodal_decode_png",
-    "sim_ann_lsh_knn_probeall",
-    "sim_ivf_knn_probeall",
-    "multimodal_decode_gif",
-    "scan_jsonl_gzip_roundtrip",
-    "sim_range_search",
-    "graph_kcore_peel",
-    "multimodal_audio_frames",
-    "scan_csv_multiline_quoted",
-    "multimodal_image_histogram",
-    "etl_ivm_join_delta",
-    "agg_histogram_quantile_merge",
-    "dedup_lsh_band_sweep",
-    "stream_quantile_histogram",
-    "ml_knn_label_eval",
-    # round-7 additions (appended to the never-sampled pool)
-    "multimodal_decode_jpeg",
-    "scan_avro_roundtrip",
-    "agg_cuped_adjusted",
-    "graph_label_propagation",
-    "corpus_cdc_chunk_dedup",
-    "ts_holt_linear_forecast",
-    "ml_pca_power_iteration",
-    "etl_late_arriving_dimension",
-    "multimodal_decode_jpeg420",
-    "agg_bloom_filter_membership",
-    "etl_data_vault_load",
-    "stream_hll_distinct",
-    "dq_rules_engine",
-    "dedup_url_canonical",
-    "dedup_bow_fingerprint",
-    # -- driver-green tail (288 IDs, latest driver row green; r6 window
-    # first, then r5, then relative order preserved from the r1-r4
-    # windows) --
     "lake_point_lookup_bloom",
     "dedup_embedding_cluster",
     "str_extended",
@@ -313,8 +305,6 @@ DRIVER_ORDER: list[str] = [
     "corpus_importance_resampling",
     "multimodal_dedup_phash",
     "ts_rolling_regression_slope",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
     "sql_shipping_priority",
     "sql_local_supplier_volume",
     "sql_forecast_revenue",

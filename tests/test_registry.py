@@ -67,7 +67,17 @@ def test_driver_window_rotated():
 
     # IDs intentionally re-sampled this round to prove a fix under the
     # real driver hash (empty => the whole window is new coverage).
-    RESAMPLE_ALLOWLIST: set[str] = set()
+    # Round 8: multimodal_decode_features / multimodal_frame_sample were
+    # driver-green in r3 against the retired _fake_ stubs; the r6+r7
+    # verdicts asked for a re-sample against the real BMP/PNG/GIF codecs.
+    # ml_bootstrap_ci_hash was green in r7 but VERDICT r7 #3 changed its
+    # implementation AND oracle (one ph60 hash, 32 bit-slice parities) —
+    # the old driver row is evidence for the retired form.
+    RESAMPLE_ALLOWLIST: set[str] = {
+        "multimodal_decode_features",
+        "multimodal_frame_sample",
+        "ml_bootstrap_ci_hash",
+    }
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     earlier: set[str] = set()
