@@ -438,6 +438,36 @@ def main() -> None:
 
     results = {n: detail[n]["median"] for n in HEADLINE}
     total = round(sum(results[n] for n in BASELINE_SHAPES), 4)
+    # Per-query drift guard (VERDICT r7 #2): the r7 headline drifted
+    # +3.2 % over r6 and only the judge noticed. Compare every shape's
+    # final median to the prior round's committed number and WARN at
+    # >10 % (above the jitter floor) so one-directional drift is caught
+    # at round close. WARNs are advisory (stderr); the hard stop is
+    # tests/test_bench_guard.py's 15 % headline gate.
+    drift = sorted(
+        (
+            (results[n] / prior[n], n)
+            for n in HEADLINE
+            if prior.get(n)
+            and results[n] > RETIME_FLOOR_SEC
+            and results[n] > 1.10 * prior[n]
+        ),
+        reverse=True,
+    )
+    for ratio, n in drift:
+        print(
+            f"[bench] WARN {n}: warm median {results[n]:.3f}s is "
+            f"{(ratio - 1) * 100:.0f}% over the prior committed "
+            f"{prior[n]:.3f}s",
+            file=sys.stderr,
+        )
+    if drift:
+        print(
+            f"[bench] WARN {len(drift)} shape(s) regressed >10% vs the "
+            "prior round (see lines above) — re-time on a quiet machine "
+            "before committing",
+            file=sys.stderr,
+        )
     # Extra-shape timings go to a sidecar file + stderr, NOT the stdout
     # JSON line: BENCH_r02.json came back `parsed: null` because the one
     # line carrying all ~80 timings overflowed the driver's stdout-tail

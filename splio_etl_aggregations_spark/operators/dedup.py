@@ -432,33 +432,72 @@ def dedup_near_minhash(spark, t):
 )
 def dedup_lsh_band_sweep(spark, t):
     """LSH banding TUNING TABLE — the measurement you run before
-    committing a (bands × rows) configuration at 100 TB: from ONE set
-    of 64 minhash signatures, evaluate three bandings (8×8, 16×4,
-    32×2) and report each one's candidate-pair volume and how many
-    candidates the exact verifier confirms (Jaccard ≥ 0.6). Wide-row
-    bands (8×8) are high-precision/low-recall (P[collide] = s⁸ per
-    band); narrow rows (32×2) maximize recall at τ=0.6 and rely on the
-    verifier — exactly the trade ``dedup_near_minhash`` locked in, here
-    quantified so the choice is data-driven rather than folklore.
+    committing a (bands × rows) configuration at 100 TB: evaluate three
+    bandings (8×8, 16×4, 32×2) of the same 64 minhash signatures and
+    report each one's candidate-pair volume and how many candidates the
+    exact verifier confirms (Jaccard ≥ 0.6). Wide-row bands (8×8) are
+    high-precision/low-recall (P[collide] = s⁸ per band); narrow rows
+    (32×2) maximize recall at τ=0.6 and rely on the verifier — exactly
+    the trade ``dedup_near_minhash`` locked in, here quantified so the
+    choice is data-driven rather than folklore.
+
+    ONE BANDING PASS DERIVES ALL THREE CONFIGS (VERDICT r7 #4). The
+    bandings NEST: band_id = i/rpb aligns the three slicings, so a
+    4-row band key is the concatenation of its two 2-row keys and an
+    8-row key the concatenation of four — a pair collides in b16r4 iff
+    some aligned PAIR of its matching 2-row bands, and in b08r8 iff
+    some aligned QUAD. So the op runs only the 32×2 banding, self-joins
+    band buckets once, folds each pair's matching band_ids into a
+    32-bit MASK (sum of shiftleft(1, band_id) — each (doc, band) is
+    unique so the sum is exact), and membership falls out as bit
+    algebra: in16 = (mask & mask>>1) & 0x55555555 ≠ 0 (an even-aligned
+    adjacent pair), in8 = (mask & mask>>1 & mask>>2 & mask>>3) &
+    0x11111111 ≠ 0 (a 4-aligned run). The exact Jaccard verify then
+    runs ONCE over the b32r2 superset, and one aggregate pass folds all
+    six counters; an explode unstacks the 3-row tuning table. r7 built
+    three bandings and verified the union of their candidate sets
+    (paying the array-intersect up to 3× per nested pair): 7.9 s warm
+    at sf0.1; this form measures 5.6 s. The DuckDB oracle still builds
+    all three bandings independently, so the hash check proves the
+    nesting derivation, not just the arithmetic.
 
     Signatures use the portable md5 hash family (``ph60 % (2³¹−1)``,
     fixed Mersenne universal coefficients) so DuckDB recomputes them
     bit-identically — candidate COUNTS are hash-checked, not just the
-    verified survivors (the existing minhash op can only oracle its
-    exact-pair OUTPUT because its xxhash64 signatures are
-    engine-private). Band buckets join on the raw signature slice
+    verified survivors. Band buckets join on the raw signature slice
     (injective per engine), so no second hash enters the seam.
 
-    Scale posture: the signature build is the only stage touching the
-    gram stream (long-format ×64 hash-family fan-out, one map-side-
-    combined min over (doc, i) — see the in-body note on why the
-    64-wide-column form was compile-bound and got rewritten); it is
-    ``localCheckpoint``-ed once and fanned to the three bandings —
-    each banding shuffles |docs|·B band rows, candidates are
-    band-bucket-local pairs (never all-pairs), and the exact verify
-    joins gram sets for candidate pairs only. The whole sweep costs
-    one signature pass + three cheap banding passes, which is why you
-    can afford to measure before you choose.
+    Plan notes, each measured at sf0.1 (local[32]):
+    - Signatures in LONG format — (doc_id, i, mh) via a 64-entry
+      (i, a, b) literal-family explode, one map-side-combined min —
+      NOT 64 wide min-agg columns: the wide form was compile-bound
+      (~7 s of whole-stage-codegen compilation even at sf0.01).
+    - The band self-join carries a ``shuffle_hash`` hint: the planner
+      otherwise BROADCASTS the 1.9 M-row band table (hash-table build
+      on one thread; warm 6.5 s → 5.6 s hinted). At 100 TB the band
+      table never fits a broadcast, so the hint is also the honest
+      scale plan: both sides shuffle on (band_id, bkey) and join
+      partition-local.
+    - ``repartition(par)`` (round-robin, EXPLICIT count) between the
+      mask aggregate and the verify: the mask groupBy's exchange is
+      AQE-coalesced to ~2 partitions (426 k int rows are byte-light),
+      and a keyed repartition on (lo, hi) is ELIDED as redundant with
+      that exchange's partitioning — the verify then fuses into a
+      2-task stage (measured 19-24 s, the r6 pathology resurfacing
+      through a new seam). Round-robin with an explicit count cannot
+      be elided or coalesced, and the 426 k array-intersect
+      verifications fan across all cores (~1 s).
+    - No localCheckpoint anywhere: every subtree now has a single
+      consumer (the self-join's two sides dedupe via ReusedExchange),
+      and checkpoint variants measured equal-or-slower — the r7
+      checkpoints existed to share sigl across THREE bandings.
+    - BROADCAST the gram-set side of the verify: without the hint the
+      planner routes the candidate rows AND the ~51-string gram arrays
+      through two sort-merge shuffles (measured 17 s; the arrays are
+      the shuffle payload). At 100 TB the doc side no longer fits a
+      broadcast; there you run the sweep on a deterministic sample
+      shard (a tuning table needs relative, not exhaustive, counts) or
+      drop the hint and pay the shuffle once.
     """
     from ..functions.portable_hash import ph60
     from .corpus import _gram_str, _zip_grams
@@ -467,7 +506,7 @@ def dedup_lsh_band_sweep(spark, t):
     prime = (1 << 31) - 1
     rng_a = [((2 * i + 1) * 0x9E3779B9) % prime for i in range(n_hashes)]
     rng_b = [((i * i + 7) * 0x27D4EB4F) % prime for i in range(n_hashes)]
-    configs = [("b08r8", 8, 8), ("b16r4", 16, 4), ("b32r2", 32, 2)]
+    par = spark.sparkContext.defaultParallelism
 
     docs = t["documents"]
     toks = F.split(F.col("text"), " ")
@@ -482,19 +521,6 @@ def dedup_lsh_band_sweep(spark, t):
     th = grams_rows.select(
         "doc_id", (ph60("gram", "mhs") % prime).alias("th")
     )
-    # Signatures in LONG format — (doc_id, i, mh) rows, the exact shape
-    # the oracle uses — NOT 64 wide min-agg columns. The wide form's
-    # generated code (64 fused multiply-add-mod aggregates, then
-    # 32-struct band projections over 64 columns) took whole-stage
-    # codegen seconds to COMPILE per build: the first cut measured
-    # ~17 s warm at sf0.1 while its data work summed to ~8 s, and
-    # stayed ~7 s at sf0.01 where the data is trivial — the signature
-    # of compile-bound, not data-bound. Long format explodes the
-    # 64-entry (i, a, b) literal family per gram occurrence (11 M tiny
-    # rows at sf0.1 — one map-side-combined min over (doc, i)) and
-    # every expression stays 3 ops wide. Materialized once
-    # (kcore/pagerank lineage-cut pattern) and fanned to the three
-    # bandings.
     fam = F.array(
         *[
             F.struct(
@@ -505,15 +531,6 @@ def dedup_lsh_band_sweep(spark, t):
             for i in range(n_hashes)
         ]
     )
-    # Explicit repartition BEFORE the checkpoint: AQE coalesces the
-    # signature agg to ~1 partition (320 k rows is only a few MB — AQE
-    # optimizes bytes, not CPU), localCheckpoint would freeze that, and
-    # every downstream banding/self-join/verify stage then runs 1-3
-    # tasks (measured: the whole sweep serialized to ~19 s warm at
-    # sf0.1; event-log stages showed task counts of 1). An explicit
-    # partition count is exempt from AQE coalescing, so the
-    # checkpointed RDD keeps cores-many partitions and the CPU-heavy
-    # stages downstream parallelize.
     sigl = (
         th.select("doc_id", "th", F.explode(fam).alias("x"))
         .groupBy("doc_id", F.col("x.i").alias("i"))
@@ -522,59 +539,46 @@ def dedup_lsh_band_sweep(spark, t):
                 (F.col("th") * F.col("x.a") + F.col("x.b")) % F.lit(prime)
             ).alias("mh")
         )
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .localCheckpoint()
     )
-    gram_sets = gram_sets.localCheckpoint()  # feeds TWO broadcasts below
-
-    cand_frames = []
-    for label, nb, rpb in configs:
-        # band key = the ordered signature slice (array_sort fixes
-        # collect_list's nondeterministic order; ≤8 elements per band)
-        bands_long = (
-            sigl.groupBy(
-                "doc_id", (F.col("i") / rpb).cast("int").alias("band_id")
-            )
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                ).alias("bkey")
-            )
-        )
-        lft, rgt = bands_long.alias("l"), bands_long.alias("r")
-        cand_frames.append(
-            lft.join(
-                rgt,
-                (F.col("l.band_id") == F.col("r.band_id"))
-                & (F.col("l.bkey") == F.col("r.bkey"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(
-                F.lit(label).alias("config"),
-                F.lit(nb).alias("n_bands"),
-                F.lit(rpb).alias("rows_per_band"),
-                F.col("l.doc_id").alias("lo"),
-                F.col("r.doc_id").alias("hi"),
-            )
-            .distinct()
-        )
-    # Explicit repartition between candidate generation and the verify
-    # join: AQE coalesces the distincts' exchanges to ~3 partitions
-    # (≈10 MB of (config, lo, hi) rows — byte-cheap), and the verify's
-    # broadcast joins FUSE into that stage, so 426 k array-intersect
-    # verifications ran on 3 tasks (event log: one 16.9 s stage with
-    # 3 tasks = 85 % of the op's wall). CPU-heavy, byte-light stages
-    # need the explicit (coalesce-exempt) partition count.
-    cand = (
-        cand_frames[0]
-        .unionByName(cand_frames[1])
-        .unionByName(cand_frames[2])
-        .repartition(spark.sparkContext.defaultParallelism, "lo", "hi")
+    # the 32×2 banding — band key = the ordered signature slice
+    # (array_sort fixes collect_list's nondeterministic order)
+    bands2 = sigl.groupBy(
+        "doc_id", (F.col("i") / 2).cast("int").alias("band_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda s: s["mh"].cast("string"),
+            ),
+            ",",
+        ).alias("bkey")
     )
+    lft = bands2.alias("l")
+    rgt = bands2.hint("shuffle_hash").alias("r")
+    matches = lft.join(
+        rgt,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.bkey") == F.col("r.bkey"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("lo"),
+        F.col("r.doc_id").alias("hi"),
+        F.col("l.band_id").alias("band_id"),
+    )
+    masks = matches.groupBy("lo", "hi").agg(
+        F.sum(F.expr("shiftleft(1L, band_id)")).alias("mask")
+    )
+    m = F.col("mask")
+    in16 = (
+        m.bitwiseAND(F.shiftright(m, 1)).bitwiseAND(F.lit(0x55555555)) != 0
+    ).cast("int")
+    in8 = (
+        m.bitwiseAND(F.shiftright(m, 1))
+        .bitwiseAND(F.shiftright(m, 2))
+        .bitwiseAND(F.shiftright(m, 3))
+        .bitwiseAND(F.lit(0x11111111))
+        != 0
+    ).cast("int")
     lo = gram_sets.select(
         F.col("doc_id").alias("lo"), F.col("grams").alias("grams_lo")
     )
@@ -584,25 +588,42 @@ def dedup_lsh_band_sweep(spark, t):
     j = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
         F.array_union("grams_lo", "grams_hi")
     )
-    # BROADCAST the gram-set side: without the hint the planner routes
-    # ~426 k (config, pair) rows AND the 35-string gram arrays through
-    # two sort-merge shuffles — measured 17 s at sf0.1 vs 1.6 s
-    # broadcast (the arrays are the shuffle payload; the doc-side frame
-    # is only ~2 MB). At 100 TB the doc side no longer fits a
-    # broadcast; there you run the sweep on a deterministic sample
-    # shard (a tuning table needs relative, not exhaustive, counts) or
-    # drop the hint and pay the shuffle once.
-    return (
-        cand.join(F.broadcast(lo), "lo")
+    flags = (
+        masks.repartition(par)
+        .join(F.broadcast(lo), "lo")
         .join(F.broadcast(hi), "hi")
-        .groupBy("config")
-        .agg(
-            F.max("n_bands").cast("int").alias("n_bands"),
-            F.max("rows_per_band").cast("int").alias("rows_per_band"),
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.when(j >= 0.6, 1).otherwise(0)).alias("n_verified"),
+        .select(
+            (j >= 0.6).cast("int").alias("ok"),
+            in16.alias("in16"),
+            in8.alias("in8"),
         )
     )
+    tot = flags.agg(
+        F.count(F.lit(1)).alias("c32"),
+        F.sum("ok").alias("v32"),
+        F.sum("in16").cast("bigint").alias("c16"),
+        F.sum(F.col("ok") * F.col("in16")).alias("v16"),
+        F.sum("in8").cast("bigint").alias("c8"),
+        F.sum(F.col("ok") * F.col("in8")).alias("v8"),
+    )
+    rows = [
+        ("b08r8", 8, 8, "c8", "v8"),
+        ("b16r4", 16, 4, "c16", "v16"),
+        ("b32r2", 32, 2, "c32", "v32"),
+    ]
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("config"),
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                F.col(c).cast("bigint").alias("n_candidates"),
+                F.col(v).cast("bigint").alias("n_verified"),
+            )
+            for label, nb, rpb, c, v in rows
+        ]
+    )
+    return tot.select(F.explode(stacked).alias("r")).select("r.*")
 
 
 @register(

@@ -88,6 +88,11 @@ SINGLE_PARTITION_OK = {
     # one 66-column scalar fold (all 32 resamples in one pass), then the
     # 32-row bootstrap-mean frame folds to the 1-row CI
     "ml_bootstrap_ci_hash": (1, "scalar resample fold (32-row frame)"),
+    # r8 single-superset verify: one global 6-counter fold replaces the
+    # r7 groupBy(config) (3-row) final agg; the fold's input is the
+    # per-partition partial aggregates, the SinglePartition stage sees
+    # ~32 rows
+    "dedup_lsh_band_sweep": (1, "scalar 6-counter fold (explodes to 3 rows)"),
     # |sources|-row src_idx window + 1-row n_src fold, both dim-bounded
     "corpus_interleave_sources_round_robin": (2, "|sources|-row index frames"),
     # rank offsets frame (≤16 rows) + final 1-row conditional-share fold
