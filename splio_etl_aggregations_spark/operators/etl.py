@@ -1954,3 +1954,218 @@ def dq_rules_engine(spark, t):
         ),
         "n_checked",
     ).select("rule_id", "n_checked", "n_violations")
+
+
+
+@register(
+    "etl_bitemporal_snapshot",
+    oracle="""
+    WITH anchor AS (
+      SELECT date_trunc('day', MIN(ts)) AS t0 FROM events
+    ),
+    dim AS (
+      SELECT user_id, event_type, ts AS valid_ts,
+             ts + to_hours(CAST(
+               ('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)),
+                  1, 15))::ubigint % 72 AS BIGINT)) AS load_ts
+      FROM events
+    ),
+    params AS (
+      SELECT t0 + INTERVAL 15 DAY AS t_valid,
+             t0 + INTERVAL 16 DAY AS t_known
+      FROM anchor
+    ),
+    known AS (
+      SELECT d.user_id, d.event_type,
+             row_number() OVER (PARTITION BY d.user_id
+                                ORDER BY d.valid_ts DESC,
+                                         d.load_ts DESC) AS rk
+      FROM dim d CROSS JOIN params p
+      WHERE d.valid_ts <= p.t_valid AND d.load_ts <= p.t_known
+    ),
+    final AS (
+      SELECT d.user_id, d.event_type,
+             row_number() OVER (PARTITION BY d.user_id
+                                ORDER BY d.valid_ts DESC,
+                                         d.load_ts DESC) AS rk
+      FROM dim d CROSS JOIN params p
+      WHERE d.valid_ts <= p.t_valid
+    )
+    SELECT k.event_type AS state_at_snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (f.event_type <> k.event_type)
+                AS BIGINT) AS n_revised_later
+    FROM known k
+    JOIN final f ON f.user_id = k.user_id AND f.rk = 1
+    WHERE k.rk = 1
+    GROUP BY k.event_type
+    ORDER BY state_at_snapshot
+""",
+    tier="P2",
+)
+def etl_bitemporal_snapshot(spark, t):
+    """BITEMPORAL point-in-time query — the two-clock question every
+    late-arriving warehouse eventually faces: "what was each user's
+    state at business time T₁, AS WE KNEW IT at wall-clock time T₂ —
+    and which of those answers were later revised by late data?" The
+    dimension carries both clocks: valid time = the event's own ts;
+    transaction (load) time = ts plus a deterministic 0–72 h arrival
+    delay (hash-derived, so both engines replay the same late-data
+    tape). The snapshot is the latest row per user with valid_ts ≤ T₁
+    AND load_ts ≤ T₂; joining it against the eventually-complete
+    answer (load filter dropped) counts the revisions per state —
+    the audit that tells you how much your T₂ reports drift.
+
+    Scale shape: both as-of reductions are one window rank per user
+    partition (the SCD2/as-of idiom — per-key frames, no global sort);
+    the params frame is a broadcast 1-row cross-join; the final
+    join is keyed on user. Complements `etl_late_arriving_dimension`
+    (which REPAIRS late rows) and `join_scd2_point_in_time` (one
+    clock) with the two-clock read path.
+    """
+    from ..functions.portable_hash import ph60
+    from pyspark.sql import Window
+
+    anchor = t["events"].agg(
+        F.date_trunc("day", F.min("ts")).alias("t0")
+    )
+    params = anchor.select(
+        (F.col("t0") + F.expr("INTERVAL 15 DAY")).alias("t_valid"),
+        (F.col("t0") + F.expr("INTERVAL 16 DAY")).alias("t_known"),
+    )
+    dim = t["events"].select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_ts"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(hours=ph60("event_id", "late") % 72)
+        ).alias("load_ts"),
+    ).crossJoin(F.broadcast(params))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("valid_ts"), F.desc("load_ts")
+    )
+    known = (
+        dim.filter(
+            (F.col("valid_ts") <= F.col("t_valid"))
+            & (F.col("load_ts") <= F.col("t_known"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", F.col("event_type").alias("state_at_snapshot"))
+    )
+    final = (
+        dim.filter(F.col("valid_ts") <= F.col("t_valid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", F.col("event_type").alias("state_final"))
+    )
+    return (
+        known.join(final, "user_id")
+        .groupBy("state_at_snapshot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("state_final") != F.col("state_at_snapshot"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_revised_later"),
+        )
+        .orderBy("state_at_snapshot")
+    )
+
+
+
+@register(
+    "dq_record_linkage_fs",
+    oracle="""
+    WITH rec AS (
+      SELECT c_custkey, c_nationkey, len(c_name) AS name_len,
+             substr(c_name, 1, 12) AS name_pfx,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    pairs AS (
+      SELECT (CASE WHEN a.name_pfx = b.name_pfx THEN 6 ELSE -2 END)
+           + (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE -3 END)
+           + (CASE WHEN a.bal_bucket = b.bal_bucket THEN 4 ELSE -1 END)
+             AS weight
+      FROM rec a JOIN rec b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.name_len = b.name_len
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT CASE WHEN weight >= 8 THEN 'link'
+                WHEN weight >= 3 THEN 'possible'
+                ELSE 'non-link' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(SUM(weight) * 1.0 / COUNT(*), 4) AS mean_weight,
+           CAST(MIN(weight) AS BIGINT) AS min_weight,
+           CAST(MAX(weight) AS BIGINT) AS max_weight
+    FROM pairs
+    GROUP BY 1
+    ORDER BY verdict
+""",
+    tier="P2",
+)
+def dq_record_linkage_fs(spark, t):
+    """Probabilistic record linkage, Fellegi-Sunter style — the entity-
+    resolution workhorse behind every customer-360 merge: candidate
+    pairs come from BLOCKING (equi-join on (nation, name length) — the
+    move that turns an O(n²) all-pairs compare into collision-local
+    work, exactly like LSH banding does for documents), each pair
+    scores a sum of per-field agreement/disagreement log-odds weights
+    (name prefix ±, segment ±, balance bucket ±, frozen integer
+    approximations of ln(m/u)), and the score thresholds into
+    link / possible / non-link — the three-way F-S decision rule.
+
+    Scale shape: the self-join shuffles on the block key, so pair
+    fan-out is bounded per block (never the table square); the weight
+    is per-row integer math and the verdict rollup is 3 groups,
+    map-side combined. Exactness: integer weights, integer sums, ONE
+    mean division. `join_fuzzy_name` is the edit-distance complement
+    (fuzzy comparator, tiny-dim broadcast); this is the scaled
+    blocking+scoring frame those comparators plug into.
+    """
+    rec = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 12).alias("name_pfx"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    )
+    a, b = rec.alias("a"), rec.alias("b")
+    weight = (
+        F.when(F.col("a.name_pfx") == F.col("b.name_pfx"), 6).otherwise(-2)
+        + F.when(
+            F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 3
+        ).otherwise(-3)
+        + F.when(
+            F.col("a.bal_bucket") == F.col("b.bal_bucket"), 4
+        ).otherwise(-1)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.name_len") == F.col("b.name_len"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(weight.alias("weight"))
+    verdict = (
+        F.when(F.col("weight") >= 8, "link")
+        .when(F.col("weight") >= 3, "possible")
+        .otherwise("non-link")
+    )
+    return (
+        pairs.groupBy(verdict.alias("verdict"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("weight") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "mean_weight"
+            ),
+            F.min("weight").cast("bigint").alias("min_weight"),
+            F.max("weight").cast("bigint").alias("max_weight"),
+        )
+        .orderBy("verdict")
+    )

@@ -1841,3 +1841,100 @@ def graph_label_propagation(spark, t):
         )
         .filter(F.col("n_nodes") >= 2)
     )
+
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    WITH anchor AS (
+      SELECT date_trunc('day', MIN(ts)) AS t0 FROM events
+    ),
+    win AS (
+      SELECT i.i AS w_id,
+             a.t0 + i.i * INTERVAL 12 HOUR AS w_start,
+             a.t0 + i.i * INTERVAL 12 HOUR + INTERVAL 6 HOUR AS w_end
+      FROM range(60) i(i) CROSS JOIN anchor a
+    ),
+    ev AS (
+      SELECT ts, user_id, value, CAST(ts AS DATE) AS bucket FROM events
+    )
+    SELECT w.w_id, w.w_start,
+           CAST(COUNT(e.ts) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COALESCE(SUM(CAST(floor(e.value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents
+    FROM win w
+    LEFT JOIN ev e
+      ON e.bucket = CAST(w.w_start AS DATE)
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.w_id, w.w_start
+    ORDER BY w.w_id
+""",
+    tier="P1",
+)
+def join_range_bucketed(spark, t):
+    """BUCKETED range join — the scalable form of "which rows fall in
+    which time window": 60 derived six-hour windows (every 12 h from
+    the stream's first day — campaign/maintenance windows in
+    production) joined to the event stream. A naive interval join is a
+    theta join (every row tested against every window — a nested-loop
+    Cartesian at 100 TB); the bucketed form maps BOTH sides to a
+    coarse equi key first (the calendar day: each 6 h window lies
+    inside one day) and keeps only the residual range predicate as a
+    post-join filter — Spark plans a hash join on the bucket, so work
+    is collision-local and data-proportional. This is the classic
+    range-join optimization (Databricks' range-join "bin" hint,
+    DuckDB's IEJoin literature) expressed with vanilla operators.
+    Windows spanning bucket boundaries explode to one row per touched
+    bucket (here exactly 1; the general pattern applies sequence() on
+    the interval, cf. the day-bucket explode in `join_interval_overlap`
+    — that op broadcasts real intervals; this one showcases the
+    equi-bucket reduction itself, left-joined so empty windows report
+    zero).
+
+    Exactness: window bounds are integer-hour arithmetic from ONE
+    anchored MIN; event values fold as per-row FLOOR(value·100) cents
+    (integer micro-unit sums); counts are integers.
+    """
+    anchor = t["events"].agg(
+        F.date_trunc("day", F.min("ts")).alias("t0")
+    )
+    win = (
+        spark.range(60)
+        .select(F.col("id").cast("int").alias("w_id"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "w_id",
+            (
+                F.col("t0")
+                + F.make_dt_interval(hours=F.col("w_id") * 12)
+            ).alias("w_start"),
+            (
+                F.col("t0")
+                + F.make_dt_interval(hours=F.col("w_id") * 12 + 6)
+            ).alias("w_end"),
+        )
+    )
+    ev = t["events"].select(
+        "ts", "user_id", "value", F.to_date("ts").alias("bucket")
+    )
+    joined = F.broadcast(win).join(
+        ev,
+        (F.col("bucket") == F.to_date("w_start"))
+        & (F.col("ts") >= F.col("w_start"))
+        & (F.col("ts") < F.col("w_end")),
+        "left",
+    )
+    return (
+        joined.groupBy("w_id", "w_start")
+        .agg(
+            F.count("ts").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")),
+                F.lit(0),
+            ).cast("bigint").alias("value_cents"),
+        )
+        .orderBy("w_id")
+    )

@@ -1547,3 +1547,618 @@ def ml_train_test_leakage_check(spark, t):
             "n_leaky_gram_hits",
         )
     )
+
+
+@register(
+    "ml_chi2_feature_selection",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tots AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+             CAST(COUNT(DISTINCT doc_id)
+                  FILTER (lang = 'en') AS DOUBLE) AS e
+      FROM documents
+    ),
+    cnt AS (
+      SELECT token,
+             CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE) AS n11,
+             CAST(COUNT(*) FILTER (lang <> 'en') AS DOUBLE) AS n10
+      FROM tok GROUP BY token
+    ),
+    chi AS (
+      SELECT token, CAST(n11 AS BIGINT) AS docs_en,
+             CAST(n10 AS BIGINT) AS docs_other,
+             n * (n11 * ((n - e) - n10) - n10 * (e - n11))
+               * (n11 * ((n - e) - n10) - n10 * (e - n11))
+               / ((n11 + n10) * ((e - n11) + ((n - e) - n10))
+                  * (n11 + (e - n11)) * (n10 + ((n - e) - n10)))
+               AS chi2
+      FROM cnt CROSS JOIN tots
+      WHERE n11 + n10 >= 5 AND n11 + n10 < n
+    )
+    SELECT token, docs_en, docs_other, round(chi2, 4) AS chi2
+    FROM chi
+    ORDER BY chi2 DESC, token
+    LIMIT 20
+    """,
+    tier="P2",
+)
+def ml_chi2_feature_selection(spark, t):
+    """Chi-square feature selection — the top-20 tokens most associated
+    with the ``lang = 'en'`` class by the 2×2 chi² statistic over
+    document-level presence. The classic pre-training filter question
+    ("which features carry label signal?") answered in one distributed
+    pass: the doc×token presence stream aggregates to ONE row per token
+    (map-side combinable), the 2-value totals frame broadcasts back,
+    and the statistic is per-row arithmetic — no shuffle grows with the
+    corpus, only with the vocabulary.
+
+    Cross-engine exactness: every count enters as an exact double
+    (counts < 2⁵³) and the statistic is a fixed expression tree of IEEE
+    mult/sub/div — both engines round identically — so the top-20 cut
+    (chi2 DESC, token) is deterministic. Min-support n ≥ 5 and the
+    always-present guard (a token in EVERY doc has zero variance and a
+    0/0 statistic) bound the report.
+    """
+    tok = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .distinct()
+    )
+    tots = t["documents"].agg(
+        F.countDistinct("doc_id").cast("double").alias("n"),
+        F.count_distinct(
+            F.when(F.col("lang") == "en", F.col("doc_id"))
+        ).cast("double").alias("e"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("n11"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("double")
+        .alias("n10"),
+    )
+    n, e = F.col("n"), F.col("e")
+    n11, n10 = F.col("n11"), F.col("n10")
+    n01 = e - n11
+    n00 = (n - e) - n10
+    det = n11 * n00 - n10 * n01
+    chi2 = (
+        n * det * det / ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tots))
+        .filter((n11 + n10 >= 5) & (n11 + n10 < n))
+        .select(
+            "token",
+            n11.cast("bigint").alias("docs_en"),
+            n10.cast("bigint").alias("docs_other"),
+            r4(chi2).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "token")
+        .limit(20)
+    )
+
+
+#: quantization scale for per-term log-probabilities: ln() is
+#: bit-identical cross-engine (IEEE), but SUMMING doubles is
+#: association-order-dependent — FLOOR(ln·2^30) integer micro-units
+#: sum exactly on both engines (the house integer-micro-unit idiom).
+NB_Q = 1 << 30
+
+
+@register(
+    "ml_naive_bayes_classifier",
+    oracle=f"""
+    WITH doc AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks,
+             ('0x' || substr(md5('nbsplit:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::ubigint % 5 < 4 AS is_train
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, is_train, unnest(toks) AS token FROM doc
+    ),
+    classes AS (SELECT DISTINCT lang AS c FROM documents),
+    wc AS (
+      SELECT lang AS c, token, COUNT(*) AS cnt
+      FROM tok WHERE is_train GROUP BY 1, 2
+    ),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v
+              FROM tok WHERE is_train),
+    ctot AS (
+      SELECT lang AS c, COUNT(*) AS tot, COUNT(DISTINCT doc_id) AS docs
+      FROM tok WHERE is_train GROUP BY 1
+    ),
+    tdocs AS (SELECT SUM(docs) AS alldocs FROM ctot),
+    model AS (
+      SELECT w.token, w.c,
+             CAST(floor(ln((w.cnt + 1.0) / (ct.tot + v.v)) * {NB_Q})
+                  AS BIGINT) AS q
+      FROM wc w JOIN ctot ct ON ct.c = w.c CROSS JOIN vocab v
+    ),
+    unk AS (
+      SELECT ct.c,
+             CAST(floor(ln(1.0 / (ct.tot + v.v)) * {NB_Q}) AS BIGINT)
+               AS q_unk,
+             CAST(floor(ln(ct.docs * 1.0 / td.alldocs) * {NB_Q})
+                  AS BIGINT) AS q_prior
+      FROM ctot ct CROSS JOIN vocab v CROSS JOIN tdocs td
+    ),
+    scored AS (
+      SELECT tk.doc_id, tk.lang, u.c,
+             MAX(u.q_prior)
+               + SUM(COALESCE(m.q, u.q_unk)) AS score
+      FROM tok tk
+      CROSS JOIN unk u
+      LEFT JOIN model m ON m.token = tk.token AND m.c = u.c
+      WHERE NOT tk.is_train
+      GROUP BY tk.doc_id, tk.lang, u.c
+    ),
+    best AS (
+      SELECT doc_id, lang, c AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS rk
+      FROM scored
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best WHERE rk = 1
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    tier="P2",
+)
+def ml_naive_bayes_classifier(spark, t):
+    """Multinomial naive Bayes trained AND scored inside the engine —
+    the quality/language-classifier pattern every corpus pipeline needs
+    (fastText-style label inference) without leaving the dataflow: an
+    80/20 deterministic hash split, add-1-smoothed per-(class, token)
+    log-likelihoods from the train shard, and argmax scoring of the
+    test shard; output is the 5×5 confusion matrix.
+
+    Scale shape: the model is vocabulary×classes-bounded (≤ |V|·5 rows)
+    — at fixture scale the score join broadcasts nothing special, but
+    at 100 TB the model side is still tiny and broadcasts while the
+    test token stream never shuffles except for its per-(doc, class)
+    fold (map-side combinable). The classes frame (5 rows) cross-joins
+    the token stream — a constant fan-out of 5, not a cartesian smell.
+
+    Cross-engine exactness: each per-term ln() is bit-identical (IEEE);
+    the SUM over a doc's tokens would be association-order-dependent in
+    doubles, so every term quantizes to FLOOR(ln·2³⁰) integer
+    micro-units first (the integer-micro-unit idiom) and the argmax
+    (score DESC, class ASC) is a total order. Priors fold in the same
+    units. Cites DuckDB's identical md5-hash split via ``ph60``.
+    """
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+        (ph60("doc_id", "nbsplit") % 5 < 4).alias("is_train"),
+    )
+    train = docs.filter("is_train")
+    test = docs.filter(~F.col("is_train"))
+    wc = train.groupBy(F.col("lang").alias("c"), "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = train.agg(F.countDistinct("token").alias("v"))
+    ctot = train.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
+    tdocs = ctot.agg(F.sum("docs").alias("alldocs"))
+    model = (
+        wc.join(ctot.select("c", "tot"), "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "c",
+            F.floor(
+                F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
+                * NB_Q
+            ).cast("bigint").alias("q"),
+        )
+    )
+    unk = (
+        ctot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tdocs))
+        .select(
+            "c",
+            F.floor(F.log(1.0 / (F.col("tot") + F.col("v"))) * NB_Q)
+            .cast("bigint")
+            .alias("q_unk"),
+            F.floor(
+                F.log(F.col("docs") * 1.0 / F.col("alldocs")) * NB_Q
+            ).cast("bigint").alias("q_prior"),
+        )
+    )
+    scored = (
+        test.crossJoin(F.broadcast(unk))
+        .join(F.broadcast(model), ["token", "c"], "left")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            (
+                F.max("q_prior")
+                + F.sum(F.coalesce(F.col("q"), F.col("q_unk")))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .groupBy("lang", F.col("c").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+#: the frozen 8-stump GBM ensemble scored by ``ml_gbm_stump_inference``
+#: — (feature, threshold, left milli-weight, right milli-weight). A
+#: trained model's inference pass reduces to exactly this shape: an
+#: integer-weight CASE ladder per tree, summed. Integer milli-units
+#: keep the fold exact cross-engine (no float association).
+GBM_STUMPS = [('price', 50000.0, -820, 640), ('price', 150000.0, -310, 880), ('price', 280000.0, 120, 1460), ('dow', 3, 240, -180), ('dow', 6, 90, -420), ('pri', 2, 1150, -260), ('pri', 4, 380, -940), ('price', 90000.0, -150, 410)]
+GBM_BASE_MILLI = 2000
+
+
+@register(
+    "ml_gbm_stump_inference",
+    oracle="""
+    WITH feat AS (
+      SELECT o_orderstatus,
+             o_totalprice AS price,
+             CAST(isodow(o_orderdate) AS INT) AS dow,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri
+      FROM orders
+    ),
+    scored AS (
+      SELECT o_orderstatus,
+             2000 + CASE WHEN price < 50000.0 THEN -820 ELSE 640 END
+               + CASE WHEN price < 150000.0 THEN -310 ELSE 880 END
+               + CASE WHEN price < 280000.0 THEN 120 ELSE 1460 END
+               + CASE WHEN dow < 3 THEN 240 ELSE -180 END
+               + CASE WHEN dow < 6 THEN 90 ELSE -420 END
+               + CASE WHEN pri < 2 THEN 1150 ELSE -260 END
+               + CASE WHEN pri < 4 THEN 380 ELSE -940 END
+               + CASE WHEN price < 90000.0 THEN -150 ELSE 410 END AS score_milli
+      FROM feat
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(score_milli) / (COUNT(*) * 1000.0), 4) AS mean_score,
+           CAST(MIN(score_milli) AS BIGINT) AS min_milli,
+           CAST(MAX(score_milli) AS BIGINT) AS max_milli,
+           CAST(COUNT(*) FILTER (score_milli > 0) AS BIGINT) AS n_flagged
+    FROM scored
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+""",
+    tier="P2",
+)
+def ml_gbm_stump_inference(spark, t):
+    """Model inference at scale: score every order with a frozen
+    8-stump gradient-boosting ensemble over (price, order day-of-week,
+    priority rank). This is the deployment half of the GBM lifecycle —
+    the trained model is just data (thresholds + leaf weights), and
+    inference compiles to a per-row integer CASE ladder that rides the
+    scan at memory bandwidth: no shuffle, no UDF, whole-stage-codegen
+    all the way into the 3-group status rollup (map-side combined).
+    The same compile-the-model-to-expressions idiom is how the
+    rules-as-data DQ engine (`dq_rules_engine`) executes, here applied
+    to an ML ensemble; at 100 TB the model rides the closure (bytes),
+    the data never moves.
+
+    Exactness: leaf weights are integer milli-units, the per-row sum
+    and group sums stay in BIGINT, and the single mean division is the
+    one IEEE op — no float-association seam anywhere. isodow()/weekday()+1 and
+    the priority's leading digit are integer features on both engines.
+    """
+    feat = t["orders"].select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri"),
+    )
+    score = F.lit(GBM_BASE_MILLI)
+    for fcol, th, wl, wr in GBM_STUMPS:
+        score = score + F.when(F.col(fcol) < th, wl).otherwise(wr)
+    return (
+        feat.select("o_orderstatus", score.alias("score_milli"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("score_milli") / (F.count(F.lit(1)) * 1000.0), 4
+            ).alias("mean_score"),
+            F.min("score_milli").cast("bigint").alias("min_milli"),
+            F.max("score_milli").cast("bigint").alias("max_milli"),
+            F.sum(F.when(F.col("score_milli") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+#: the learning-curve subset fractions (percent of the corpus kept by
+#: the deterministic hash gate) audited by ``ml_learning_curve_subsets``.
+LCURVE_PCTS = [10, 25, 50, 100]
+
+
+@register(
+    "ml_learning_curve_subsets",
+    oracle="""
+    WITH pcts AS (SELECT unnest([10, 25, 50, 100]) AS pct),
+    h AS (
+      SELECT o_orderpriority,
+             ('0x' || substr(md5('lcurve:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::ubigint % 100 AS hb
+      FROM orders
+    ),
+    sub AS (
+      SELECT p.pct, COUNT(*) AS n_sub,
+             COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS c0,
+             COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS c1,
+             COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS c2,
+             COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS c3,
+             COUNT(*) FILTER (o_orderpriority = '5-LOW') AS c4
+      FROM h JOIN pcts p ON h.hb < p.pct
+      GROUP BY p.pct
+    ),
+    full_ AS (
+      SELECT COUNT(*) AS n_full,
+             COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS f0,
+             COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS f1,
+             COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS f2,
+             COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS f3,
+             COUNT(*) FILTER (o_orderpriority = '5-LOW') AS f4
+      FROM h
+    )
+    SELECT pct, CAST(n_sub AS BIGINT) AS n_orders,
+           round(((((abs(CAST(c0 AS DOUBLE) / n_sub - CAST(f0 AS DOUBLE) / n_full) + abs(CAST(c1 AS DOUBLE) / n_sub - CAST(f1 AS DOUBLE) / n_full)) + abs(CAST(c2 AS DOUBLE) / n_sub - CAST(f2 AS DOUBLE) / n_full)) + abs(CAST(c3 AS DOUBLE) / n_sub - CAST(f3 AS DOUBLE) / n_full)) + abs(CAST(c4 AS DOUBLE) / n_sub - CAST(f4 AS DOUBLE) / n_full)), 6) AS l1_share_drift
+    FROM sub CROSS JOIN full_
+    ORDER BY pct
+""",
+    tier="P2",
+)
+def ml_learning_curve_subsets(spark, t):
+    """Scaling-law sample-size audit: carve deterministic nested
+    training subsets (10/25/50/100 % by hash bucket — each smaller set
+    is a SUBSET of every larger one, so curves are comparable) and
+    measure how far each subset's class distribution drifts from the
+    full corpus (L1 distance over the 5 order priorities). This is the
+    prep question behind every learning-curve / data-ablation run:
+    "how small can the sample get before it stops looking like the
+    population?" — answered distributed, one conditional-aggregation
+    pass per subset, no data copied.
+
+    Scale shape: the hash gate is per-row math; the 4 subset rollups
+    fold in ONE aggregate over the exploded (row × qualifying-pct)
+    stream (bounded fan-out ≤4, map-side combined to 4×5 counters);
+    the full-corpus 5-counter frame broadcasts back onto 4 rows.
+
+    Exactness: counts are integers; each share is ONE IEEE division of
+    exact ints; the 5 |share diffs| fold in a FIXED association order
+    ((((d1+d2)+d3)+d4)+d5) spelled out identically in both engines —
+    a grouped SUM over the 5 values would be association-order-free
+    and could flap in the last ulp (the avg-of-rounded lesson).
+    """
+    pcts_df = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(p) for p in LCURVE_PCTS])).alias("pct")
+    )
+    h = t["orders"].select(
+        "o_orderpriority",
+        (ph60("o_orderkey", "lcurve") % 100).alias("hb"),
+    )
+    pris = ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW']
+    sub = (
+        h.join(F.broadcast(pcts_df), F.col("hb") < F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_sub"),
+            *[
+                F.sum(
+                    F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, p in enumerate(pris)
+            ],
+        )
+    )
+    full_ = h.agg(
+        F.count(F.lit(1)).alias("n_full"),
+        *[
+            F.sum(
+                F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+            ).alias(f"f{i}")
+            for i, p in enumerate(pris)
+        ],
+    )
+    terms = [
+        F.abs(
+            F.col(f"c{i}").cast("double") / F.col("n_sub")
+            - F.col(f"f{i}").cast("double") / F.col("n_full")
+        )
+        for i in range(5)
+    ]
+    l1 = (((terms[0] + terms[1]) + terms[2]) + terms[3]) + terms[4]
+    return (
+        sub.crossJoin(F.broadcast(full_))
+        .select(
+            "pct",
+            F.col("n_sub").cast("bigint").alias("n_orders"),
+            F.round(l1, 6).alias("l1_share_drift"),
+        )
+        .orderBy("pct")
+    )
+
+
+
+@register(
+    "ml_permutation_importance",
+    oracle="""
+    WITH feat AS (
+      SELECT o_orderkey,
+             (o_orderstatus <> 'O')::INT AS target,
+             o_totalprice AS price,
+             CAST(isodow(o_orderdate) AS INT) AS dow,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+             ('0x' || substr(md5('pibkt:' || CAST(o_orderkey AS VARCHAR)),
+                1, 15))::ubigint % 32 AS bkt
+      FROM orders
+    ),
+    rot AS (
+      SELECT *,
+             COALESCE(lead(price) OVER w,
+                      first_value(price) OVER w) AS price_perm,
+             COALESCE(lead(dow) OVER w,
+                      first_value(dow) OVER w) AS dow_perm,
+             COALESCE(lead(pri) OVER w,
+                      first_value(pri) OVER w) AS pri_perm
+      FROM feat
+      WINDOW w AS (PARTITION BY bkt ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    ),
+    scored AS (
+      SELECT target,
+             2000 + CASE WHEN price < 50000.0 THEN -820 ELSE 640 END + CASE WHEN price < 150000.0 THEN -310 ELSE 880 END + CASE WHEN price < 280000.0 THEN 120 ELSE 1460 END + CASE WHEN dow < 3 THEN 240 ELSE -180 END + CASE WHEN dow < 6 THEN 90 ELSE -420 END + CASE WHEN pri < 2 THEN 1150 ELSE -260 END + CASE WHEN pri < 4 THEN 380 ELSE -940 END + CASE WHEN price < 90000.0 THEN -150 ELSE 410 END AS s_base,
+             2000 + CASE WHEN price_perm < 50000.0 THEN -820 ELSE 640 END + CASE WHEN price_perm < 150000.0 THEN -310 ELSE 880 END + CASE WHEN price_perm < 280000.0 THEN 120 ELSE 1460 END + CASE WHEN dow < 3 THEN 240 ELSE -180 END + CASE WHEN dow < 6 THEN 90 ELSE -420 END + CASE WHEN pri < 2 THEN 1150 ELSE -260 END + CASE WHEN pri < 4 THEN 380 ELSE -940 END + CASE WHEN price_perm < 90000.0 THEN -150 ELSE 410 END AS s_price,
+             2000 + CASE WHEN price < 50000.0 THEN -820 ELSE 640 END + CASE WHEN price < 150000.0 THEN -310 ELSE 880 END + CASE WHEN price < 280000.0 THEN 120 ELSE 1460 END + CASE WHEN dow_perm < 3 THEN 240 ELSE -180 END + CASE WHEN dow_perm < 6 THEN 90 ELSE -420 END + CASE WHEN pri < 2 THEN 1150 ELSE -260 END + CASE WHEN pri < 4 THEN 380 ELSE -940 END + CASE WHEN price < 90000.0 THEN -150 ELSE 410 END AS s_dow,
+             2000 + CASE WHEN price < 50000.0 THEN -820 ELSE 640 END + CASE WHEN price < 150000.0 THEN -310 ELSE 880 END + CASE WHEN price < 280000.0 THEN 120 ELSE 1460 END + CASE WHEN dow < 3 THEN 240 ELSE -180 END + CASE WHEN dow < 6 THEN 90 ELSE -420 END + CASE WHEN pri_perm < 2 THEN 1150 ELSE -260 END + CASE WHEN pri_perm < 4 THEN 380 ELSE -940 END + CASE WHEN price < 90000.0 THEN -150 ELSE 410 END AS s_pri
+      FROM rot
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER ((s_base > 0)::INT = target) AS ok_base,
+             COUNT(*) FILTER ((s_price > 0)::INT = target) AS ok_price,
+             COUNT(*) FILTER ((s_dow > 0)::INT = target) AS ok_dow,
+             COUNT(*) FILTER ((s_pri > 0)::INT = target) AS ok_pri
+      FROM scored
+    )
+    SELECT f.feature,
+           round(CAST(ok_base AS DOUBLE) / n, 4) AS baseline_acc,
+           round(CAST(CASE f.feature WHEN 'price' THEN ok_price
+                      WHEN 'dow' THEN ok_dow ELSE ok_pri END AS DOUBLE)
+                 / n, 4) AS permuted_acc,
+           round((CAST(ok_base AS BIGINT)
+                  - CASE f.feature WHEN 'price' THEN ok_price
+                    WHEN 'dow' THEN ok_dow ELSE ok_pri END) * 1.0 / n, 4)
+             AS importance
+    FROM agg CROSS JOIN
+      (SELECT unnest(['dow', 'pri', 'price']) AS feature) f
+    ORDER BY f.feature
+""",
+    tier="P2",
+)
+def ml_permutation_importance(spark, t):
+    """Permutation feature importance for the frozen GBM-stump model
+    (`ml_gbm_stump_inference`) — the model-explainability pass run at
+    data scale: break one feature's relationship to the target by
+    PERMUTING that column across rows, re-score, and report how much
+    accuracy evaporates. Deterministic permutation is the trick that
+    keeps this oracle-checkable AND cluster-cheap: rows hash into 32
+    buckets and each bucket ROTATES its column by one position in key
+    order (lead + wraparound first_value) — a derangement-in-practice
+    with no RNG, no global shuffle (windows partition by bucket), and
+    bit-identical replay in DuckDB. All three features' permuted scores
+    fold in ONE pass over the rotated frame; accuracy counts are
+    integers with one final division each.
+
+    At 100 TB: bucket-local windows mean the permutation never
+    re-couples partitions; 32 becomes whatever keeps a bucket inside a
+    task. The within-bucket rotation preserves each bucket's marginal
+    feature distribution exactly (a uniform-random permutation only
+    does so in expectation).
+    """
+    from pyspark.sql import Window
+    from ..functions.portable_hash import ph60
+    from .mlprep import GBM_BASE_MILLI, GBM_STUMPS
+
+    feat = t["orders"].select(
+        "o_orderkey",
+        (F.col("o_orderstatus") != "O").cast("int").alias("target"),
+        F.col("o_totalprice").alias("price"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri"),
+        (ph60("o_orderkey", "pibkt") % 32).alias("bkt"),
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rot = feat.select(
+        "target",
+        "price",
+        "dow",
+        "pri",
+        *[
+            F.coalesce(
+                F.lead(c).over(
+                    Window.partitionBy("bkt").orderBy("o_orderkey")
+                ),
+                F.first(c).over(w),
+            ).alias(f"{c}_perm".format(c=c))
+            for c in ("price", "dow", "pri")
+        ],
+    )
+
+    def score(price, dow, pri):
+        cols = {"price": price, "dow": dow, "pri": pri}
+        s = F.lit(GBM_BASE_MILLI)
+        for fname, th, wl, wr in GBM_STUMPS:
+            s = s + F.when(F.col(cols[fname]) < th, wl).otherwise(wr)
+        return s
+
+    scored = rot.select(
+        "target",
+        score("price", "dow", "pri").alias("s_base"),
+        score("price_perm", "dow", "pri").alias("s_price"),
+        score("price", "dow_perm", "pri").alias("s_dow"),
+        score("price", "dow", "pri_perm").alias("s_pri"),
+    )
+    ok = lambda c: F.sum(
+        ((F.col(c) > 0).cast("int") == F.col("target")).cast("int")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        ok("s_base").alias("ok_base"),
+        ok("s_price").alias("ok_price"),
+        ok("s_dow").alias("ok_dow"),
+        ok("s_pri").alias("ok_pri"),
+    )
+    feats = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("dow"), F.lit("pri"), F.lit("price"))
+        ).alias("feature")
+    )
+    perm_ok = (
+        F.when(F.col("feature") == "price", F.col("ok_price"))
+        .when(F.col("feature") == "dow", F.col("ok_dow"))
+        .otherwise(F.col("ok_pri"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(feats))
+        .select(
+            "feature",
+            F.round(F.col("ok_base").cast("double") / F.col("n"), 4).alias(
+                "baseline_acc"
+            ),
+            F.round(perm_ok.cast("double") / F.col("n"), 4).alias(
+                "permuted_acc"
+            ),
+            F.round(
+                (F.col("ok_base") - perm_ok) * 1.0 / F.col("n"), 4
+            ).alias("importance"),
+        )
+        .orderBy("feature")
+    )

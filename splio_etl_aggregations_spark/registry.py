@@ -176,6 +176,21 @@ DRIVER_ORDER: list[str] = [
     "agg_assortment_penetration",
     "ts_month_end_lift",
     "agg_price_dispersion_audit",
+    # round-8 additions (appended to the never-sampled pool per
+    # rotation policy; r9 window = the 6 deferred above + these 12 +
+    # whatever r9 adds)
+    "ml_chi2_feature_selection",
+    "ml_naive_bayes_classifier",
+    "ml_gbm_stump_inference",
+    "ml_learning_curve_subsets",
+    "corpus_contamination_ngram",
+    "dedup_minhash_error_curve",
+    "join_range_bucketed",
+    "etl_bitemporal_snapshot",
+    "agg_sequential_patterns",
+    "attribution_markov_removal",
+    "dq_record_linkage_fs",
+    "ml_permutation_importance",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

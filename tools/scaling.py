@@ -291,6 +291,26 @@ def shapes(spark, t, k: int = 1):
         # signature build is linear in gram mass, band buckets keep
         # candidate pairs collision-local, verify is per-candidate
         "near_minhash": lambda: get("dedup_near_minhash").builder(spark, t),
+        # r8 additions. chi2/naive_bayes/contamination ride the token
+        # stream (linear); gbm/perm_importance/lcurve are scan-rate CASE
+        # ladders + conditional folds; range_bucketed is a 60-row
+        # broadcast + day-bucket hash join; bitemporal is two per-user
+        # windows; seq_patterns one lead window into a 25-row rule
+        # table; markov_removal's matrix/walk stages are state-bounded
+        # (only the journey scan scales); record_linkage pair fan-out is
+        # block-local; mh_error's slot join is 64 int rows/candidate.
+        "chi2_select": lambda: get("ml_chi2_feature_selection").builder(spark, t),
+        "naive_bayes": lambda: get("ml_naive_bayes_classifier").builder(spark, t),
+        "gbm_infer": lambda: get("ml_gbm_stump_inference").builder(spark, t),
+        "lcurve": lambda: get("ml_learning_curve_subsets").builder(spark, t),
+        "perm_importance": lambda: get("ml_permutation_importance").builder(spark, t),
+        "contamination": lambda: get("corpus_contamination_ngram").builder(spark, t),
+        "mh_error": lambda: get("dedup_minhash_error_curve").builder(spark, t),
+        "range_bucketed": lambda: get("join_range_bucketed").builder(spark, t),
+        "bitemporal": lambda: get("etl_bitemporal_snapshot").builder(spark, t),
+        "seq_patterns": lambda: get("agg_sequential_patterns").builder(spark, t),
+        "markov_removal": lambda: get("attribution_markov_removal").builder(spark, t),
+        "record_linkage": lambda: get("dq_record_linkage_fs").builder(spark, t),
     }
 
 
@@ -344,6 +364,9 @@ EAGER_BUILD_SHAPES = {
     # r7: label_prop checkpoints per round; pca_gram collects the 64×64
     # matrix during build; avro_rt materializes the container write
     "label_prop", "pca_gram", "avro_rt",
+    # r8: mh_error checkpoints the signature table during build;
+    # markov_removal checkpoints the transition matrix + pconv
+    "mh_error", "markov_removal",
 }
 
 
