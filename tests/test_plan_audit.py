@@ -93,6 +93,15 @@ SINGLE_PARTITION_OK = {
     # per-partition partial aggregates, the SinglePartition stage sees
     # ~32 rows
     "dedup_lsh_band_sweep": (1, "scalar 6-counter fold (explodes to 3 rows)"),
+    # -- round-8 additions: every entry is a scalar (1-row) fold or a
+    # frame bounded by a fixed grid, never data-proportional --
+    "ml_chi2_feature_selection": (1, "scalar N/E corpus-totals fold"),
+    "ml_naive_bayes_classifier": (3, "scalar vocab + alldocs folds (re-expanded)"),
+    "ml_learning_curve_subsets": (1, "scalar full-corpus 6-counter fold"),
+    "join_range_bucketed": (1, "scalar min-ts anchor fold"),
+    "etl_bitemporal_snapshot": (2, "scalar anchor + (T1,T2) params folds"),
+    "agg_sequential_patterns": (1, "scalar pair-total fold (≤25-row input)"),
+    "ml_permutation_importance": (1, "scalar 5-counter accuracy fold"),
     # |sources|-row src_idx window + 1-row n_src fold, both dim-bounded
     "corpus_interleave_sources_round_robin": (2, "|sources|-row index frames"),
     # rank offsets frame (≤16 rows) + final 1-row conditional-share fold
@@ -295,6 +304,20 @@ BNLJ_OK = {
     # trailing-28-day date-range join over the calendar-bounded
     # distinct (day,user) grid — the non-equi condition plans as BNLJ
     "agg_stickiness_dau_mau": (2, "date-bounded 28-day range join"),
+    # -- round-8 additions (each a bounded broadcast attach, counted
+    # across both explain sections) --
+    "ml_chi2_feature_selection": (2, "1-row N/E-totals crossJoin"),
+    # classes(5-row) stream fan-out + unk/model/prior broadcasts: the
+    # 5-row unk frame cross-joins the token stream, the vocab (1-row)
+    # and alldocs (1-row) frames attach to the model/unk builds
+    "ml_naive_bayes_classifier": (8, "1-row vocab/alldocs + 5-row class crossJoins"),
+    "ml_learning_curve_subsets": (4, "4-row pct-grid range join + 1-row full-totals crossJoin"),
+    "join_range_bucketed": (2, "1-row anchor crossJoin (60-row window build)"),
+    "etl_bitemporal_snapshot": (4, "1-row anchor + 1-row (T1,T2)-params crossJoins"),
+    "agg_sequential_patterns": (2, "1-row pair-total crossJoin"),
+    "attribution_markov_removal": (2, "1-row full-scenario baseline crossJoin"),
+    "ml_permutation_importance": (2, "3-row feature-grid crossJoin onto the 1-row counts"),
+    "dedup_minhash_error_curve": (0, ""),
     # 1-row horizon/total crossJoins (×2 explain sections + grid)
     "agg_survival_km": (8, "1-row horizon/total crossJoins"),
     # 1-row total-cents crossJoin (×2 explain sections)
