@@ -55,10 +55,15 @@ BASELINE_SHAPES = [
 ]
 # Added-operator paths tracked alongside (reported, not in "value"):
 # linear-scaling representatives of the LLM-pipeline + scale-technique
-# surface. The quadratic-output dedup pair ops (and the clean-corpus
-# composite built on them) are deliberately absent — at sf0.1 this corpus
-# has ~1M true >=0.9-Jaccard pairs, so "emit all pairs" is output-bound
-# by construction; they are correctness-checked at t2 scale instead.
+# surface. Through r7 the quadratic dedup pair rungs were deliberately
+# absent (~1M true >=0.9-Jaccard pairs at sf0.1 makes "emit all pairs"
+# output-bound by construction); r8 benches them anyway so timing and
+# verification evidence move together — read their numbers with that
+# caveat: dedup_near_jaccard's ~16 s emits 964k pairs (output-bound),
+# dedup_ngram_jaccard's ~49 s is the EXACT rung verifying every
+# gram-sharing pair (the cost whose avoidance is the minhash rung's
+# whole point), and dedup_connected_components' ~14 s is 5 unrolled
+# hash-min rounds over the same ~1M-edge pair graph.
 EXTRA_SHAPES = [
     "rfm_customer_360",
     "text_tfidf",
