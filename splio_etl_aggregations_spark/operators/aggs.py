@@ -5433,3 +5433,120 @@ def attribution_markov_removal(spark, t):
         )
         .orderBy("removed_channel")
     )
+
+
+@register(
+    "attribution_shapley",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)
+               AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    cnt AS (SELECT mask, COUNT(*) AS n_conv FROM b WHERE conv = 1
+            GROUP BY mask),
+    s AS (SELECT CAST(i AS INTEGER) AS s FROM range(16) t(i)),
+    v AS (SELECT s.s, COALESCE(SUM(cnt.n_conv), 0) AS v
+          FROM s LEFT JOIN cnt ON (cnt.mask & ~s.s) = 0
+          GROUP BY s.s),
+    ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                                 ('signup', 4), ('view', 8))
+                  t(channel, bit)),
+    phi AS (
+      SELECT ch.channel,
+             SUM((CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                  WHEN 2 THEN 2 ELSE 6 END) * (v1.v - v0.v)) AS phi24
+      FROM ch
+      JOIN v v0 ON (v0.s & ch.bit) = 0
+      JOIN v v1 ON v1.s = v0.s + ch.bit
+      GROUP BY ch.channel
+    )
+    SELECT channel, CAST(phi24 AS BIGINT) AS phi_24ths,
+           round(phi24 / 24.0, 4) AS phi
+    FROM phi ORDER BY channel
+    """,
+    tier="P2",
+)
+def attribution_shapley(spark, t):
+    """EXACT Shapley-value attribution over channel coalitions — the
+    game-theoretic rung of the attribution ladder above last-touch /
+    linear / time-decay / Markov-removal: each of the four non-purchase
+    channels is a player, a user's journey contributes its distinct
+    touch SET, and the coalition value v(S) counts converted users
+    whose entire touchset fits inside S. The Shapley axioms (efficiency
+    / symmetry / dummy) make this the canonical "fair" credit split;
+    with n=4 players the 2^4 = 16 coalitions enumerate exactly.
+
+    Exactness: touchsets fold to a 4-bit mask with ``bit_or`` (one
+    user-keyed aggregate — the ONLY data-proportional shuffle); v() is
+    a subset-sum over the <=16-row mask-count frame; the Shapley
+    weights s!(n-s-1)!/n! are the integers {6,2,2,6}/24, so phi is
+    carried as an exact BIGINT in 24ths and only the display column
+    divides. No floats anywhere before the final round.
+
+    Scale shape: the per-user fold is map-side combinable; everything
+    after it operates on constant-size frames (16 coalitions x 4
+    channels), broadcast-joined — at 100 TB the cost is one pass over
+    events plus a fixed 16-row epilogue. The bitwise containment join
+    plans as a BroadcastNestedLoopJoin over the 16-row frame, bounded
+    by construction (tests/test_plan_audit.py BNLJ_OK).
+    """
+    ev = t["events"]
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    users = ev.groupBy("user_id").agg(
+        F.bit_or(bit).alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    cnt = (
+        users.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    s = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        s.join(
+            F.broadcast(cnt),
+            (F.col("mask").bitwiseAND(F.bitwise_not(F.col("s"))) == 0),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    w24 = (
+        F.when(F.bit_count(F.col("v0.s")) == 0, 6)
+        .when(F.bit_count(F.col("v0.s")) == 1, 2)
+        .when(F.bit_count(F.col("v0.s")) == 2, 2)
+        .otherwise(6)
+    )
+    v0 = v.alias("v0")
+    v1 = v.alias("v1")
+    return (
+        ch.join(F.broadcast(v0), F.col("v0.s").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(v1), F.col("v1.s") == F.col("v0.s") + F.col("bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(w24 * (F.col("v1.v") - F.col("v0.v")))
+            .cast("bigint")
+            .alias("phi_24ths")
+        )
+        .select(
+            "channel",
+            "phi_24ths",
+            F.round(F.col("phi_24ths") / 24.0, 4).alias("phi"),
+        )
+        .orderBy("channel")
+    )

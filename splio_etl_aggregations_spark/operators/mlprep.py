@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.helpers import r4, topk
+from ..functions.helpers import r4, r6, topk
 from ..functions.portable_hash import ph60, ph60_sql
 from ..registry import register
 
@@ -2161,4 +2161,392 @@ def ml_permutation_importance(spark, t):
             ).alias("importance"),
         )
         .orderBy("feature")
+    )
+
+
+@register(
+    "ml_ols_multifeature",
+    oracle="""
+    WITH feat AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS x1,
+             CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS x2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS sx1,
+             CAST(SUM(x2) AS DOUBLE) AS sx2,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM feat
+    ),
+    sol AS (
+      SELECT n, sy, s1y, s2y, syy,
+             (n * (s11 * s22 - s12 * s12)
+              - sx1 * (sx1 * s22 - s12 * sx2)
+              + sx2 * (sx1 * s12 - s11 * sx2)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - sx1 * (s1y * s22 - s12 * s2y)
+              + sx2 * (s1y * s12 - s11 * s2y)) AS det0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (sx1 * s22 - s12 * sx2)
+              + sx2 * (sx1 * s2y - s1y * sx2)) AS det1,
+             (n * (s11 * s2y - s1y * s12)
+              - sx1 * (sx1 * s2y - s1y * sx2)
+              + sy * (sx1 * s12 - s11 * sx2)) AS det2
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(det0 / det, 6) AS b0,
+           round(det1 / det, 6) AS b1,
+           round(det2 / det, 6) AS b2,
+           round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                        - (det2 / det) * s2y)
+                       / (syy - sy * sy / n), 6) AS r2
+    FROM sol
+    """,
+    tier="P2",
+)
+def ml_ols_multifeature(spark, t):
+    """Multi-feature OLS by NORMAL EQUATIONS — closed-form linear
+    regression of order total on (line count, total quantity), solved
+    via Cramer's rule on the 3x3 Gram matrix. The engine pattern that
+    matters at 100 TB: regression reduces to ONE pass of sufficient
+    statistics (10 sums), so the fit costs exactly one map-side-combined
+    aggregate regardless of row count; the solve is O(1) driver-free
+    arithmetic on a 1-row frame. Extends ``agg_regression`` (simple
+    1-feature slope) to the multivariate case.
+
+    Exactness: features enter as floored BIGINTs, every sufficient
+    statistic is an exact int64 sum (max |syy| here ~5e16 < 2^63; the
+    docstring contract at cluster scale is DECIMAL(38) partials), and
+    the Cramer determinants are a FIXED double expression tree over
+    exactly-representable inputs — both engines round each IEEE
+    multiply/add identically, so b0/b1/b2/R^2 match to the bit before
+    the display rounding. R^2 comes from the same stats
+    (SSE = y'y - b'X'y), never a second residual pass.
+    """
+    feat = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x1"),
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("x2"),
+        )
+        .select(
+            F.floor("o_totalprice").cast("bigint").alias("y"), "x1", "x2"
+        )
+    )
+    s = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    return s.select(
+        n.cast("bigint").alias("n_orders"),
+        r6(b0).alias("b0"),
+        r6(b1).alias("b1"),
+        r6(b2).alias("b2"),
+        r6(F.lit(1.0) - sse / (syy - sy * sy / n)).alias("r2"),
+    )
+
+
+#: isotonic / logistic quantization scale — the house integer
+#: micro-unit idiom (exact cross-engine sums; one display division).
+ISO_Q = 1 << 20
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH bins AS (
+      SELECT LEAST(15, CAST(floor(o_totalprice / 35000.0) AS INTEGER))
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ),
+    iv AS (
+      SELECT a.bin AS i, b.bin AS j,
+             CAST(floor(SUM(t.pos) * {ISO_Q} * 1.0 / SUM(t.n)) AS BIGINT)
+               AS frac_q
+      FROM bins a
+      JOIN bins b ON a.bin <= b.bin
+      JOIN bins t ON t.bin BETWEEN a.bin AND b.bin
+      GROUP BY a.bin, b.bin
+    ),
+    inner_min AS (
+      SELECT k.bin AS bin, iv.i, MIN(iv.frac_q) AS m
+      FROM bins k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+      GROUP BY k.bin, iv.i
+    ),
+    pav AS (SELECT bin, MAX(m) AS iso_q FROM inner_min GROUP BY bin)
+    SELECT b.bin, b.n, b.pos,
+           CAST(floor(b.pos * {ISO_Q} * 1.0 / b.n) AS BIGINT) AS raw_q,
+           p.iso_q,
+           round(p.iso_q / {ISO_Q}.0, 4) AS iso_rate
+    FROM bins b JOIN pav p ON p.bin = b.bin
+    ORDER BY b.bin
+    """,
+    tier="P2",
+)
+def ml_isotonic_calibration(spark, t):
+    """Isotonic (PAV) probability calibration — fit the monotone
+    step-function that maps a raw model score (order total, binned into
+    16 equal-width buckets) to a calibrated P(status = 'F'), via the
+    exact minimax characterization of pool-adjacent-violators:
+
+        iso(k) = max_{{i <= k}} min_{{j >= k}} mean(pos[i..j])
+
+    The engine pattern: calibration NEVER needs the raw rows — one
+    map-side-combined aggregate folds 100 TB to a <=16-row (n, pos)
+    bin frame, and the PAV minimax enumerates interval means over that
+    constant-size frame (<=16^3 combinations, broadcast-joined). This
+    is the same fold-to-sufficient-frame shape as
+    ``ml_calibration_bins``, upgraded from raw bin rates to the
+    monotone fit a downstream decision threshold actually needs.
+
+    Exactness: interval means are quantized to FLOOR(pos/n * 2^20)
+    BEFORE the min/max lattice (integer micro-units — double division
+    of exact ints rounds identically on both engines), so the minimax
+    runs over integers and the fitted sequence is bit-stable. The
+    minimax-over-quantized-means is monotone by construction
+    (tests assert it).
+    """
+    bins = (
+        t["orders"]
+        .groupBy(
+            F.least(
+                F.lit(15),
+                F.floor(F.col("o_totalprice") / 35000.0).cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+    a = bins.select(F.col("bin").alias("i"))
+    b = bins.select(F.col("bin").alias("j"))
+    tt = bins.select(
+        F.col("bin").alias("tb"), F.col("n").alias("tn"),
+        F.col("pos").alias("tp"),
+    )
+    iv = (
+        a.join(F.broadcast(b), F.col("i") <= F.col("j"))
+        .join(
+            F.broadcast(tt),
+            (F.col("tb") >= F.col("i")) & (F.col("tb") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.floor(
+                F.sum("tp") * F.lit(ISO_Q) * 1.0 / F.sum("tn")
+            ).cast("bigint").alias("frac_q")
+        )
+    )
+    k = bins.select(F.col("bin").alias("k"))
+    pav = (
+        k.join(
+            F.broadcast(iv),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("frac_q").alias("m"))
+        .groupBy("k")
+        .agg(F.max("m").alias("iso_q"))
+    )
+    return (
+        bins.join(F.broadcast(pav), F.col("bin") == F.col("k"))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.floor(F.col("pos") * F.lit(ISO_Q) * 1.0 / F.col("n"))
+            .cast("bigint")
+            .alias("raw_q"),
+            "iso_q",
+            F.round(F.col("iso_q") / float(ISO_Q), 4).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _lr_oracle() -> str:
+    """Build the 3-iteration GD oracle by UNROLLING the iteration CTE —
+    one template instantiated per step, exactly like the Spark side's
+    step() closure, so both engines execute the same fixed expression
+    tree."""
+    q = ISO_Q
+    feat = f"""
+    feat AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS x1,
+             month(o_orderdate) AS x2
+      FROM orders
+    ),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2)"""
+    steps = []
+    for k in range(1, 4):
+        prev = f"w{k - 1}" if k == 1 else f"i{k - 1}"
+        steps.append(f"""
+    r{k} AS (
+      SELECT z.y, z.x1, z.x2,
+             CAST(floor((0.5 + z.z / (2 * (1 + abs(z.z))) - z.y) * {q})
+                  AS BIGINT) AS rq
+      FROM (SELECT f.y, f.x1, f.x2,
+                   (w.w0 + w.w1 * f.x1 + w.w2 * f.x2) / {q}.0 AS z
+            FROM feat f CROSS JOIN {prev} w) z
+    ),
+    i{k} AS (
+      SELECT
+        (SELECT w0 FROM {prev})
+          - CAST(floor(5.0 * SUM(rq) / (16.0 * COUNT(*))) AS BIGINT) AS w0,
+        (SELECT w1 FROM {prev})
+          - CAST(floor(5.0 * SUM(rq * x1) / (16.0 * COUNT(*))) AS BIGINT)
+          AS w1,
+        (SELECT w2 FROM {prev})
+          - CAST(floor(5.0 * SUM(rq * x2) / (16.0 * COUNT(*))) AS BIGINT)
+          AS w2
+      FROM r{k}
+    )""")
+    return (
+        "WITH " + feat + "," + ",".join(steps) + f"""
+    SELECT w.w0 AS w0_q, w.w1 AS w1_q, w.w2 AS w2_q,
+           CAST(COUNT(*) FILTER (
+             (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) = (f.y = 1)
+           ) AS BIGINT) AS n_correct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(COUNT(*) FILTER (
+             (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) = (f.y = 1)
+           ) * 1.0 / COUNT(*), 4) AS acc
+    FROM feat f CROSS JOIN i3 w
+    GROUP BY w.w0, w.w1, w.w2
+    """
+    )
+
+
+@register("ml_logistic_regression_gd", oracle=_lr_oracle(), tier="P2")
+def ml_logistic_regression_gd(spark, t):
+    """Logistic-style classifier trained IN-ENGINE by 3 unrolled
+    full-batch gradient-descent steps — the iterative-ML-on-a-dataflow
+    pattern: each step is ONE map-side-combined aggregate (three
+    gradient sums) against the current weight frame (1 row, broadcast),
+    so a 100 TB fit costs k passes with no driver-side data movement
+    and no mutable state; the unrolled plan is a straight-line DAG
+    Catalyst sees whole.
+
+    Determinism contract (why this hash-matches where textbook logistic
+    would not): the link is the RATIONAL fast sigmoid
+    p = 0.5 + z / (2(1+|z|)) — algebraically sigmoid-shaped but free of
+    exp(), so both engines compute bit-identical IEEE doubles; per-row
+    residuals quantize to FLOOR((p-y)*2^20) BIGINT micro-units before
+    summing (exact integer sums, order-free); weights stay integer
+    micro-units with a dyadic-rational step floor(5*g/(16*n))
+    (lr = 0.3125). Predictions are sign tests on integer dot products —
+    exact. Features: priority digit, order month; label: status 'F'.
+    """
+    q = ISO_Q
+    feat = t["orders"].select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("x1"),
+        F.month("o_orderdate").alias("x2"),
+    )
+    w = spark.createDataFrame(
+        [(0, 0, 0)], "w0 bigint, w1 bigint, w2 bigint"
+    )
+
+    def step(wf):
+        z = (
+            F.col("w0") + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        ) / float(q)
+        p = 0.5 + z / (2 * (1 + F.abs(z)))
+        rq = F.floor((p - F.col("y")) * q).cast("bigint")
+        cnt = F.count(F.lit(1))
+        return feat.crossJoin(F.broadcast(wf)).agg(
+            (F.max("w0") - F.floor(5.0 * F.sum(rq) / (16.0 * cnt)))
+            .cast("bigint").alias("w0"),
+            (
+                F.max("w1")
+                - F.floor(5.0 * F.sum(rq * F.col("x1")) / (16.0 * cnt))
+            ).cast("bigint").alias("w1"),
+            (
+                F.max("w2")
+                - F.floor(5.0 * F.sum(rq * F.col("x2")) / (16.0 * cnt))
+            ).cast("bigint").alias("w2"),
+        )
+
+    for _ in range(3):
+        w = step(w)
+    dot = (
+        F.col("w0") + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    correct = ((dot >= 0) == (F.col("y") == 1)).cast("int")
+    return (
+        feat.crossJoin(F.broadcast(w))
+        .groupBy("w0", "w1", "w2")
+        .agg(
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("w0").alias("w0_q"),
+            F.col("w1").alias("w1_q"),
+            F.col("w2").alias("w2_q"),
+            "n_correct",
+            "n_rows",
+            F.round(F.col("n_correct") * 1.0 / F.col("n_rows"), 4)
+            .alias("acc"),
+        )
     )

@@ -191,6 +191,12 @@ DRIVER_ORDER: list[str] = [
     "attribution_markov_removal",
     "dq_record_linkage_fs",
     "ml_permutation_importance",
+    # round-8 second-wave additions (same never-sampled pool; r9
+    # window candidates)
+    "attribution_shapley",
+    "ml_ols_multifeature",
+    "ml_isotonic_calibration",
+    "ml_logistic_regression_gd",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

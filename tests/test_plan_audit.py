@@ -36,6 +36,11 @@ SINGLE_PARTITION_OK = {
     # final merge of a global (no-group-key) aggregate: input rows are
     # one partial-agg row per upstream partition
     "agg_global": (1, "global agg partials"),
+    # r8 second wave: sufficient-statistics / gradient folds — each
+    # SinglePartition merge's input is one partial-agg row per upstream
+    # partition (the whole point of the one-pass design)
+    "ml_ols_multifeature": (1, "10-sum sufficient-stats fold"),
+    "ml_logistic_regression_gd": (4, "per-GD-step gradient folds"),
     "funnel_conversion": (3, "three scalar step-count aggs"),
     "dq_constraint_report": (6, "six scalar audit counts"),
     "dq_profile": (2, "per-column scalar profile aggs"),
@@ -332,6 +337,17 @@ BNLJ_OK = {
     "agg_cuped_adjusted": (2, "1-row pooled-theta crossJoin"),
     # r7 Bloom audit: three 1-row count crossJoins (×2 explain sections)
     "agg_bloom_filter_membership": (6, "1-row audit-count crossJoins"),
+    # r8 second wave: every join runs over constant-size frames — the
+    # 16-coalition grid, the ≤16-row mask-count frame and the 4-row
+    # channel table (bitwise containment conditions plan as BNLJ;
+    # bounded by construction, ×2 explain sections)
+    "attribution_shapley": (6, "16-coalition × ≤16-mask × 4-channel grid"),
+    # PAV minimax lattice: ≤16-row bin frame self-joined on range
+    # conditions (≤16³ combinations, ×2 explain sections)
+    "ml_isotonic_calibration": (8, "≤16-row bin-frame minimax lattice"),
+    # 3 unrolled GD steps + final scoring, each a 1-row weight-frame
+    # crossJoin onto the scan (×2 explain sections)
+    "ml_logistic_regression_gd": (8, "1-row weight-frame crossJoin ×4 steps"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

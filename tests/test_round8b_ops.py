@@ -1,0 +1,166 @@
+"""Unit tests for the round-8 second-wave operators (SURVEY.md §5.3-1):
+property checks plus hand-recomputation of representative values on the
+sf0.001 fixture (small enough to recompute driver-side)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from splio_etl_aggregations_spark import register_all
+from splio_etl_aggregations_spark.sources.loader import load
+from splio_etl_aggregations_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+register_all()
+Q = all_queries()
+
+CH_BIT = {"click": 1, "error": 2, "signup": 4, "view": 8}
+
+
+def _journeys(spark):
+    ev = (
+        load(spark, SF_SMALL)["events"]
+        .select("user_id", "event_type")
+        .collect()
+    )
+    mask: dict[int, int] = {}
+    conv: dict[int, bool] = {}
+    for r in ev:
+        u = r["user_id"]
+        mask[u] = mask.get(u, 0) | CH_BIT.get(r["event_type"], 0)
+        conv[u] = conv.get(u, False) or r["event_type"] == "purchase"
+    return mask, conv
+
+
+def test_shapley_efficiency_and_nonnegativity(spark):
+    rows = {
+        r["channel"]: r
+        for r in Q["attribution_shapley"].run(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(CH_BIT)
+    mask, conv = _journeys(spark)
+    v_full = sum(1 for u, c in conv.items() if c)  # every mask fits N
+    v_empty = sum(1 for u, c in conv.items() if c and mask[u] == 0)
+    # efficiency axiom: the phis split exactly v(N) - v(empty)
+    assert sum(r["phi_24ths"] for r in rows.values()) == 24 * (
+        v_full - v_empty
+    )
+    # v is monotone in S, so every marginal (hence every phi) is >= 0
+    assert all(r["phi_24ths"] >= 0 for r in rows.values())
+    for r in rows.values():
+        assert abs(r["phi"] - r["phi_24ths"] / 24.0) < 5e-5
+
+
+def test_shapley_hand_recompute(spark):
+    mask, conv = _journeys(spark)
+    cnt: dict[int, int] = {}
+    for u, c in conv.items():
+        if c:
+            cnt[mask[u]] = cnt.get(mask[u], 0) + 1
+    v = [
+        sum(n for m, n in cnt.items() if m & ~s == 0) for s in range(16)
+    ]
+    w24 = {0: 6, 1: 2, 2: 2, 3: 6}
+    rows = {
+        r["channel"]: r["phi_24ths"]
+        for r in Q["attribution_shapley"].run(spark, SF_SMALL).collect()
+    }
+    for ch, bit in CH_BIT.items():
+        phi = sum(
+            w24[bin(s).count("1")] * (v[s | bit] - v[s])
+            for s in range(16)
+            if s & bit == 0
+        )
+        assert rows[ch] == phi
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    row = Q["ml_ols_multifeature"].run(spark, SF_SMALL).collect()[0]
+    t = load(spark, SF_SMALL)
+    feat = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.floor("l_quantity")).alias("x2"),
+        )
+        .select(F.floor("o_totalprice").alias("y"), "x1", "x2")
+        .collect()
+    )
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in feat])
+    y = np.array([float(r["y"]) for r in feat])
+    b, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_orders"] == len(feat)
+    assert abs(row["b0"] - b[0]) < 1e-3
+    assert abs(row["b1"] - b[1]) < 1e-3
+    assert abs(row["b2"] - b[2]) < 1e-3
+    pred = X @ b
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(row["r2"] - r2) < 1e-3
+
+
+def test_isotonic_is_monotone_and_matches_minimax(spark):
+    rows = sorted(
+        Q["ml_isotonic_calibration"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_q"] for r in rows]
+    assert iso == sorted(iso), "PAV output must be nondecreasing"
+    # hand-recompute the quantized minimax on the collected bin frame
+    bins = [(r["bin"], r["n"], r["pos"]) for r in rows]
+    q = 1 << 20
+
+    def frac_q(i, j):
+        n = sum(b[1] for b in bins if i <= b[0] <= j)
+        p = sum(b[2] for b in bins if i <= b[0] <= j)
+        return math.floor(p * q / n)
+
+    ids = [b[0] for b in bins]
+    for r in rows:
+        k = r["bin"]
+        want = max(
+            min(frac_q(i, j) for j in ids if j >= k)
+            for i in ids
+            if i <= k
+        )
+        assert r["iso_q"] == want
+        assert r["raw_q"] == frac_q(k, k)
+
+
+def test_logistic_gd_hand_recompute(spark):
+    row = Q["ml_logistic_regression_gd"].run(spark, SF_SMALL).collect()[0]
+    orders = (
+        load(spark, SF_SMALL)["orders"]
+        .select(
+            (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("x1"),
+            F.month("o_orderdate").alias("x2"),
+        )
+        .collect()
+    )
+    q = 1 << 20
+    w = [0, 0, 0]
+    n = len(orders)
+    for _ in range(3):
+        g = [0, 0, 0]
+        for o in orders:
+            z = (w[0] + w[1] * o["x1"] + w[2] * o["x2"]) / q
+            p = 0.5 + z / (2 * (1 + abs(z)))
+            rq = math.floor((p - o["y"]) * q)
+            g[0] += rq
+            g[1] += rq * o["x1"]
+            g[2] += rq * o["x2"]
+        w = [wj - math.floor(5.0 * gj / (16.0 * n)) for wj, gj in zip(w, g)]
+    assert (row["w0_q"], row["w1_q"], row["w2_q"]) == tuple(w)
+    correct = sum(
+        1
+        for o in orders
+        if (w[0] + w[1] * o["x1"] + w[2] * o["x2"] >= 0) == (o["y"] == 1)
+    )
+    assert row["n_correct"] == correct and row["n_rows"] == n
