@@ -205,3 +205,64 @@ def sample_systematic_every_nth(spark, t):
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice) AS BIGINT) AS weight,
+             ({ph60_sql("CAST(o_orderkey AS VARCHAR)", "wres")} + 1)
+               / 1152921504606846976.0 AS u
+      FROM orders
+    ),
+    k AS (SELECT o_orderpriority, o_orderkey, weight,
+                 -ln(u) / weight AS ekey
+          FROM w),
+    r AS (SELECT o_orderpriority, o_orderkey, weight,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY ekey, o_orderkey) AS rk
+          FROM k)
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, weight
+    FROM r WHERE rk <= 8
+    ORDER BY o_orderpriority, rk
+    """,
+    tier="P2",
+)
+def sample_weighted_priority(spark, t):
+    """WEIGHTED reservoir sampling (Efraimidis-Spirakis A-ES), exactly-k
+    per stratum — the weighted sibling of ``sample_topk_per_stratum``:
+    each order draws the exponential race key -ln(u)/w (u a portable
+    hash uniform in (0,1], w = floored order total), and the 8 smallest
+    keys per priority class win. Equivalent to sequential weighted
+    reservoir sampling but fully order-free: the key is a pure column
+    expression, so the sample is reproducible across runs, engines,
+    partitionings, and appends (new rows only displace losers).
+
+    Cross-engine determinism: u = (ph60+1)/2^60 is a dyadic-rational
+    double (exact), ln() and the divide are single IEEE ops both
+    engines round identically, and the (ekey, o_orderkey) sort key
+    breaks any residual tie exactly. Scale shape: one window partitioned
+    by the 5-value stratum; at 100 TB you bolt on the same broadcast
+    hash-threshold pre-filter as ``sample_topk_per_stratum`` (keep rows
+    with ekey below a per-stratum quantile bound) so the rank input
+    stays ~margin*k rows per stratum — the key function is unchanged,
+    only the candidate set shrinks.
+    """
+    u = (ph60("o_orderkey", "wres") + 1) / F.lit(
+        float(1 << 60)
+    )
+    k = t["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("weight"),
+        (-F.log(u) / F.floor("o_totalprice").cast("bigint")).alias("ekey"),
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy("ekey", "o_orderkey")
+    return (
+        k.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rk") <= 8)
+        .select("o_orderpriority", "rk", "o_orderkey", "weight")
+        .orderBy("o_orderpriority", "rk")
+    )

@@ -1546,3 +1546,116 @@ def ts_holt_linear_forecast(spark, t):
         F.round((F.col("l") + 2 * F.col("b")) / 100, 6).alias("forecast_2"),
         F.round((F.col("l") + 3 * F.col("b")) / 100, 6).alias("forecast_3"),
     )
+
+
+@register(
+    "ts_lead_lag_xcorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (SELECT a.t AS type_a, b.t AS type_b
+              FROM types a JOIN types b ON a.t < b.t),
+    lags AS (SELECT CAST(i - 3 AS INTEGER) AS lag FROM range(7) t(i)),
+    dots AS (
+      SELECT p.type_a, p.type_b, l.lag,
+             CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+      FROM pairs p
+      CROSS JOIN lags l
+      JOIN daily ca ON ca.event_type = p.type_a
+      JOIN daily cb ON cb.event_type = p.type_b
+                   AND cb.d = ca.d + l.lag
+      GROUP BY p.type_a, p.type_b, l.lag
+    ),
+    best AS (
+      SELECT type_a, type_b, lag, dot,
+             row_number() OVER (PARTITION BY type_a, type_b
+                                ORDER BY dot DESC, lag) AS rk,
+             MAX(CASE WHEN lag = 0 THEN dot END)
+               OVER (PARTITION BY type_a, type_b) AS dot0
+      FROM dots
+    )
+    SELECT type_a, type_b, lag AS best_lag, dot AS best_dot, dot0
+    FROM best WHERE rk = 1
+    ORDER BY type_a, type_b
+    """,
+    tier="P2",
+)
+def ts_lead_lag_xcorr(spark, t):
+    """Lead-lag CROSS-CORRELATION scan between event-type time series —
+    "does one signal lead another, and by how many days?": for every
+    type pair and every lag in [-3, +3], the raw-count dot product
+    sum_t cnt_a(t) * cnt_b(t + lag), reporting the argmax lag (the
+    lead/lag estimate) against the lag-0 dot as the no-shift baseline.
+    The Granger-style screening question answered without leaving the
+    engine.
+
+    Scale shape: 100 TB of events folds map-side to a |days| x |types|
+    daily-count frame (the ONLY data-proportional aggregate); the lag
+    scan is a self-join of that tiny frame against a 7-row lag spine
+    and a |types|^2/2 pair spine — constant cost once counts exist.
+    Exactness: dot products are exact BIGINT sums of counts; argmax
+    breaks ties by the smaller lag via the (dot DESC, lag) rank.
+    Same family as ``ts_rolling_corr`` (within-pair levels) and
+    ``ts_autocorrelation`` (self-lag); this is the cross-signal lag
+    ESTIMATOR.
+    """
+    daily = (
+        t["events"]
+        .groupBy(
+            F.to_date("ts").alias("d"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    types = t["events"].select(
+        F.col("event_type").alias("tt")
+    ).distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.tt") < F.col("b.tt"))
+        .select(
+            F.col("a.tt").alias("type_a"), F.col("b.tt").alias("type_b")
+        )
+    )
+    lags = spark.range(7).select((F.col("id") - 3).cast("int").alias("lag"))
+    ca = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("d").alias("da"),
+        F.col("cnt").alias("ca"),
+    )
+    cb = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("cb"),
+    )
+    dots = (
+        pairs.crossJoin(F.broadcast(lags))
+        .join(ca, "type_a")
+        .withColumn("db", F.date_add(F.col("da"), F.col("lag")))
+        .join(cb, ["type_b", "db"])
+        .groupBy("type_a", "type_b", "lag")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    wrk = Window.partitionBy("type_a", "type_b").orderBy(
+        F.desc("dot"), "lag"
+    )
+    wall = Window.partitionBy("type_a", "type_b")
+    return (
+        dots.withColumn("rk", F.row_number().over(wrk))
+        .withColumn(
+            "dot0",
+            F.max(F.when(F.col("lag") == 0, F.col("dot"))).over(wall),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            F.col("dot").alias("best_dot"),
+            "dot0",
+        )
+        .orderBy("type_a", "type_b")
+    )

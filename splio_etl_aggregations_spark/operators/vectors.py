@@ -1837,3 +1837,201 @@ def ml_pca_power_iteration(spark, t):
         F.round("lambda_md", 4).alias("lambda_md"),
         F.round("top_var_share", 6).alias("top_var_share"),
     )
+
+
+#: JL projection geometry: 64-dim embeddings down to 16 signed sums.
+_JL_D, _JL_P = 64, 16
+#: embedding quantization scale (floor(x * 2^20) — exact BIGINT lanes)
+_JL_Q = 1 << 20
+
+
+@register(
+    "vec_random_projection_distortion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_JL_Q}) AS BIGINT))
+               AS xq
+      FROM embeddings
+    ),
+    x AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+                 xq[CAST(t.i AS INTEGER) + 1] AS v
+          FROM q CROSS JOIN range({_JL_D}) t(i)),
+    s AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+                 CASE WHEN (('0x' || substr(md5('jlsign:' ||
+                        CAST(a.i * {_JL_P} + b.j AS VARCHAR)), 1, 15))
+                        ::ubigint % 2) = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM range({_JL_D}) a(i) CROSS JOIN range({_JL_P}) b(j)),
+    proj AS (SELECT x.vec_id, s.j, SUM(s.sgn * x.v) AS pj
+             FROM x JOIN s ON s.i = x.i GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+      UNION ALL
+      SELECT a.vec_id, b.vec_id
+      FROM q a JOIN q b ON b.vec_id = a.vec_id + 7
+    ),
+    od AS (SELECT p.lo, p.hi,
+                  SUM((xa.v - xb.v) * (xa.v - xb.v)) AS orig_d2
+           FROM pairs p
+           JOIN x xa ON xa.vec_id = p.lo
+           JOIN x xb ON xb.vec_id = p.hi AND xb.i = xa.i
+           GROUP BY p.lo, p.hi),
+    pd AS (SELECT p.lo, p.hi,
+                  SUM((pa.pj - pb.pj) * (pa.pj - pb.pj)) AS proj_d2
+           FROM pairs p
+           JOIN proj pa ON pa.vec_id = p.lo
+           JOIN proj pb ON pb.vec_id = p.hi AND pb.j = pa.j
+           GROUP BY p.lo, p.hi),
+    r AS (SELECT
+            CAST(floor(pd.proj_d2 * 8.0 / ({_JL_P}.0 * od.orig_d2))
+                 AS BIGINT) AS bin,
+            CAST(floor(pd.proj_d2 * {_JL_Q}.0 / ({_JL_P}.0 * od.orig_d2))
+                 AS BIGINT) AS rq
+          FROM od JOIN pd ON pd.lo = od.lo AND pd.hi = od.hi
+          WHERE od.orig_d2 > 0)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(SUM(rq) / (COUNT(*) * {_JL_Q}.0), 4) AS mean_ratio
+    FROM r GROUP BY bin ORDER BY bin
+    """,
+    tier="P2",
+)
+def vec_random_projection_distortion(spark, t):
+    """Johnson-Lindenstrauss sign-projection DISTORTION audit — before
+    trusting a 4x-cheaper 16-dim sketch of the 64-dim embedding store
+    for coarse ANN routing, measure what it does to pairwise distances:
+    project with a fixed +-1 sign matrix (Achlioptas's database-friendly
+    JL construction — signs from the portable hash, so the oracle
+    regenerates the matrix), compare ||proj(a)-proj(b)||^2 / (16 *
+    ||a-b||^2) on a deterministic pair sample (adjacent ids + stride-7
+    ids), and report the distortion histogram in 1/8-wide bins. E[ratio]
+    = 1 with concentration ~1/sqrt(16) — readable straight off the bins.
+
+    Exactness: embeddings quantize to floor(x * 2^20) BIGINT before any
+    arithmetic, projections are integer sign-sums, squared distances are
+    exact integer sums; the only doubles are the two final ratio
+    divisions of exact ints (identical IEEE both engines) floored into
+    integer bins/micro-units. Scale shape: the sign matrix is a
+    1024-row broadcast; the projection is one explode + keyed aggregate
+    (data-proportional, no all-pairs anything); the pair sample joins on
+    consecutive ids (equi). sim_ann_lsh_knn's 256-bit sketch is the
+    search-time sibling; this is the storage-side accuracy gate.
+    """
+    import hashlib
+
+    q = t["embeddings"].select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast(_EMB_D),
+            lambda x: F.floor(x * _JL_Q).cast("bigint"),
+        ).alias("xq"),
+    )
+    x = q.select("vec_id", F.posexplode("xq").alias("i", "v"))
+    signs = spark.createDataFrame(
+        [
+            (
+                i,
+                j,
+                1
+                if int(
+                    hashlib.md5(
+                        f"jlsign:{i * _JL_P + j}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % 2
+                == 0
+                else -1,
+            )
+            for i in range(_JL_D)
+            for j in range(_JL_P)
+        ],
+        "i int, j int, sgn int",
+    )
+    proj = (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("v")).alias("pj"))
+    )
+    ids = q.select("vec_id")
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + 1,
+        )
+        .select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
+        .unionAll(
+            ids.alias("a")
+            .join(
+                ids.alias("b"),
+                F.col("b.vec_id") == F.col("a.vec_id") + 7,
+            )
+            .select(
+                F.col("a.vec_id").alias("lo"),
+                F.col("b.vec_id").alias("hi"),
+            )
+        )
+    )
+    xa = x.select(
+        F.col("vec_id").alias("lo"), "i", F.col("v").alias("va")
+    )
+    xb = x.select(
+        F.col("vec_id").alias("hi"), "i", F.col("v").alias("vb")
+    )
+    od = (
+        pairs.join(xa, "lo")
+        .join(xb, ["hi", "i"])
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum(
+                (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+            ).alias("orig_d2")
+        )
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("lo"), "j", F.col("pj").alias("pa")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("hi"), "j", F.col("pj").alias("pb")
+    )
+    pd_ = (
+        pairs.join(pa, "lo")
+        .join(pb, ["hi", "j"])
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum(
+                (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
+            ).alias("proj_d2")
+        )
+    )
+    r = (
+        od.join(pd_, ["lo", "hi"])
+        .filter(F.col("orig_d2") > 0)
+        .select(
+            F.floor(
+                F.col("proj_d2") * 8.0 / (float(_JL_P) * F.col("orig_d2"))
+            )
+            .cast("bigint")
+            .alias("bin"),
+            F.floor(
+                F.col("proj_d2")
+                * float(_JL_Q)
+                / (float(_JL_P) * F.col("orig_d2"))
+            )
+            .cast("bigint")
+            .alias("rq"),
+        )
+    )
+    return (
+        r.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("rq") / (F.count(F.lit(1)) * float(_JL_Q)), 4
+            ).alias("mean_ratio"),
+        )
+        .orderBy("bin")
+    )

@@ -1047,3 +1047,106 @@ def win_user_activity_entropy(spark, t):
         )
         .orderBy("entropy_decile")
     )
+
+
+@register(
+    "win_hysteresis_alerts",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 100.0 THEN 1
+                  WHEN value < 50.0 THEN 0 END AS s
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, ts, event_id,
+             COALESCE(last_value(s IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 0) AS state
+      FROM sig
+    ),
+    en AS (
+      SELECT user_id, ts, event_id, state,
+             CASE WHEN state = 1 AND COALESCE(lag(state) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 0) = 0
+             THEN 1 ELSE 0 END AS enter
+      FROM st
+    ),
+    tr AS (
+      SELECT user_id, state,
+             SUM(enter) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM en
+    ),
+    ep AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS ep_len
+      FROM tr WHERE state = 1 GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_episodes,
+           CAST(SUM(ep_len) AS BIGINT) AS rows_in_alert,
+           CAST(MAX(ep_len) AS BIGINT) AS longest_episode
+    FROM ep GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tier="P2",
+)
+def win_hysteresis_alerts(spark, t):
+    """Two-threshold HYSTERESIS alerting — the monitoring state machine
+    every ops pipeline runs: an alert episode OPENS when a user's event
+    value crosses >= 100 and stays open until the value falls BELOW 50
+    (the dead band between 50 and 100 keeps the state, suppressing the
+    flapping a single-threshold rule produces). Per user: episode
+    count, total rows spent in-alert, longest episode.
+
+    Pure window algebra — the state machine compiles to last_value
+    IGNORE NULLS over a three-valued signal (1 = arm, 0 = disarm,
+    NULL = hold), the classic forward-fill idiom, then gaps-and-islands
+    on the 0->1 transitions; no UDF, no iteration, exact integer
+    outputs. Extends ``win_time_in_state`` (single-threshold state
+    durations) and ``win_debounce_consecutive`` (N-consecutive
+    debounce) with the dead-band policy. Scale shape: every window is
+    partitioned by user_id — one shuffle on the natural key, each
+    user's timeline sorts locally; constant memory per user beyond the
+    sort.
+    """
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sig = (
+        F.when(F.col("value") >= 100.0, 1)
+        .when(F.col("value") < 50.0, 0)
+    )
+    st = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.last(sig, ignorenulls=True).over(wcum), F.lit(0)
+        ).alias("state"),
+    )
+    enter = (
+        (F.col("state") == 1)
+        & (F.coalesce(F.lag("state").over(w), F.lit(0)) == 0)
+    ).cast("int")
+    tr = st.select(
+        "user_id",
+        "state",
+        enter.alias("enter"),
+        F.sum(enter).over(wcum).alias("island"),
+    )
+    ep = (
+        tr.filter(F.col("state") == 1)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ep_len"))
+    )
+    return (
+        ep.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+            F.sum("ep_len").cast("bigint").alias("rows_in_alert"),
+            F.max("ep_len").cast("bigint").alias("longest_episode"),
+        )
+        .orderBy("user_id")
+    )

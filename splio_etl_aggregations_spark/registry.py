@@ -197,6 +197,10 @@ DRIVER_ORDER: list[str] = [
     "ml_ols_multifeature",
     "ml_isotonic_calibration",
     "ml_logistic_regression_gd",
+    "sample_weighted_priority",
+    "vec_random_projection_distortion",
+    "ts_lead_lag_xcorr",
+    "win_hysteresis_alerts",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

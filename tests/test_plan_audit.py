@@ -348,6 +348,9 @@ BNLJ_OK = {
     # 3 unrolled GD steps + final scoring, each a 1-row weight-frame
     # crossJoin onto the scan (×2 explain sections)
     "ml_logistic_regression_gd": (8, "1-row weight-frame crossJoin ×4 steps"),
+    # 5-row type-pair theta self-join + 7-row lag-spine crossJoin, both
+    # constant-size spines (×2 explain sections)
+    "ts_lead_lag_xcorr": (4, "types² pair spine × 7-row lag spine"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

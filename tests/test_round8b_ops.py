@@ -164,3 +164,118 @@ def test_logistic_gd_hand_recompute(spark):
         if (w[0] + w[1] * o["x1"] + w[2] * o["x2"] >= 0) == (o["y"] == 1)
     )
     assert row["n_correct"] == correct and row["n_rows"] == n
+
+
+def test_weighted_priority_hand_recompute(spark):
+    import hashlib
+
+    rows = Q["sample_weighted_priority"].run(spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["o_orderpriority"], []).append(r)
+    orders = (
+        load(spark, SF_SMALL)["orders"]
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+
+    def ekey(o):
+        h = int(
+            hashlib.md5(f"wres:{o['o_orderkey']}".encode()).hexdigest()[:15],
+            16,
+        )
+        u = (h + 1) / float(1 << 60)
+        return (-math.log(u) / math.floor(o["o_totalprice"]), o["o_orderkey"])
+
+    for pri, sample in per.items():
+        pool = sorted(
+            (o for o in orders if o["o_orderpriority"] == pri), key=ekey
+        )
+        want = [o["o_orderkey"] for o in pool[:8]]
+        got = [r["o_orderkey"] for r in sorted(sample, key=lambda r: r["rk"])]
+        assert got == want
+        assert len(sample) == min(8, len(pool))
+
+
+def test_jl_distortion_mass_concentrates_near_one(spark):
+    rows = Q["vec_random_projection_distortion"].run(spark, SF_SMALL).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    assert total > 0
+    # bins 4-19 cover ratio [0.5, 2.5); JL at p=16 concentrates there
+    mid = sum(r["n_pairs"] for r in rows if 4 <= r["bin"] < 20)
+    assert mid / total > 0.9
+    mean = (
+        sum(r["mean_ratio"] * r["n_pairs"] for r in rows) / total
+    )
+    assert 0.6 < mean < 1.6  # E[ratio] = 1
+
+
+def test_lead_lag_xcorr_hand_recompute(spark):
+    from collections import Counter
+
+    rows = Q["ts_lead_lag_xcorr"].run(spark, SF_SMALL).collect()
+    ev = load(spark, SF_SMALL)["events"].select(
+        F.to_date("ts").alias("d"), "event_type"
+    ).collect()
+    daily = Counter((r["d"], r["event_type"]) for r in ev)
+    types = sorted({r["event_type"] for r in ev})
+    days = sorted({r["d"] for r in ev})
+    got = {(r["type_a"], r["type_b"]): r for r in rows}
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    import datetime
+
+    for ai, a in enumerate(types):
+        for b in types[ai + 1:]:
+            dots = {}
+            for lag in range(-3, 4):
+                dots[lag] = sum(
+                    daily[(d, a)] * daily[(d + datetime.timedelta(lag), b)]
+                    for d in days
+                )
+            best = max(sorted(dots), key=lambda l: (dots[l], -l))
+            r = got[(a, b)]
+            assert (r["best_lag"], r["best_dot"], r["dot0"]) == (
+                best,
+                dots[best],
+                dots[0],
+            )
+
+
+def test_hysteresis_episodes_hand_recompute(spark):
+    rows = {
+        r["user_id"]: r
+        for r in Q["win_hysteresis_alerts"].run(spark, SF_SMALL).collect()
+    }
+    ev = sorted(
+        load(spark, SF_SMALL)["events"]
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    per: dict[int, list[float]] = {}
+    for r in ev:
+        per.setdefault(r["user_id"], []).append(r["value"])
+    for u, vals in per.items():
+        state, episodes, cur, in_alert = 0, [], 0, 0
+        for v in vals:
+            prev = state
+            if v >= 100.0:
+                state = 1
+            elif v < 50.0:
+                state = 0
+            if state == 1:
+                in_alert += 1
+                if prev == 0:
+                    if cur:
+                        episodes.append(cur)
+                    cur = 0
+                cur += 1
+        if cur:
+            episodes.append(cur)
+        if episodes:
+            r = rows[u]
+            assert r["n_episodes"] == len(episodes)
+            assert r["rows_in_alert"] == in_alert
+            assert r["longest_episode"] == max(episodes)
+        else:
+            assert u not in rows
