@@ -1141,3 +1141,94 @@ def corpus_contamination_ngram(spark, t):
         )
         .orderBy("bench_doc_id")
     )
+
+
+#: temperature-mix parameters: sampling temperature tau (weights =
+#: tokens^tau) and the token budget being allocated.
+_MIX_TAU = 0.7
+_MIX_BUDGET = 1_000_000
+_MIX_Q = 1 << 20
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(exp({_MIX_TAU} * ln(CAST(n_tokens AS DOUBLE)))
+                        * {_MIX_Q}) AS BIGINT) AS wq
+      FROM toks
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM w)
+    SELECT w.source, w.n_tokens, w.wq,
+           CAST(floor(w.wq * {_MIX_BUDGET}.0 / t.wsum) AS BIGINT)
+             AS alloc_tokens,
+           CAST(floor(floor(w.wq * {_MIX_BUDGET}.0 / t.wsum) * 100.0
+                      / w.n_tokens) AS BIGINT) AS epochs_centi,
+           round(w.wq * 1.0 / t.wsum, 6) AS share
+    FROM w CROSS JOIN tot t
+    ORDER BY w.source
+    """,
+    tier="P1",
+)
+def corpus_temperature_mix(spark, t):
+    """TEMPERATURE-SCALED source mixing — the sampling-weights
+    computation behind every multi-source pretraining mix (the
+    p_s ∝ tokens_s^tau upweighting of small high-quality sources,
+    tau = 0.7 as in the multilingual-LM literature): per source, the
+    temperature weight, its share of a 1M-token budget, and the
+    implied epoch count (how many times the source repeats —
+    epochs > 1 flags the oversampled tail). Complements
+    ``corpus_mix_rebalance`` (hard equalization to the smallest
+    source) with the soft power-law schedule production mixes use.
+
+    Determinism: token counts fold as exact BIGINTs map-side;
+    tokens^tau is computed as exp(tau*ln(x)) — the SAME two-call tree
+    in both engines (never pow(), whose libm differs) — and floored
+    into 2^20 micro-units immediately, so the share denominator is an
+    exact integer sum (order-free) and every downstream division is
+    exact-int-over-exact-int IEEE both engines round identically.
+    Scale shape: one map-side-combined fold to the |sources|-row
+    frame; everything after is constant-size (broadcast 1-row total).
+    At web scale the budget/weight products stay < 2^63 for corpora to
+    ~10^13 tokens per source; beyond that the wq column widens to
+    DECIMAL(38).
+    """
+    toks = t["documents"].groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    w = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.exp(_MIX_TAU * F.log(F.col("n_tokens").cast("double")))
+            * _MIX_Q
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").cast("bigint").alias("wsum"))
+    alloc = F.floor(
+        F.col("wq") * float(_MIX_BUDGET) / F.col("wsum")
+    ).cast("bigint")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "wq",
+            alloc.alias("alloc_tokens"),
+            F.floor(alloc * 100.0 / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("epochs_centi"),
+            F.round(F.col("wq") * 1.0 / F.col("wsum"), 6).alias("share"),
+        )
+        .orderBy("source")
+    )

@@ -1721,6 +1721,46 @@ def graph_bfs_shortest_path(spark, t):
     return result
 
 
+def _lpa_edges_labels(t):
+    """Shared dataflow for the LPA family: the sparsified co-purchase
+    edge list (both directions, l_quantity <= 8 — see
+    graph_label_propagation's docstring for why) and the labels after
+    3 synchronous majority rounds. Extracted so
+    graph_modularity_communities audits EXACTLY the communities
+    graph_label_propagation reports."""
+    base = t["lineitem"].filter(F.col("l_quantity") <= 8).select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        base.alias("x")
+        .join(base.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(3):
+        labels = (
+            edges.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return edges, labels
+
+
+
 @register(
     "graph_label_propagation",
     oracle="""
@@ -1803,35 +1843,7 @@ def graph_label_propagation(spark, t):
     the plan bounded and power-law graphs converge in a handful of
     sweeps.
     """
-    base = t["lineitem"].filter(F.col("l_quantity") <= 8).select(
-        "l_orderkey", "l_partkey"
-    )
-    edges = (
-        base.alias("x")
-        .join(base.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(3):
-        labels = (
-            edges.join(
-                labels.withColumnRenamed("node", "b"), "b"
-            )
-            .groupBy(F.col("a").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint()
-        )
+    edges, labels = _lpa_edges_labels(t)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -1937,4 +1949,141 @@ def join_range_bucketed(spark, t):
             ).cast("bigint").alias("value_cents"),
         )
         .orderBy("w_id")
+    )
+
+
+@register(
+    "graph_modularity_communities",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 8
+    ),
+    e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM base l1 JOIN base l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e0),
+    c1 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l0 l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l1 l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    ),
+    c3 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l2 l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c3) WHERE rn = 1
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e0 GROUP BY a),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e0),
+    kc AS (SELECT l.label AS community,
+                  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+           FROM l3 l JOIN deg d ON d.node = l.node GROUP BY 1),
+    wc AS (SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+           FROM e0 e
+           JOIN l3 la ON la.node = e.a
+           JOIN l3 lb ON lb.node = e.b
+           WHERE la.label = lb.label GROUP BY 1)
+    SELECT kc.community, kc.n_nodes,
+           CAST(COALESCE(wc.e_c, 0) AS BIGINT) AS within_edges,
+           kc.degree_sum,
+           round((COALESCE(wc.e_c, 0) * m2.m2
+                  - kc.degree_sum * kc.degree_sum) * 1.0
+                 / (m2.m2 * m2.m2), 6) AS q_contrib
+    FROM kc CROSS JOIN m2
+    LEFT JOIN wc ON wc.community = kc.community
+    ORDER BY kc.community
+    """,
+    tier="P3",
+)
+def graph_modularity_communities(spark, t):
+    """Newman MODULARITY audit of the label-propagation communities —
+    the quality gate after any community detector: per community c,
+    Q_c = e_c/(2m) - (K_c/(2m))^2 (within-edge mass minus the degree-
+    preserving null model's expectation); sum over communities = the
+    global modularity Q that decides whether the LPA partition is
+    structure or noise. Runs the IDENTICAL 3-round synchronous LPA as
+    ``graph_label_propagation`` (shared ``_lpa_edges_labels`` dataflow)
+    so the audit scores exactly the communities that operator reports.
+
+    Exactness: e_c (directed within-edges), K_c (degree sums) and 2m
+    (directed edge count) are exact BIGINTs; the contribution is ONE
+    fixed-tree division (e_c*2m - K_c^2)/(2m)^2 of exact ints, rounded
+    for display. Scale shape: degrees and within-edge counts are keyed
+    aggregates over the edge list; the label frame joins are |V|-sized
+    and AQE-broadcast; the 1-row 2m frame is a broadcast crossJoin.
+    """
+    edges, labels = _lpa_edges_labels(t)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    kc = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    wc = (
+        edges.join(
+            labels.select(
+                F.col("node").alias("a"), F.col("label").alias("lab_a")
+            ),
+            "a",
+        )
+        .join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label").alias("lab_b")
+            ),
+            "b",
+        )
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    within = F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint")
+    return (
+        kc.crossJoin(F.broadcast(m2))
+        .join(wc, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            within.alias("within_edges"),
+            "degree_sum",
+            F.round(
+                (within * F.col("m2")
+                 - F.col("degree_sum") * F.col("degree_sum"))
+                * 1.0
+                / (F.col("m2") * F.col("m2")),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
     )

@@ -786,3 +786,162 @@ def text_code_detect(spark, t):
             F.round(F.avg("dr"), 6).alias("avg_digit_ratio"),
         )
     )
+
+
+#: BM25 hyperparameters (Robertson-Sparck Jones defaults) and the fixed
+#: evaluation query set (terms from the corpus vocabulary).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERIES = [
+    ("q1", ["hash", "join"]),
+    ("q2", ["scan", "filter", "column"]),
+    ("q3", ["stream", "window"]),
+]
+#: per-(doc, term) score quantization scale (micro-unit idiom)
+_BM25_Q = 1 << 30
+
+
+def _bm25_oracle() -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{term}')"
+        for qid, terms in _BM25_QUERIES
+        for term in terms
+    )
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {qrows}) t(query_id, term)),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(dl) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT t.doc_id, t.token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t
+      WHERE t.token IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    part AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * {_BM25_K1 + 1}) / (tf.tf + {_BM25_K1} *
+                  (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               * {_BM25_Q}) AS BIGINT) AS sq
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(SUM(p.sq) AS BIGINT) AS score_q
+      FROM q JOIN part p ON p.term = q.term
+      GROUP BY q.query_id, p.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_q DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score_q,
+           round(score_q / {_BM25_Q}.0, 6) AS score
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """
+
+
+@register("text_bm25_search", oracle=_bm25_oracle(), tier="P1")
+def text_bm25_search(spark, t):
+    """BM25 ranked retrieval — the lexical search baseline every corpus
+    platform ships (and the re-rank seed under most RAG stacks): for a
+    fixed 3-query evaluation set, score every document with
+    Robertson's Okapi BM25 (k1 = 1.2, b = 0.75) and report each
+    query's top-10. Complements ``text_tfidf`` (raw weights) and the
+    ANN family (semantic search) with the exact term-based ranker.
+
+    Scale shape: the token stream is filtered to query terms by a
+    BROADCAST semi-join before any aggregation (the corpus never
+    shuffles on non-query tokens); df/dl/N fold map-side; scoring is
+    per-row arithmetic; the final top-10 window partitions by query
+    over per-doc sums of the already-tiny matched set.
+
+    Determinism: tf/dl/df/N are exact integers, avgdl is one division
+    of exact sums, idf = ln(1 + (N-df+0.5)/(df+0.5)) and the saturation
+    term form a FIXED expression tree both engines round identically;
+    each per-(doc,term) score floors to 2^-30 micro-units so the
+    per-doc sum is an exact integer and the (score DESC, doc_id) cut
+    is stable.
+    """
+    q = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, terms in _BM25_QUERIES
+            for term in terms
+        ],
+        "query_id string, term string",
+    )
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = q.select("term").distinct()
+    tf = (
+        tok.join(F.broadcast(terms), tok["token"] == terms["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    part = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(idf * sat * _BM25_Q).cast("bigint").alias("sq"),
+        )
+    )
+    scored = (
+        q.join(part, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("sq").cast("bigint").alias("score_q"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "rk",
+            "doc_id",
+            "score_q",
+            F.round(F.col("score_q") / float(_BM25_Q), 6).alias("score"),
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -1659,3 +1659,96 @@ def ts_lead_lag_xcorr(spark, t):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "ts_sax_symbolic",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  // 5 AS INTEGER) AS seg,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS seg_cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    lettered AS (
+      SELECT user_id, seg,
+             substr('abcd',
+                    ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY seg_cents, seg), 1) AS letter
+      FROM daily
+    ),
+    words AS (
+      SELECT user_id,
+             string_agg(letter, '' ORDER BY seg) AS sax_word
+      FROM lettered GROUP BY user_id
+    )
+    SELECT sax_word,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM words GROUP BY sax_word
+    ORDER BY sax_word
+    """,
+    tier="P2",
+)
+def ts_sax_symbolic(spark, t):
+    """SAX-style SYMBOLIC discretization of per-user activity series —
+    the motif-mining front end (Lin et al.'s Symbolic Aggregate
+    approXimation): each user's January value series is piecewise
+    aggregated into 5-day segments (PAA), each segment mapped to a
+    letter a-d, and the per-user letter string ("sax word") is the
+    shape signature that groups users by trajectory — the report is
+    the word histogram. Classic SAX cuts at Gaussian breakpoints of a
+    z-normalized series; this variant assigns letters by WITHIN-USER
+    QUARTILE RANK (ntile over segment sums), which preserves the
+    shape-classing property while staying exactly integer — no mean /
+    std / sqrt whose cross-engine float drift could flip a boundary
+    letter.
+
+    Scale shape: one (user, segment) aggregate (map-side combinable,
+    value folded to exact floor-cents), one ntile window and one
+    ordered string_agg both partitioned by user — shuffle volume is
+    |users| x |segments| rows of three integers regardless of event
+    count. Word histogram is a tiny final fold.
+    """
+    daily = (
+        t["events"]
+        .groupBy(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                / 5
+            )
+            .cast("int")
+            .alias("seg"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "seg_cents"
+            )
+        )
+    )
+    wq = Window.partitionBy("user_id").orderBy("seg_cents", "seg")
+    lettered = daily.select(
+        "user_id",
+        "seg",
+        F.substring(F.lit("abcd"), F.ntile(4).over(wq), 1).alias("letter"),
+    )
+    words = lettered.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "letter"))),
+                lambda s: s["letter"],
+            ),
+        ).alias("sax_word")
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+        )
+        .orderBy("sax_word")
+    )

@@ -201,6 +201,10 @@ DRIVER_ORDER: list[str] = [
     "vec_random_projection_distortion",
     "ts_lead_lag_xcorr",
     "win_hysteresis_alerts",
+    "text_bm25_search",
+    "ts_sax_symbolic",
+    "graph_modularity_communities",
+    "corpus_temperature_mix",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

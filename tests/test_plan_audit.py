@@ -41,6 +41,13 @@ SINGLE_PARTITION_OK = {
     # partition (the whole point of the one-pass design)
     "ml_ols_multifeature": (1, "10-sum sufficient-stats fold"),
     "ml_logistic_regression_gd": (4, "per-GD-step gradient folds"),
+    # corpus N/avgdl scalar fold: input is one partial row per
+    # upstream partition of the per-doc length frame
+    "text_bm25_search": (1, "scalar N/avgdl fold"),
+    # directed-edge-count scalar fold (2m)
+    "graph_modularity_communities": (1, "scalar 2m fold"),
+    # weight-total scalar fold over the |sources|-row frame
+    "corpus_temperature_mix": (1, "scalar weight-total fold"),
     "funnel_conversion": (3, "three scalar step-count aggs"),
     "dq_constraint_report": (6, "six scalar audit counts"),
     "dq_profile": (2, "per-column scalar profile aggs"),
@@ -351,6 +358,12 @@ BNLJ_OK = {
     # 5-row type-pair theta self-join + 7-row lag-spine crossJoin, both
     # constant-size spines (×2 explain sections)
     "ts_lead_lag_xcorr": (4, "types² pair spine × 7-row lag spine"),
+    # 1-row corpus-stats (N, avgdl) crossJoin (×2 explain sections)
+    "text_bm25_search": (2, "1-row N/avgdl crossJoin"),
+    # 1-row 2m-count crossJoin (×2 explain sections)
+    "graph_modularity_communities": (2, "1-row 2m crossJoin"),
+    # 1-row weight-total crossJoin (×2 explain sections)
+    "corpus_temperature_mix": (2, "1-row weight-total crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

@@ -279,3 +279,104 @@ def test_hysteresis_episodes_hand_recompute(spark):
             assert r["longest_episode"] == max(episodes)
         else:
             assert u not in rows
+
+
+def test_bm25_hand_recompute_top1(spark):
+    from splio_etl_aggregations_spark.operators.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_Q,
+        _BM25_QUERIES,
+    )
+
+    rows = Q["text_bm25_search"].run(spark, SF_SMALL).collect()
+    docs = load(spark, SF_SMALL)["documents"].select("doc_id", "text").collect()
+    toks = {d["doc_id"]: d["text"].split(" ") for d in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, terms in _BM25_QUERIES:
+        got = sorted(by_q[qid], key=lambda r: r["rk"])
+        assert [r["rk"] for r in got] == list(range(1, len(got) + 1))
+        scores = {}
+        for d, tk in toks.items():
+            s = 0
+            for term in terms:
+                tf = tk.count(term)
+                if not tf:
+                    continue
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                sat = (tf * (_BM25_K1 + 1)) / (
+                    tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(tk) / avgdl)
+                )
+                s += math.floor(idf * sat * _BM25_Q)
+            if s:
+                scores[d] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [(r["doc_id"], r["score_q"]) for r in got] == want
+
+
+def test_sax_words_cover_all_users(spark):
+    rows = Q["ts_sax_symbolic"].run(spark, SF_SMALL).collect()
+    users = (
+        load(spark, SF_SMALL)["events"].select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == users
+    assert all(set(r["sax_word"]) <= set("abcd") for r in rows)
+    # every user has <= 6 five-day segments in the 30-day window
+    assert all(1 <= len(r["sax_word"]) <= 6 for r in rows)
+
+
+def test_modularity_sums_and_bounds(spark):
+    rows = Q["graph_modularity_communities"].run(spark, SF_SMALL).collect()
+    m2 = sum(r["degree_sum"] for r in rows)  # sum of degrees = 2m
+    assert m2 > 0
+    # within-edge mass cannot exceed the community's degree mass
+    assert all(r["within_edges"] <= r["degree_sum"] for r in rows)
+    q = sum(
+        (r["within_edges"] * m2 - r["degree_sum"] ** 2) / (m2 * m2)
+        for r in rows
+    )
+    # modularity of any partition lies in [-0.5, 1)
+    assert -0.5 <= q < 1.0
+    for r in rows:
+        want = (r["within_edges"] * m2 - r["degree_sum"] ** 2) / (m2 * m2)
+        assert abs(r["q_contrib"] - want) < 5e-6
+
+
+def test_temperature_mix_hand_recompute(spark):
+    from splio_etl_aggregations_spark.operators.corpus import (
+        _MIX_BUDGET,
+        _MIX_Q,
+        _MIX_TAU,
+    )
+
+    rows = Q["corpus_temperature_mix"].run(spark, SF_SMALL).collect()
+    docs = load(spark, SF_SMALL)["documents"].select("source", "text").collect()
+    per: dict[str, int] = {}
+    for d in docs:
+        per[d["source"]] = per.get(d["source"], 0) + len(d["text"].split(" "))
+    wq = {
+        s: math.floor(math.exp(_MIX_TAU * math.log(float(n))) * _MIX_Q)
+        for s, n in per.items()
+    }
+    wsum = sum(wq.values())
+    assert {r["source"] for r in rows} == set(per)
+    for r in rows:
+        s = r["source"]
+        assert r["n_tokens"] == per[s] and r["wq"] == wq[s]
+        alloc = math.floor(wq[s] * float(_MIX_BUDGET) / wsum)
+        assert r["alloc_tokens"] == alloc
+        assert r["epochs_centi"] == math.floor(alloc * 100.0 / per[s])
+    # temperature < 1 compresses shares: smaller sources get MORE than
+    # their raw-token share, larger get less
+    raw_tot = sum(per.values())
+    for r in rows:
+        raw_share = per[r["source"]] / raw_tot
+        if raw_share < 1 / len(per):
+            assert r["share"] >= raw_share - 1e-9
+        elif raw_share > 1 / len(per):
+            assert r["share"] <= raw_share + 1e-9
