@@ -542,16 +542,28 @@ def dedup_lsh_band_sweep(spark, t):
     )
     # the 32×2 banding — band key = the ordered signature slice
     # (array_sort fixes collect_list's nondeterministic order)
-    bands2 = sigl.groupBy(
-        "doc_id", (F.col("i") / 2).cast("int").alias("band_id")
-    ).agg(
-        F.array_join(
+    # band key = mh0 * 2^31 + mh1 — a BIJECTION of the i-ordered slot
+    # pair (each mh < 2^31-1), so the candidate set is identical to the
+    # string key's but the self-join seam carries an 8-byte integer
+    # instead of a ~20-char string (r8 perf fix; the oracles keep the
+    # string form, which proves the bijection)
+    bands2 = (
+        sigl.groupBy(
+            "doc_id", (F.col("i") / 2).cast("int").alias("band_id")
+        )
+        .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                lambda s: s["mh"].cast("string"),
+                lambda s: s["mh"],
+            ).alias("bm")
+        )
+        .select(
+            "doc_id",
+            "band_id",
+            (F.col("bm")[0] * F.lit(1 << 31) + F.col("bm")[1]).alias(
+                "bkey"
             ),
-            ",",
-        ).alias("bkey")
+        )
     )
     lft = bands2.alias("l")
     rgt = bands2.hint("shuffle_hash").alias("r")
@@ -1608,39 +1620,45 @@ def dedup_minhash_error_curve(spark, t):
     th = grams_rows.select(
         "doc_id", (ph60("gram", "mhs") % prime).alias("th")
     )
-    fam = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(rng_a[i]).alias("a"),
-                F.lit(rng_b[i]).alias("b"),
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    # signatures feed THREE consumers (bands + both est sides) — pin
-    # them once; explicit repartition first, per the AQE-coalesce rule
-    sigl = (
-        th.select("doc_id", "th", F.explode(fam).alias("x"))
-        .groupBy("doc_id", F.col("x.i").alias("i"))
+    # WIDE signature fold (r8 perf fix): 64 min-aggregates in ONE pass
+    # over the token-hash stream — the explode-to-long form pushed 64x
+    # the rows through the partial aggregate (measured 1.95 s vs 1.38 s
+    # for the fold alone at sf0.1) and then needed TWO more groupBys to
+    # shape bands and signature arrays; from the wide frame both are
+    # pure projections. Signatures feed three consumers — pin once;
+    # explicit repartition first, per the AQE-coalesce rule.
+    wide = (
+        th.groupBy("doc_id")
         .agg(
-            F.min(
-                (F.col("th") * F.col("x.a") + F.col("x.b")) % F.lit(prime)
-            ).alias("mh")
+            *[
+                F.min(
+                    (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
+                    % F.lit(prime)
+                ).alias(f"w{i}")
+                for i in range(n_hashes)
+            ]
         )
         .repartition(par, "doc_id")
         .localCheckpoint()
     )
-    bands2 = sigl.groupBy(
-        "doc_id", (F.col("i") / 2).cast("int").alias("band_id")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                lambda s: s["mh"].cast("string"),
-            ),
-            ",",
-        ).alias("bkey")
+    sig_col = F.array(*[F.col(f"w{i}") for i in range(n_hashes)])
+    # band key = w_2b * 2^31 + w_2b+1 — a BIJECTION of the ordered slot
+    # pair (each mh < 2^31-1), so the candidate set is identical to the
+    # string key's but the self-join seam carries an 8-byte integer
+    # instead of a ~20-char string (the oracle keeps the string form,
+    # which proves the bijection); posexplode of the 32 projected keys
+    # replaces the per-band groupBy entirely
+    bands2 = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"w{2 * b}") * F.lit(1 << 31)
+                    + F.col(f"w{2 * b + 1}")
+                    for b in range(n_hashes // 2)
+                ]
+            )
+        ).alias("band_id", "bkey"),
     )
     lft = bands2.alias("l")
     rgt = bands2.hint("shuffle_hash").alias("r")
@@ -1657,20 +1675,33 @@ def dedup_minhash_error_curve(spark, t):
         .distinct()
         .repartition(par)
     )
-    sl = sigl.select(
-        F.col("doc_id").alias("lo"), "i", F.col("mh").alias("mh_lo")
+    # slot agreement rides the candidate rows as ARRAY algebra: each
+    # side attaches its 64-slot signature as ONE array column (a pure
+    # projection of the wide frame), and k_agree is a per-row
+    # zip_with/aggregate — no 64x-row double slot-join, no (lo,hi)
+    # re-aggregation (r8 perf fix: the long-format join was 2x128
+    # shuffled rows per candidate; this ships 2 arrays per candidate)
+    sl = wide.select(
+        F.col("doc_id").alias("lo"), sig_col.alias("sig_lo")
     )
-    sr = sigl.select(
-        F.col("doc_id").alias("hi"), "i", F.col("mh").alias("mh_hi")
+    sr = wide.select(
+        F.col("doc_id").alias("hi"), sig_col.alias("sig_hi")
     )
     est = (
         cand.join(sl, "lo")
-        .join(sr, ["hi", "i"])
-        .groupBy("lo", "hi")
-        .agg(
-            F.sum(
-                F.when(F.col("mh_lo") == F.col("mh_hi"), 1).otherwise(0)
-            ).cast("bigint").alias("k_agree")
+        .join(sr, "hi")
+        .select(
+            "lo",
+            "hi",
+            F.aggregate(
+                F.zip_with(
+                    "sig_lo",
+                    "sig_hi",
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("bigint").alias("k_agree"),
         )
     )
     lo = gram_sets.select(
