@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.helpers import net_price, r4, sorted_list
+from ..functions.helpers import net_price, r4, r6, sorted_list
 from ..functions.portable_hash import ph60, ph60_sql
 from ..registry import register
 
@@ -5549,4 +5549,102 @@ def attribution_shapley(spark, t):
             F.round(F.col("phi_24ths") / 24.0, 4).alias("phi"),
         )
         .orderBy("channel")
+    )
+
+
+@register(
+    "agg_delta_method_ratio",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             {ph60_sql("CAST(user_id AS VARCHAR)", "abratio")} % 2 AS grp,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM per_user GROUP BY grp
+    ),
+    stats AS (
+      SELECT grp, n, sx / sy AS ratio,
+             ((sxx - sx * sx / n)
+              - 2 * (sx / sy) * (sxy - sx * sy / n)
+              + (sx / sy) * (sx / sy) * (syy - sy * sy / n))
+             / ((n - 1) * (sy / n) * (sy / n) * n) AS var_r
+      FROM mom
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.ratio, 6) AS ratio_a,
+           round(b.ratio, 6) AS ratio_b,
+           round(b.ratio - a.ratio, 6) AS diff,
+           round((b.ratio - a.ratio) / sqrt(a.var_r + b.var_r), 4)
+             AS z_score
+    FROM stats a JOIN stats b ON a.grp = 0 AND b.grp = 1
+    """,
+    tier="P2",
+)
+def agg_delta_method_ratio(spark, t):
+    """A/B test on a RATIO metric (revenue-cents per event) with
+    DELTA-METHOD variance — the experimentation-platform statistic
+    Welch's t cannot give you: when the metric is a ratio of two
+    per-user sums, user-level correlation between numerator and
+    denominator drives the variance, and the delta method
+    Var(x̄/ȳ) ≈ (s_xx - 2R*s_xy + R²*s_yy) / (n*ȳ²) is the standard
+    correction (Deng et al., KDD'18 practice). Complements
+    ``agg_ab_test_welch`` (mean metrics) and ``agg_cuped_adjusted``
+    (variance reduction).
+
+    Exactness: per-user (x, y) fold to exact integer cents/counts; the
+    group moments are six exact-int sums (one map-side-combined
+    aggregate — 100 TB costs one pass); ratio/variance/z form a FIXED
+    double expression tree over exactly-cast ints, and sqrt is
+    IEEE-correctly-rounded on both engines (unlike exp/ln it is
+    REQUIRED exact by the standard), so the z-score matches to the
+    bit before display rounding. Assignment is the portable hash —
+    reproducible across engines and runs.
+    """
+    per_user = t["events"].groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    ).select(
+        (ph60("user_id", "abratio") % 2).alias("grp"), "x", "y"
+    )
+    mom = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    ratio = sx / sy
+    var_r = (
+        (F.col("sxx") - sx * sx / n)
+        - 2 * ratio * (F.col("sxy") - sx * sy / n)
+        + ratio * ratio * (F.col("syy") - sy * sy / n)
+    ) / ((n - 1) * (sy / n) * (sy / n) * n)
+    stats = mom.select(
+        "grp", n.alias("n"), ratio.alias("ratio"), var_r.alias("var_r")
+    )
+    a = stats.filter(F.col("grp") == 0).alias("a")
+    b = stats.filter(F.col("grp") == 1).alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+        r6(F.col("a.ratio")).alias("ratio_a"),
+        r6(F.col("b.ratio")).alias("ratio_b"),
+        r6(F.col("b.ratio") - F.col("a.ratio")).alias("diff"),
+        F.round(
+            (F.col("b.ratio") - F.col("a.ratio"))
+            / F.sqrt(F.col("a.var_r") + F.col("b.var_r")),
+            4,
+        ).alias("z_score"),
     )

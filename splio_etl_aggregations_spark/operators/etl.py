@@ -2169,3 +2169,101 @@ def dq_record_linkage_fs(spark, t):
         )
         .orderBy("verdict")
     )
+
+
+@register(
+    "dq_wasserstein_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a' ELSE 'b' END
+               AS win,
+             LEAST(49, CAST(floor(value / 10.0) AS INTEGER)) AS bin
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             COUNT(*) FILTER (win = 'a') AS na,
+             COUNT(*) FILTER (win = 'b') AS nb
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin,
+             SUM(na) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+             SUM(nb) OVER (PARTITION BY event_type ORDER BY bin) AS cb,
+             SUM(na) OVER (PARTITION BY event_type) AS ta,
+             SUM(nb) OVER (PARTITION BY event_type) AS tb,
+             lead(bin) OVER (PARTITION BY event_type ORDER BY bin)
+               AS nxt
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(MAX(ta) AS BIGINT) AS n_a,
+           CAST(MAX(tb) AS BIGINT) AS n_b,
+           CAST(SUM(abs(ca * tb - cb * ta) * (nxt - bin)) AS BIGINT)
+             AS w1_scaled,
+           round(SUM(abs(ca * tb - cb * ta) * (nxt - bin)) * 10.0
+                 / (MAX(ta) * MAX(tb)), 4) AS w1
+    FROM cum WHERE nxt IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tier="P2",
+)
+def dq_wasserstein_drift(spark, t):
+    """1-D WASSERSTEIN (earth mover's) drift between the first two
+    weeks and the rest of the month, per event type — the drift metric
+    that sees what KS and PSI miss: KS reports only the worst single
+    CDF gap and PSI only per-bin log-ratios, while W1 = integral
+    |CDF_a - CDF_b| measures how FAR the mass moved, in value units —
+    the number a monitoring SLO can threshold. Completes the drift
+    triptych with ``dq_ks_drift`` / ``dq_psi_drift``.
+
+    Exactness: values quantize to 10-unit bins; the CDF integral is
+    computed over the SPARSE bin frame with each gap weighted by its
+    span (lead(bin) - bin), cross-multiplied to the common denominator
+    n_a*n_b so every term is an exact BIGINT — one division at display
+    time. Scale shape: one map-side-combined (type, bin) fold bounds
+    the shuffle at |types| x 50 rows; the windows run over that
+    constant frame.
+    """
+    tagged = t["events"].select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-15").cast("timestamp"), "a"
+        ).otherwise("b").alias("win"),
+        F.least(
+            F.lit(49), F.floor(F.col("value") / 10.0).cast("int")
+        ).alias("bin"),
+    )
+    cnt = tagged.groupBy("event_type", "bin").agg(
+        F.sum((F.col("win") == "a").cast("int")).alias("na"),
+        F.sum((F.col("win") == "b").cast("int")).alias("nb"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "bin",
+        F.sum("na").over(wo).alias("ca"),
+        F.sum("nb").over(wo).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+        F.lead("bin").over(wo).alias("nxt"),
+    )
+    term = F.abs(
+        F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")
+    ) * (F.col("nxt") - F.col("bin"))
+    return (
+        cum.filter(F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").cast("bigint").alias("n_a"),
+            F.max("tb").cast("bigint").alias("n_b"),
+            F.sum(term).cast("bigint").alias("w1_scaled"),
+            F.round(
+                F.sum(term) * 10.0 / (F.max("ta") * F.max("tb")), 4
+            ).alias("w1"),
+        )
+        .orderBy("event_type")
+    )

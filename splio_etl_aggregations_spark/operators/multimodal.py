@@ -2959,3 +2959,115 @@ def _jpg420_features_frame(spark, root: str):
         "n_bright",
         "xy_weighted_g",
     )
+
+
+#: VAD frame size (samples) and the energy gate: a frame is "voiced"
+#: when its mean square >= 65536^2/12 (the uniform-amplitude
+#: expectation), i.e. 12*sum_sq >= n_in_frame * 4294967296 — an exact
+#: integer comparison on both engines.
+_VAD_FRAME = 256
+_VAD_GATE = 4294967296  # 65536^2
+
+
+@register(
+    "multimodal_audio_rms_vad",
+    oracle=f"""
+    WITH clips AS (
+      SELECT range AS i, 240 + 97 * range AS n FROM range(16)
+    ),
+    s AS (
+      SELECT i, g.t // {_VAD_FRAME} AS frame_idx,
+             (7919 * i + 2027 * g.t) % 65536 - 32768 AS v
+      FROM clips
+      CROSS JOIN (SELECT range AS t FROM range(1696)) g
+      WHERE g.t < n
+    ),
+    fr AS (
+      SELECT i, frame_idx, COUNT(*) AS nf, SUM(v * v) AS ssq
+      FROM s GROUP BY i, frame_idx
+    ),
+    vd AS (
+      SELECT i, frame_idx, ssq,
+             CASE WHEN 12 * ssq >= nf * {_VAD_GATE}
+                  THEN 1 ELSE 0 END AS voiced
+      FROM fr
+    ),
+    runs AS (
+      SELECT i,
+             frame_idx - row_number() OVER (PARTITION BY i
+                                            ORDER BY frame_idx) AS grp
+      FROM vd WHERE voiced = 1
+    ),
+    longest AS (
+      SELECT i, MAX(cnt) AS longest_run FROM (
+        SELECT i, grp, COUNT(*) AS cnt FROM runs GROUP BY i, grp
+      ) GROUP BY i
+    )
+    SELECT 'clip_' || lpad(c.i::VARCHAR, 4, '0') || '.wav' AS file_name,
+           CAST(COUNT(vd.frame_idx) AS INT) AS n_frames,
+           CAST(SUM(vd.voiced) AS INT) AS n_voiced,
+           CAST(COALESCE(MAX(l.longest_run), 0) AS INT) AS longest_run,
+           CAST(SUM(vd.ssq) AS BIGINT) AS total_energy
+    FROM clips c
+    JOIN vd ON vd.i = c.i
+    LEFT JOIN longest l ON l.i = c.i
+    GROUP BY c.i
+    """,
+    tier="P3",
+)
+def multimodal_audio_rms_vad(spark, t):
+    """RMS-energy VOICE-ACTIVITY DETECTION over real WAV files — the
+    speech-data curation screen (how much of this clip is signal vs
+    silence?) run entirely on exact integers: the independent RIFF
+    parser (``decode_wav_pcm16``, same decoder the other audio ops
+    trust) splits each clip into 256-sample frames, a frame is voiced
+    when its mean-square energy clears the uniform-amplitude gate
+    (12*sum_sq >= n*65536^2 — integer algebra, no float RMS), and each
+    file reports frame/voiced counts, the LONGEST voiced run
+    (gaps-and-islands over frame flags — the segment a speech pipeline
+    would keep) and total energy. Extends ``multimodal_audio_frames``
+    (per-frame features) with the decision layer on top.
+
+    The oracle regenerates the PCM signal from its generative formula
+    and replays frame grouping + the run-length window in SQL — a hash
+    match proves decode, framing, the energy gate and the island
+    arithmetic all agree bit-exactly. Scale: one binaryFile scan,
+    per-batch numpy, one output row per clip.
+    """
+    import numpy as np
+
+    root = _write_wavs()
+    raw = spark.read.format("binaryFile").load(f"{root}/*.wav")
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "file_name": [], "n_frames": [], "n_voiced": [],
+                "longest_run": [], "total_energy": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _, s = decode_wav_pcm16(content)
+                v = s.astype(np.int64)
+                nfr = (len(v) + _VAD_FRAME - 1) // _VAD_FRAME
+                flags, total = [], 0
+                for k in range(nfr):
+                    fr = v[k * _VAD_FRAME:(k + 1) * _VAD_FRAME]
+                    ssq = int((fr * fr).sum())
+                    total += ssq
+                    flags.append(12 * ssq >= len(fr) * _VAD_GATE)
+                longest = cur = 0
+                for fl in flags:
+                    cur = cur + 1 if fl else 0
+                    longest = max(longest, cur)
+                out["file_name"].append(path.rsplit("/", 1)[-1])
+                out["n_frames"].append(nfr)
+                out["n_voiced"].append(int(sum(flags)))
+                out["longest_run"].append(longest)
+                out["total_energy"].append(total)
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        vad,
+        schema="file_name string, n_frames int, n_voiced int, "
+        "longest_run int, total_energy long",
+    )

@@ -833,3 +833,51 @@ def scan_avro_roundtrip(spark, t):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "scan_fixed_width_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+    tier="P2",
+)
+def scan_fixed_width_roundtrip(spark, t):
+    """FIXED-WIDTH text interchange roundtrip — the mainframe/COBOL
+    copybook format that still feeds bank and telco ETL: `customer`
+    serializes to 49-char records (custkey 12, name 25 space-padded,
+    nationkey 4, acctbal as offset-encoded integer cents in 8 digits —
+    the sign-free encoding fixed-width feeds use), written via the text
+    sink; the reader is the independent path — substring slicing at
+    the copybook offsets + casts, entirely codegen projections over a
+    plain text scan (no UDF, splittable, scales like any line format).
+
+    The source table is the oracle, which makes the hash-check a
+    LOSSLESSNESS proof: cents = round(acctbal*100) is exact for the
+    2-decimal domain, and cents/100.0 re-rounds to the identical IEEE
+    double, so every reconstructed column equals the source bit-for-bit
+    (names carry no trailing spaces, so rtrim inverts the pad).
+    """
+    path = os.path.join(tracked_mkdtemp(prefix="fw_rt_"), "customer_fw")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+        F.rpad(F.col("c_name"), 25, " "),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0"),
+        F.lpad(
+            (F.round(F.col("c_acctbal") * 100).cast("bigint")
+             + F.lit(10_000_000)).cast("string"),
+            8,
+            "0",
+        ),
+    )
+    t["customer"].select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("c_custkey"),
+        F.rtrim(F.substring("value", 13, 25)).alias("c_name"),
+        F.substring("value", 38, 4).cast("int").alias("c_nationkey"),
+        (
+            (F.substring("value", 42, 8).cast("bigint") - F.lit(10_000_000))
+            / 100.0
+        ).alias("c_acctbal"),
+    )

@@ -205,6 +205,10 @@ DRIVER_ORDER: list[str] = [
     "ts_sax_symbolic",
     "graph_modularity_communities",
     "corpus_temperature_mix",
+    "scan_fixed_width_roundtrip",
+    "multimodal_audio_rms_vad",
+    "dq_wasserstein_drift",
+    "agg_delta_method_ratio",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

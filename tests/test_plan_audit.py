@@ -364,6 +364,8 @@ BNLJ_OK = {
     "graph_modularity_communities": (2, "1-row 2m crossJoin"),
     # 1-row weight-total crossJoin (×2 explain sections)
     "corpus_temperature_mix": (2, "1-row weight-total crossJoin"),
+    # 1-row group-B stats crossJoin onto the 1-row group-A frame
+    "agg_delta_method_ratio": (2, "1-row B-stats crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

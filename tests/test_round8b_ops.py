@@ -380,3 +380,117 @@ def test_temperature_mix_hand_recompute(spark):
             assert r["share"] >= raw_share - 1e-9
         elif raw_share > 1 / len(per):
             assert r["share"] <= raw_share + 1e-9
+
+
+def test_fixed_width_roundtrip_is_lossless(spark):
+    got = sorted(
+        Q["scan_fixed_width_roundtrip"].run(spark, SF_SMALL).collect(),
+        key=lambda r: r["c_custkey"],
+    )
+    src = sorted(
+        load(spark, SF_SMALL)["customer"]
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .collect(),
+        key=lambda r: r["c_custkey"],
+    )
+    assert len(got) == len(src)
+    for g, s in zip(got, src):
+        assert tuple(g) == tuple(s)  # bit-exact incl. the double
+
+
+def test_audio_vad_hand_recompute(spark):
+    rows = {
+        r["file_name"]: r
+        for r in Q["multimodal_audio_rms_vad"].run(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 16
+    for i in range(16):
+        n = 240 + 97 * i
+        v = [(7919 * i + 2027 * tt) % 65536 - 32768 for tt in range(n)]
+        flags, total = [], 0
+        for k in range(0, n, 256):
+            fr = v[k:k + 256]
+            ssq = sum(x * x for x in fr)
+            total += ssq
+            flags.append(12 * ssq >= len(fr) * 4294967296)
+        longest = cur = 0
+        for fl in flags:
+            cur = cur + 1 if fl else 0
+            longest = max(longest, cur)
+        r = rows[f"clip_{i:04d}.wav"]
+        assert r["n_frames"] == len(flags)
+        assert r["n_voiced"] == sum(flags)
+        assert r["longest_run"] == longest
+        assert r["total_energy"] == total
+
+
+def test_wasserstein_drift_hand_recompute(spark):
+    rows = {
+        r["event_type"]: r
+        for r in Q["dq_wasserstein_drift"].run(spark, SF_SMALL).collect()
+    }
+    import datetime
+
+    ev = load(spark, SF_SMALL)["events"].select(
+        "event_type", "ts", "value"
+    ).collect()
+    cut = datetime.datetime(2024, 1, 15)
+    for et in rows:
+        a = [
+            min(49, math.floor(e["value"] / 10.0))
+            for e in ev
+            if e["event_type"] == et and e["ts"] < cut
+        ]
+        b = [
+            min(49, math.floor(e["value"] / 10.0))
+            for e in ev
+            if e["event_type"] == et and e["ts"] >= cut
+        ]
+        na, nb = len(a), len(b)
+        w1 = 0
+        bins = sorted(set(a) | set(b))
+        for i, bn in enumerate(bins[:-1]):
+            ca = sum(1 for x in a if x <= bn)
+            cb = sum(1 for x in b if x <= bn)
+            w1 += abs(ca * nb - cb * na) * (bins[i + 1] - bn)
+        r = rows[et]
+        assert (r["n_a"], r["n_b"], r["w1_scaled"]) == (na, nb, w1)
+        assert abs(r["w1"] - w1 * 10.0 / (na * nb)) < 5e-5
+
+
+def test_delta_method_ratio_hand_recompute(spark):
+    import hashlib
+
+    row = Q["agg_delta_method_ratio"].run(spark, SF_SMALL).collect()[0]
+    ev = load(spark, SF_SMALL)["events"].select(
+        "user_id", "value"
+    ).collect()
+    per: dict[int, list[int]] = {}
+    for e in ev:
+        per.setdefault(e["user_id"], [0, 0])
+        per[e["user_id"]][0] += math.floor(e["value"] * 100)
+        per[e["user_id"]][1] += 1
+    groups: dict[int, list[tuple[int, int]]] = {0: [], 1: []}
+    for u, (x, y) in per.items():
+        h = int(hashlib.md5(f"abratio:{u}".encode()).hexdigest()[:15], 16)
+        groups[h % 2].append((x, y))
+
+    def stats(g):
+        n = len(g)
+        sx = sum(x for x, _ in g)
+        sy = sum(y for _, y in g)
+        r = sx / sy
+        sxx = sum(x * x for x, _ in g) - sx * sx / n
+        sxy = sum(x * y for x, y in g) - sx * sy / n
+        syy = sum(y * y for _, y in g) - sy * sy / n
+        var = (sxx - 2 * r * sxy + r * r * syy) / (
+            (n - 1) * (sy / n) ** 2 * n
+        )
+        return n, r, var
+
+    na, ra, va = stats(groups[0])
+    nb, rb, vb = stats(groups[1])
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["ratio_a"] - ra) < 1e-5
+    assert abs(row["ratio_b"] - rb) < 1e-5
+    assert abs(row["z_score"] - (rb - ra) / math.sqrt(va + vb)) < 1e-3
