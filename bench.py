@@ -347,6 +347,27 @@ EXTRA_SHAPES = [
     "attribution_markov_removal",
     "dq_record_linkage_fs",
     "ml_permutation_importance",
+    # round-8 second wave
+    "attribution_shapley",
+    "ml_ols_multifeature",
+    "ml_isotonic_calibration",
+    "ml_logistic_regression_gd",
+    "sample_weighted_priority",
+    "vec_random_projection_distortion",
+    "ts_lead_lag_xcorr",
+    "win_hysteresis_alerts",
+    "text_bm25_search",
+    "ts_sax_symbolic",
+    "graph_modularity_communities",
+    "corpus_temperature_mix",
+    "scan_fixed_width_roundtrip",
+    "multimodal_audio_rms_vad",
+    "dq_wasserstein_drift",
+    "agg_delta_method_ratio",
+    "ts_croston_intermittent",
+    "ts_mann_kendall_trend",
+    "agg_empirical_bayes_shrinkage",
+    "corpus_boilerplate_phrases",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -347,7 +347,7 @@ def agg_percentile(spark, t):
     SELECT r.r_name, n.n_name,
            CAST(GROUPING(r.r_name) AS INTEGER) AS gr_region,
            CAST(GROUPING(n.n_name) AS INTEGER) AS gr_nation,
-           COUNT(*) AS n_customers,
+           COUNT(*) AS n_ordersomers,
            round(SUM(c.c_acctbal), 4) AS sum_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -366,7 +366,7 @@ def agg_rollup(spark, t):
     return joined.rollup("r_name", "n_name").agg(
         F.grouping("r_name").cast("int").alias("gr_region"),
         F.grouping("n_name").cast("int").alias("gr_nation"),
-        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.lit(1)).alias("n_ordersomers"),
         r4(F.sum("c_acctbal")).alias("sum_bal"),
     )
 
@@ -3183,7 +3183,7 @@ def agg_repeat_purchase(spark, t):
              WHEN r_raw <= 2 AND f_score <= 2 THEN 'at_risk'
              ELSE 'regular'
            END AS segment,
-           COUNT(*) AS n_customers,
+           COUNT(*) AS n_ordersomers,
            round(SUM(monetary), 4) AS segment_revenue,
            round(AVG(recency_days), 4) AS avg_recency_days
     FROM scored GROUP BY 1
@@ -3257,7 +3257,7 @@ def rfm_score_segments(spark, t):
         scored.select(segment.alias("segment"), "monetary", "recency_days")
         .groupBy("segment")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
+            F.count(F.lit(1)).alias("n_ordersomers"),
             r4(F.sum("monetary")).alias("segment_revenue"),
             F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
         )
@@ -3513,7 +3513,7 @@ def ts_purchase_cycle(spark, t):
       GROUP BY c.c_mktsegment, o.o_custkey
     )
     SELECT c_mktsegment,
-           COUNT(*) AS n_customers,
+           COUNT(*) AS n_ordersomers,
            round(10000 * SUM(rev * rev) / (SUM(rev) * SUM(rev)), 4) AS hhi
     FROM custrev
     GROUP BY c_mktsegment
@@ -3546,7 +3546,7 @@ def agg_hhi_concentration(spark, t):
     return (
         custrev.groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
+            F.count(F.lit(1)).alias("n_ordersomers"),
             F.round(
                 F.lit(10000)
                 * F.sum(F.col("rev") * F.col("rev"))
@@ -3667,7 +3667,7 @@ def agg_pvm_decomposition(spark, t):
                   ELSE 'high' END AS tier_to
       FROM spend
     )
-    SELECT tier_from, tier_to, COUNT(*) AS n_customers,
+    SELECT tier_from, tier_to, COUNT(*) AS n_ordersomers,
            round(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY tier_from), 4)
              AS row_share
     FROM tiered
@@ -3719,15 +3719,15 @@ def agg_customer_migration_matrix(spark, t):
     cells = (
         spend.select(tier("h1").alias("tier_from"), tier("h2").alias("tier_to"))
         .groupBy("tier_from", "tier_to")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .agg(F.count(F.lit(1)).alias("n_ordersomers"))
     )
     w = Window.partitionBy("tier_from")
     return cells.select(
         "tier_from",
         "tier_to",
-        "n_customers",
+        "n_ordersomers",
         F.round(
-            F.col("n_customers") * F.lit(1.0) / F.sum("n_customers").over(w), 4
+            F.col("n_ordersomers") * F.lit(1.0) / F.sum("n_ordersomers").over(w), 4
         ).alias("row_share"),
     ).orderBy("tier_from", "tier_to")
 
@@ -3858,7 +3858,7 @@ def attribution_time_decay(spark, t):
       GROUP BY segment
     )
     SELECT s.segment,
-           CAST(s.ng AS BIGINT) AS n_customers,
+           CAST(s.ng AS BIGINT) AS n_ordersomers,
            round(s.mug, 4) AS mean_rev,
            round(s.theil_g, 6) AS theil_within,
            round((s.ng / t.n) * (s.mug / t.mu) * ln(s.mug / t.mu), 6)
@@ -3932,7 +3932,7 @@ def agg_theil_decomposition(spark, t):
         seg.crossJoin(F.broadcast(tot))
         .select(
             "segment",
-            F.col("ng").cast("bigint").alias("n_customers"),
+            F.col("ng").cast("bigint").alias("n_ordersomers"),
             F.round("mug", 4).alias("mean_rev"),
             F.round("theil_g", 6).alias("theil_within"),
             F.round(
@@ -5647,4 +5647,136 @@ def agg_delta_method_ratio(spark, t):
             / F.sqrt(F.col("a.var_r") + F.col("b.var_r")),
             4,
         ).alias("z_score"),
+    )
+
+
+#: rate quantization for the cross-segment moment fold (micro-units)
+_EB_Q = 1 << 20
+
+
+@register(
+    "agg_empirical_bayes_shrinkage",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (o.o_orderstatus = 'F') AS BIGINT) AS s
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    q AS (
+      SELECT c_nationkey, n, s,
+             CAST(floor(s * {_EB_Q} * 1.0 / n) AS BIGINT) AS pq
+      FROM seg
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(SUM(pq) AS DOUBLE) AS sp,
+             CAST(SUM(pq * pq) AS DOUBLE) AS spp
+      FROM q
+    ),
+    ab AS (
+      SELECT (sp / k) / {_EB_Q} AS m,
+             ((spp / k) - (sp / k) * (sp / k))
+               / ({_EB_Q}.0 * {_EB_Q}.0) AS v
+      FROM mom
+    ),
+    prior AS (
+      SELECT m * (m * (1 - m) / v - 1) AS alpha,
+             (1 - m) * (m * (1 - m) / v - 1) AS beta
+      FROM ab
+    )
+    SELECT q.c_nationkey, nat.n_name, q.n AS n_orders,
+           q.s AS n_f_orders,
+           round(q.s * 1.0 / q.n, 6) AS raw_rate,
+           round((q.s + p.alpha) / (q.n + p.alpha + p.beta), 6)
+             AS shrunk_rate,
+           round(p.alpha, 4) AS alpha,
+           round(p.beta, 4) AS beta
+    FROM q CROSS JOIN prior p
+    JOIN nation nat ON nat.n_nationkey = q.c_nationkey
+    ORDER BY q.c_nationkey
+    """,
+    tier="P2",
+)
+def agg_empirical_bayes_shrinkage(spark, t):
+    """EMPIRICAL-BAYES (beta-binomial) SHRINKAGE of per-nation
+    'F'-status order rates — the small-sample fix every segment report
+    needs: a nation where 6 of 8 orders closed should NOT rank above
+    one with 700 of 1000; method-of-moments fits a Beta(alpha, beta)
+    prior from the cross-segment rate spread, and each segment's rate
+    shrinks toward the prior mean in proportion to its sample size:
+    (s + alpha)/(n + alpha + beta). The Bayesian sibling of
+    ``agg_conversion_wilson`` (frequentist interval, no pooling).
+    Degenerate spread (v = 0, all segments identical) would divide by
+    zero by construction — the op is defined on segments with real
+    binomial spread, which order-status rates always have.
+
+    Determinism: segment counts are exact integers; per-segment rates
+    quantize to FLOOR(s*2^20/n) BEFORE the cross-segment moment fold,
+    so the 25-row mean/variance inputs are exact integer sums
+    (association-order-free — the house micro-unit idiom); the
+    alpha/beta/shrink arithmetic is one fixed double tree. Scale
+    shape: one broadcast-dim fact join + a map-side-combined segment
+    fold; everything after operates on the |segments|-row frame with a
+    1-row broadcast prior.
+    """
+    seg = (
+        t["orders"]
+        .join(
+            t["customer"].select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    q = seg.withColumn(
+        "pq",
+        F.floor(F.col("s") * F.lit(_EB_Q) * 1.0 / F.col("n")).cast(
+            "bigint"
+        ),
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("pq").cast("double").alias("sp"),
+        F.sum(F.col("pq") * F.col("pq")).cast("double").alias("spp"),
+    )
+    m = (F.col("sp") / F.col("k")) / _EB_Q
+    v = (
+        (F.col("spp") / F.col("k"))
+        - (F.col("sp") / F.col("k")) * (F.col("sp") / F.col("k"))
+    ) / (float(_EB_Q) * float(_EB_Q))
+    c = m * (1 - m) / v - 1
+    prior = mom.select(
+        (m * c).alias("alpha"), ((1 - m) * c).alias("beta")
+    )
+    return (
+        q.crossJoin(F.broadcast(prior))
+        .join(
+            t["nation"].select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name"
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "c_nationkey",
+            "n_name",
+            F.col("n").alias("n_orders"),
+            F.col("s").alias("n_f_orders"),
+            r6(F.col("s") * 1.0 / F.col("n")).alias("raw_rate"),
+            r6(
+                (F.col("s") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta"))
+            ).alias("shrunk_rate"),
+            F.round("alpha", 4).alias("alpha"),
+            F.round("beta", 4).alias("beta"),
+        )
+        .orderBy("c_nationkey")
     )

@@ -1752,3 +1752,254 @@ def ts_sax_symbolic(spark, t):
         )
         .orderBy("sax_word")
     )
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT l_partkey AS pk,
+             datediff('day', DATE '1995-01-02',
+                      CAST(date_trunc('week', l_shipdate) AS DATE)) // 7
+               AS wk,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT pk, wk, x,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY wk) AS tt,
+             wk - lag(wk) OVER (PARTITION BY pk ORDER BY wk) AS g
+      FROM d
+    ),
+    cr(pk, tt, z, p) AS (
+      SELECT pk, 1, x::DOUBLE, CAST(1.0 AS DOUBLE) FROM s WHERE tt = 1
+      UNION ALL
+      SELECT s.pk, s.tt, 0.5 * s.x + 0.5 * cr.z, 0.5 * s.g + 0.5 * cr.p
+      FROM cr JOIN s ON s.pk = cr.pk AND s.tt = cr.tt + 1
+    )
+    SELECT cr.pk AS p_partkey, CAST(cr.tt AS BIGINT) AS n_weeks,
+           round(cr.z, 6) AS size_smooth,
+           round(cr.p, 6) AS interval_smooth,
+           round(cr.z / cr.p, 6) AS croston_rate
+    FROM cr JOIN (SELECT pk, MAX(tt) AS m FROM s GROUP BY pk) fin
+      ON fin.pk = cr.pk AND fin.m = cr.tt
+    ORDER BY p_partkey
+    """,
+    tier="P2",
+)
+def ts_croston_intermittent(spark, t):
+    """CROSTON'S METHOD for intermittent demand — the supply-chain
+    forecaster for zero-heavy series where SES/Holt break (Croston
+    1972): per sampled part (1/97 hash slice), weekly order quantities
+    are sparse events, and the method smooths demand SIZE and
+    inter-demand INTERVAL as two coupled SES recursions (alpha = 1/2),
+    forecasting rate = size/interval units per week. Fills the
+    intermittent-demand gap beside ``ts_holt_linear_forecast`` (dense
+    trend) and ``ts_seasonality_index`` (dense seasonality).
+
+    Determinism: weekly demand folds to exact BIGINT units
+    (floor(quantity) per row); the recursion is the identical IEEE
+    double sequence on both engines (dyadic alpha — same discipline as
+    Holt, whose docstring derives why no tolerance is needed);
+    Monday-anchored week numbers are exact integer arithmetic.
+    Initialization convention (documented semantics): z1 = first
+    demand, p1 = 1; single-demand parts report rate = that demand.
+
+    Scale shape: the fact table folds map-side to (part, week) rows;
+    the inherently sequential recursion runs in ``applyInPandas`` over
+    per-part frames of <= |weeks| rows — the canonical reduce-then-
+    iterate split, identical posture to Holt.
+    """
+    import pandas as pd
+
+    wk = (
+        F.datediff(
+            F.date_trunc("week", "l_shipdate").cast("date"),
+            F.lit("1995-01-02").cast("date"),
+        )
+        / 7
+    ).cast("int")
+    d = (
+        t["lineitem"]
+        .filter(F.col("l_partkey") % 97 == 0)
+        .groupBy(F.col("l_partkey").alias("pk"), wk.alias("wk"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("wk")
+        xs = pdf["x"].to_numpy()
+        wks = pdf["wk"].to_numpy()
+        z, p = float(xs[0]), 1.0
+        for k in range(1, len(xs)):
+            g = float(wks[k] - wks[k - 1])
+            z = 0.5 * float(xs[k]) + 0.5 * z
+            p = 0.5 * g + 0.5 * p
+        return pd.DataFrame(
+            {
+                "p_partkey": [int(pdf["pk"].iloc[0])],
+                "n_weeks": [len(xs)],
+                "z": [z],
+                "p": [p],
+            }
+        )
+
+    state = d.groupBy("pk").applyInPandas(
+        croston, schema="p_partkey long, n_weeks long, z double, p double"
+    )
+    return state.select(
+        "p_partkey",
+        "n_weeks",
+        F.round("z", 6).alias("size_smooth"),
+        F.round("p", 6).alias("interval_smooth"),
+        F.round(F.col("z") / F.col("p"), 6).alias("croston_rate"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "ts_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+               AS i
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+             (b.cents - a.cents) * 1.0 / (b.i - a.i) AS slope
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.i > a.i
+    ),
+    sstat AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY event_type
+    ),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM idx GROUP BY event_type),
+    sen AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    )
+    SELECT s.event_type,
+           CAST(nn.n AS BIGINT) AS n_days,
+           s.s AS s_stat,
+           round((CASE WHEN s.s > 0 THEN s.s - 1
+                       WHEN s.s < 0 THEN s.s + 1
+                       ELSE 0 END)
+                 / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0), 4)
+             AS z_mk,
+           round(sen.slope / 100.0, 6) AS sen_slope
+    FROM sstat s
+    JOIN nn ON nn.event_type = s.event_type
+    JOIN sen ON sen.event_type = s.event_type
+            AND sen.rk = (sen.m + 1) // 2
+    ORDER BY s.event_type
+    """,
+    tier="P2",
+)
+def ts_mann_kendall_trend(spark, t):
+    """MANN-KENDALL trend test + SEN'S SLOPE per event-type daily
+    revenue series — the nonparametric monotone-trend detector
+    monitoring stacks run where a linear fit would be distorted by
+    outliers: S = sum of pairwise sign comparisons (exact integers),
+    the normal approximation z = (S -+ 1)/sqrt(n(n-1)(2n+5)/18) with
+    continuity correction, and the Theil-Sen slope estimate as the
+    LOWER MEDIAN of all pairwise slopes (documented convention — an
+    exact element selection, never an average of two floats).
+    Complements ``ts_rolling_regression_slope`` (parametric, windowed)
+    and ``ts_cusum_changepoint`` (level shifts).
+
+    Exactness: daily cents are exact integer folds; every pairwise
+    sign is integer; slopes are exact-int-over-exact-int divisions both
+    engines compute identically, so the rank-based median selection is
+    deterministic (ties broken by the total slope order itself);
+    variance uses the no-ties formula as defined semantics (cents
+    ties are possible in principle — the statistic is DEFINED on the
+    no-ties form; both engines agree by construction). Scale shape:
+    the fact stream folds map-side to |types| x |days| rows; the
+    O(days^2) pair frame is calendar-bounded (~435 pairs/type here,
+    ~66k for a year) — constant w.r.t. fact-table size.
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    widx = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", "cents", F.row_number().over(widx).alias("i")
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * 1.0
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+    )
+    sstat = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s")
+    )
+    nn = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wsl = Window.partitionBy("event_type").orderBy("slope")
+    wall = Window.partitionBy("event_type")
+    sen = (
+        pairs.select(
+            "event_type",
+            "slope",
+            F.row_number().over(wsl).alias("rk"),
+            F.count(F.lit(1)).over(wall).alias("m"),
+        )
+        .filter(F.col("rk") == F.floor((F.col("m") + 1) / 2))
+        .select("event_type", "slope")
+    )
+    s, n = F.col("s"), F.col("n")
+    zc = (
+        F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    )
+    return (
+        sstat.join(nn, "event_type")
+        .join(sen, "event_type")
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.round(
+                zc / F.sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 4
+            ).alias("z_mk"),
+            F.round(F.col("slope") / 100.0, 6).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -209,6 +209,10 @@ DRIVER_ORDER: list[str] = [
     "multimodal_audio_rms_vad",
     "dq_wasserstein_drift",
     "agg_delta_method_ratio",
+    "ts_croston_intermittent",
+    "ts_mann_kendall_trend",
+    "agg_empirical_bayes_shrinkage",
+    "corpus_boilerplate_phrases",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

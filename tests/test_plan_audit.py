@@ -48,6 +48,8 @@ SINGLE_PARTITION_OK = {
     "graph_modularity_communities": (1, "scalar 2m fold"),
     # weight-total scalar fold over the |sources|-row frame
     "corpus_temperature_mix": (1, "scalar weight-total fold"),
+    # cross-segment moment fold over the |nations|-row rate frame
+    "agg_empirical_bayes_shrinkage": (1, "scalar prior-moment fold"),
     "funnel_conversion": (3, "three scalar step-count aggs"),
     "dq_constraint_report": (6, "six scalar audit counts"),
     "dq_profile": (2, "per-column scalar profile aggs"),
@@ -366,6 +368,8 @@ BNLJ_OK = {
     "corpus_temperature_mix": (2, "1-row weight-total crossJoin"),
     # 1-row group-B stats crossJoin onto the 1-row group-A frame
     "agg_delta_method_ratio": (2, "1-row B-stats crossJoin"),
+    # 1-row alpha/beta prior crossJoin (×2 explain sections)
+    "agg_empirical_bayes_shrinkage": (2, "1-row prior crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

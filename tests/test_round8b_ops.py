@@ -494,3 +494,111 @@ def test_delta_method_ratio_hand_recompute(spark):
     assert abs(row["ratio_a"] - ra) < 1e-5
     assert abs(row["ratio_b"] - rb) < 1e-5
     assert abs(row["z_score"] - (rb - ra) / math.sqrt(va + vb)) < 1e-3
+
+
+def test_croston_hand_recompute(spark):
+    rows = {
+        r["p_partkey"]: r
+        for r in Q["ts_croston_intermittent"].run(spark, SF_SMALL).collect()
+    }
+    li = (
+        load(spark, SF_SMALL)["lineitem"]
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select(
+            "l_partkey",
+            F.datediff(
+                F.date_trunc("week", "l_shipdate").cast("date"),
+                F.lit("1995-01-02").cast("date"),
+            ).alias("dd"),
+            F.floor("l_quantity").alias("q"),
+        )
+        .collect()
+    )
+    per: dict[int, dict[int, int]] = {}
+    for r in li:
+        wk = r["dd"] // 7
+        per.setdefault(r["l_partkey"], {})
+        per[r["l_partkey"]][wk] = per[r["l_partkey"]].get(wk, 0) + int(r["q"])
+    assert set(rows) == set(per)
+    for pk, weeks in per.items():
+        ordered = sorted(weeks)
+        z, p = float(weeks[ordered[0]]), 1.0
+        for k in range(1, len(ordered)):
+            z = 0.5 * weeks[ordered[k]] + 0.5 * z
+            p = 0.5 * (ordered[k] - ordered[k - 1]) + 0.5 * p
+        r = rows[pk]
+        assert r["n_weeks"] == len(ordered)
+        assert abs(r["size_smooth"] - z) < 1e-4
+        assert abs(r["interval_smooth"] - p) < 1e-4
+        assert abs(r["croston_rate"] - z / p) < 1e-4
+
+
+def test_mann_kendall_hand_recompute(spark):
+    rows = {
+        r["event_type"]: r
+        for r in Q["ts_mann_kendall_trend"].run(spark, SF_SMALL).collect()
+    }
+    ev = load(spark, SF_SMALL)["events"].select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    ).collect()
+    per: dict[str, dict] = {}
+    for e in ev:
+        per.setdefault(e["event_type"], {})
+        per[e["event_type"]][e["d"]] = per[e["event_type"]].get(
+            e["d"], 0
+        ) + math.floor(e["value"] * 100)
+    for et, days in per.items():
+        xs = [days[d] for d in sorted(days)]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        slopes = sorted(
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        sen = slopes[(len(slopes) + 1) // 2 - 1]
+        zc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+        z = zc / math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+        r = rows[et]
+        assert (r["n_days"], r["s_stat"]) == (n, s)
+        assert abs(r["z_mk"] - z) < 1e-3
+        assert abs(r["sen_slope"] - sen / 100.0) < 1e-5
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark):
+    rows = Q["agg_empirical_bayes_shrinkage"].run(spark, SF_SMALL).collect()
+    assert len(rows) > 1
+    alpha, beta = rows[0]["alpha"], rows[0]["beta"]
+    assert alpha > 0 and beta > 0
+    prior_mean = alpha / (alpha + beta)
+    for r in rows:
+        # shrinkage moves every raw rate toward the prior mean, more
+        # strongly for small segments
+        lo, hi = sorted((r["raw_rate"], prior_mean))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+        want = (r["n_f_orders"] + alpha) / (r["n_orders"] + alpha + beta)
+        assert abs(r["shrunk_rate"] - want) < 1e-3
+
+
+def test_boilerplate_phrases_hand_recompute(spark):
+    rows = Q["corpus_boilerplate_phrases"].run(spark, SF_SMALL).collect()
+    docs = load(spark, SF_SMALL)["documents"].select("doc_id", "text").collect()
+    reach: dict[str, set] = {}
+    occ: dict[str, int] = {}
+    for d in docs:
+        tk = d["text"].split(" ")
+        for i in range(len(tk) - 7):
+            g = " ".join(tk[i:i + 8])
+            reach.setdefault(g, set()).add(d["doc_id"])
+            occ[g] = occ.get(g, 0) + 1
+    want = sorted(
+        ((g, len(s)) for g, s in reach.items() if len(s) >= 3),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    assert [(r["gram"], r["n_docs"]) for r in rows] == want
+    for r in rows:
+        assert r["n_occurrences"] == occ[r["gram"]]
