@@ -368,6 +368,10 @@ EXTRA_SHAPES = [
     "ts_mann_kendall_trend",
     "agg_empirical_bayes_shrinkage",
     "corpus_boilerplate_phrases",
+    "sample_stratified_proportional",
+    "graph_degree_assortativity",
+    "ts_interrupted_series",
+    "agg_price_index_laspeyres",
 ]
 # udtf_table_sessionize is deliberately NOT tracked here, matching
 # udf_python_scalar: both are required row-at-a-time Python surface

@@ -5780,3 +5780,112 @@ def agg_empirical_bayes_shrinkage(spark, t):
         )
         .orderBy("c_nationkey")
     )
+
+
+#: unit-price quantization for the index basket folds (1/1024 cent)
+_IDX_Q = 1 << 10
+
+
+@register(
+    "agg_price_index_laspeyres",
+    oracle=f"""
+    WITH py AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate)::INTEGER AS yr,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1995, 2000)
+      GROUP BY 1, 2
+    ),
+    pq AS (
+      SELECT l_partkey, yr, qty,
+             CAST(floor(cents * {_IDX_Q} * 1.0 / qty) AS BIGINT) AS p
+      FROM py WHERE qty > 0
+    ),
+    bp AS (
+      SELECT b.l_partkey,
+             b.p AS p0, b.qty AS q0, c.p AS p1, c.qty AS q1
+      FROM pq b JOIN pq c
+        ON c.l_partkey = b.l_partkey AND b.yr = 1995 AND c.yr = 2000
+    ),
+    folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(p1 * q0) AS DOUBLE) AS l_num,
+             CAST(SUM(p0 * q0) AS DOUBLE) AS l_den,
+             CAST(SUM(p1 * q1) AS DOUBLE) AS p_num,
+             CAST(SUM(p0 * q1) AS DOUBLE) AS p_den
+      FROM bp
+    )
+    SELECT n_parts,
+           round(l_num / l_den, 6) AS laspeyres,
+           round(p_num / p_den, 6) AS paasche,
+           round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+    FROM folds
+    """,
+    tier="P2",
+)
+def agg_price_index_laspeyres(spark, t):
+    """LASPEYRES / PAASCHE / FISHER price indices, 1995 base year vs
+    2000 — the econometric price-level summary (the CPI construction):
+    Laspeyres weights price relatives by BASE-year quantities
+    (overstates inflation under substitution), Paasche by CURRENT-year
+    quantities (understates), Fisher is their geometric mean (the
+    "ideal" index). Computed over every part traded in both years from
+    unit values (revenue/quantity per part-year). Complements
+    ``agg_price_elasticity`` (quantity response) and
+    ``agg_pvm_decomposition`` (price-volume-mix bridge) on the pricing
+    shelf.
+
+    Exactness: part-year revenue and quantity fold to exact integers;
+    unit prices quantize to FLOOR(cents * 2^10 / qty) so all four
+    basket sums are exact BIGINT dot products (cast to double only for
+    the two final divisions; sqrt is IEEE-exact). Scale shape: one
+    map-side-combined (part, year) fold, a self-join on part (both
+    sides already aggregated — |parts| rows), one scalar basket fold.
+    """
+    yr = F.year("l_shipdate")
+    py = (
+        t["lineitem"]
+        .filter(yr.isin(1995, 2000))
+        .groupBy(F.col("l_partkey"), yr.alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    pq = py.filter(F.col("qty") > 0).select(
+        "l_partkey",
+        "yr",
+        "qty",
+        F.floor(F.col("cents") * F.lit(_IDX_Q) * 1.0 / F.col("qty"))
+        .cast("bigint")
+        .alias("p"),
+    )
+    b = pq.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("qty").alias("q0")
+    )
+    c = pq.filter(F.col("yr") == 2000).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("qty").alias("q1")
+    )
+    folds = b.join(c, "l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).cast("double").alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).cast("double").alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).cast("double").alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).cast("double").alias("p_den"),
+    )
+    las = F.col("l_num") / F.col("l_den")
+    paa = F.col("p_num") / F.col("p_den")
+    return folds.select(
+        "n_parts",
+        r6(las).alias("laspeyres"),
+        r6(paa).alias("paasche"),
+        r6(F.sqrt(las * paa)).alias("fisher"),
+    )

@@ -2087,3 +2087,107 @@ def graph_modularity_communities(spark, t):
         )
         .orderBy("community")
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 8
+    ),
+    e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM base l1 JOIN base l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e0 GROUP BY a),
+    ej AS (
+      SELECT da.deg AS ja, db.deg AS jb
+      FROM e0 e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(ja) AS DOUBLE) AS sa,
+             CAST(SUM(jb) AS DOUBLE) AS sb,
+             CAST(SUM(ja * jb) AS DOUBLE) AS sab,
+             CAST(SUM(ja * ja) AS DOUBLE) AS saa,
+             CAST(SUM(jb * jb) AS DOUBLE) AS sbb
+      FROM ej
+    )
+    SELECT CAST(m AS BIGINT) AS m2_edges,
+           round(sa / m, 4) AS mean_deg_src,
+           round((sab / m - (sa / m) * (sb / m))
+                 / sqrt((saa / m - (sa / m) * (sa / m))
+                        * (sbb / m - (sb / m) * (sb / m))), 6)
+             AS assortativity
+    FROM mom
+    """,
+    tier="P3",
+)
+def graph_degree_assortativity(spark, t):
+    """DEGREE ASSORTATIVITY of the co-purchase graph — Newman's
+    "do hubs link to hubs?" coefficient: the Pearson correlation of
+    endpoint degrees over the (both-directions) edge list. Positive r
+    = assortative (social-network-like), negative = disassortative
+    (hub-and-spoke, typical for purchase graphs) — the one-number
+    structure summary that decides whether degree-targeted sampling or
+    hub-salting is needed before heavier graph ops. Completes the
+    structural toolkit beside ``graph_degree_distribution`` (marginal)
+    and ``graph_modularity_communities`` (partition quality).
+
+    Exactness: degrees and all five co-moments are exact BIGINT sums
+    (one edge-list pass after two broadcast degree attaches); r is one
+    fixed double tree with an IEEE-exact sqrt. Scale shape: degree =
+    keyed count; the moment fold is map-side-combined; nothing grows
+    beyond the edge list. Same sparsified graph as the LPA family
+    (l_quantity <= 8), so the numbers describe the graph those
+    operators actually run on.
+    """
+    base = t["lineitem"].filter(F.col("l_quantity") <= 8).select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        base.alias("x")
+        .join(base.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ej = (
+        edges.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("ja")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("jb")),
+            "b",
+        )
+        .select("ja", "jb")
+    )
+    mom = ej.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("ja").cast("double").alias("sa"),
+        F.sum("jb").cast("double").alias("sb"),
+        F.sum(F.col("ja") * F.col("jb")).cast("double").alias("sab"),
+        F.sum(F.col("ja") * F.col("ja")).cast("double").alias("saa"),
+        F.sum(F.col("jb") * F.col("jb")).cast("double").alias("sbb"),
+    )
+    m, sa, sb = F.col("m"), F.col("sa"), F.col("sb")
+    num = F.col("sab") / m - (sa / m) * (sb / m)
+    den = F.sqrt(
+        (F.col("saa") / m - (sa / m) * (sa / m))
+        * (F.col("sbb") / m - (sb / m) * (sb / m))
+    )
+    return mom.select(
+        m.cast("bigint").alias("m2_edges"),
+        F.round(sa / m, 4).alias("mean_deg_src"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -266,3 +266,108 @@ def sample_weighted_priority(spark, t):
         .select("o_orderpriority", "rk", "o_orderkey", "weight")
         .orderBy("o_orderpriority", "rk")
     )
+
+
+@register(
+    "sample_stratified_proportional",
+    oracle=f"""
+    WITH pop AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_pop
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS n FROM pop),
+    alloc AS (
+      SELECT p.o_orderpriority, p.n_pop,
+             CAST(floor(1000.0 * p.n_pop / t.n) AS BIGINT) AS alloc
+      FROM pop p CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY {ph60_sql("CAST(o_orderkey AS VARCHAR)", "strat")},
+                        o_orderkey) AS rk
+      FROM orders
+    ),
+    samp AS (
+      SELECT r.o_orderpriority, r.o_orderkey
+      FROM ranked r JOIN alloc a
+        ON a.o_orderpriority = r.o_orderpriority AND r.rk <= a.alloc
+    )
+    SELECT a.o_orderpriority, a.n_pop, a.alloc,
+           CAST(COUNT(s.o_orderkey) AS BIGINT) AS n_sampled,
+           CAST(SUM(s.o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(MIN(s.o_orderkey) AS BIGINT) AS min_key
+    FROM alloc a LEFT JOIN samp s
+      ON s.o_orderpriority = a.o_orderpriority
+    GROUP BY a.o_orderpriority, a.n_pop, a.alloc
+    ORDER BY a.o_orderpriority
+    """,
+    tier="P2",
+)
+def sample_stratified_proportional(spark, t):
+    """PROPORTIONAL-ALLOCATION stratified sampling — the survey-
+    sampling workhorse between ``sample_hash_bernoulli`` (no allocation
+    control) and ``sample_topk_per_stratum`` (equal k per stratum): a
+    1000-row budget is split across priority strata in proportion to
+    their population (alloc_s = floor(1000 * n_s / N)), and each
+    stratum fills its allocation with its hash-smallest keys — so the
+    sample is reproducible, append-consistent (a new row only enters by
+    displacing the hash-largest member), and exactly proportionally
+    representative. The report is the per-stratum audit (population,
+    allocation, filled count, key checksum) rather than the sampled
+    rows, making the hash check a proof of the exact member set.
+
+    Scale shape: stratum counts are one map-side-combined fold; the
+    rank window partitions by the 5-value stratum (at 100 TB, the same
+    broadcast hash-threshold pre-filter as ``sample_topk_per_stratum``
+    bounds the rank input — allocations are known before the window
+    runs). All arithmetic is exact: floor(1000 * n_s / N) divides
+    exact ints identically on both engines.
+    """
+    pop = t["orders"].groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop")
+    )
+    tot = pop.agg(F.sum("n_pop").cast("bigint").alias("n"))
+    alloc = pop.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_pop",
+        F.floor(1000.0 * F.col("n_pop") / F.col("n"))
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        ph60("o_orderkey", "strat"), "o_orderkey"
+    )
+    ranked = t["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).alias("rk"),
+    )
+    samp = ranked.join(
+        F.broadcast(alloc.select("o_orderpriority", "alloc")),
+        "o_orderpriority",
+    ).filter(F.col("rk") <= F.col("alloc"))
+    return (
+        alloc.join(
+            samp.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+                F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+            ),
+            "o_orderpriority",
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            "n_pop",
+            "alloc",
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            "key_checksum",
+            "min_key",
+        )
+        .orderBy("o_orderpriority")
+    )

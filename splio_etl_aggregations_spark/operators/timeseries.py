@@ -2003,3 +2003,115 @@ def ts_mann_kendall_trend(spark, t):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_interrupted_series",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS tt,
+             CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END
+               AS post,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    seg AS (
+      SELECT post,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(tt) AS DOUBLE) AS st,
+             CAST(SUM(cents) AS DOUBLE) AS sy,
+             CAST(SUM(tt * tt) AS DOUBLE) AS stt,
+             CAST(SUM(tt * cents) AS DOUBLE) AS sty
+      FROM daily GROUP BY post
+    ),
+    fit AS (
+      SELECT post, n,
+             (n * sty - st * sy) / (n * stt - st * st) AS slope,
+             (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+               AS intercept
+      FROM seg
+    )
+    SELECT CAST(pre.n AS BIGINT) AS n_pre,
+           CAST(post.n AS BIGINT) AS n_post,
+           round(pre.slope / 100, 6) AS slope_pre,
+           round(post.slope / 100, 6) AS slope_post,
+           round((post.intercept + post.slope * 14
+                  - (pre.intercept + pre.slope * 14)) / 100, 6)
+             AS level_jump,
+           round((post.slope - pre.slope) / 100, 6) AS slope_change
+    FROM fit pre JOIN fit post ON pre.post = 0 AND post.post = 1
+    """,
+    tier="P2",
+)
+def ts_interrupted_series(spark, t):
+    """INTERRUPTED TIME-SERIES analysis of the 2024-01-15 cut — the
+    quasi-experimental workhorse for "did the launch change the
+    trajectory?": independent OLS segments on the daily revenue series
+    before and after the intervention, reporting the LEVEL JUMP at the
+    cut (counterfactual pre-trend extrapolated to day 14 vs the post
+    fit evaluated there) and the SLOPE CHANGE — the two coefficients a
+    segmented-regression ITS model estimates. Complements
+    ``agg_did_discount_effect`` (difference-in-differences across
+    groups) with the single-series pre/post design, and
+    ``ts_cusum_changepoint`` (detects WHEN) with the effect-size
+    estimate (HOW MUCH).
+
+    Exactness: daily cents and day indices are exact integers; each
+    segment's OLS is the closed-form slope/intercept from five exact
+    sums (the ``agg_regression`` sufficient-statistics discipline) in
+    one fixed double tree. Scale shape: one map-side-combined daily
+    fold, then a 2-row segment frame — the fit costs one pass
+    regardless of event volume.
+    """
+    daily = (
+        t["events"]
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("tt"),
+            F.when(
+                F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 0
+            ).otherwise(1).alias("post"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    seg = daily.groupBy("post").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("tt").cast("double").alias("st"),
+        F.sum("cents").cast("double").alias("sy"),
+        F.sum(F.col("tt") * F.col("tt")).cast("double").alias("stt"),
+        F.sum(F.col("tt") * F.col("cents")).cast("double").alias("sty"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    slope = (n * F.col("sty") - st * sy) / (n * F.col("stt") - st * st)
+    fit = seg.select(
+        "post",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * st) / n).alias("intercept"),
+    )
+    pre = fit.filter(F.col("post") == 0).alias("pre")
+    post = fit.filter(F.col("post") == 1).alias("post")
+    return pre.crossJoin(F.broadcast(post)).select(
+        F.col("pre.n").cast("bigint").alias("n_pre"),
+        F.col("post.n").cast("bigint").alias("n_post"),
+        F.round(F.col("pre.slope") / 100, 6).alias("slope_pre"),
+        F.round(F.col("post.slope") / 100, 6).alias("slope_post"),
+        F.round(
+            (
+                F.col("post.intercept") + F.col("post.slope") * 14
+                - (F.col("pre.intercept") + F.col("pre.slope") * 14)
+            )
+            / 100,
+            6,
+        ).alias("level_jump"),
+        F.round(
+            (F.col("post.slope") - F.col("pre.slope")) / 100, 6
+        ).alias("slope_change"),
+    )

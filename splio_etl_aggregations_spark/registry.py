@@ -213,6 +213,10 @@ DRIVER_ORDER: list[str] = [
     "ts_mann_kendall_trend",
     "agg_empirical_bayes_shrinkage",
     "corpus_boilerplate_phrases",
+    "sample_stratified_proportional",
+    "graph_degree_assortativity",
+    "ts_interrupted_series",
+    "agg_price_index_laspeyres",
     # -- driver-green tail (latest driver row green; r7 window first,
     # then r6, r5, then relative order preserved from r1-r4 windows) --
     "join_asof_nearest",

@@ -50,6 +50,14 @@ SINGLE_PARTITION_OK = {
     "corpus_temperature_mix": (1, "scalar weight-total fold"),
     # cross-segment moment fold over the |nations|-row rate frame
     "agg_empirical_bayes_shrinkage": (1, "scalar prior-moment fold"),
+    # population-total fold (|strata|-row input) + final audit fold
+    "sample_stratified_proportional": (2, "scalar stratum-total folds"),
+    # five-co-moment scalar fold over the edge list
+    "graph_degree_assortativity": (1, "scalar co-moment fold"),
+    # basket-sum scalar fold over the |parts|-row both-years frame
+    "agg_price_index_laspeyres": (1, "scalar basket fold"),
+    # 2-row segment-fit frame folds
+    "ts_interrupted_series": (2, "2-row segment-fit folds"),
     "funnel_conversion": (3, "three scalar step-count aggs"),
     "dq_constraint_report": (6, "six scalar audit counts"),
     "dq_profile": (2, "per-column scalar profile aggs"),
@@ -370,6 +378,10 @@ BNLJ_OK = {
     "agg_delta_method_ratio": (2, "1-row B-stats crossJoin"),
     # 1-row alpha/beta prior crossJoin (×2 explain sections)
     "agg_empirical_bayes_shrinkage": (2, "1-row prior crossJoin"),
+    # 1-row population-total crossJoin, re-expanded into the rank side
+    "sample_stratified_proportional": (4, "1-row total crossJoin ×2 re-expansions"),
+    # 1-row post-segment fit crossJoin (×2 explain sections)
+    "ts_interrupted_series": (2, "1-row post-fit crossJoin"),
 }
 
 CARTESIAN_OK: dict[str, tuple[int, str]] = {}

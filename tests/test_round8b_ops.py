@@ -602,3 +602,112 @@ def test_boilerplate_phrases_hand_recompute(spark):
     assert [(r["gram"], r["n_docs"]) for r in rows] == want
     for r in rows:
         assert r["n_occurrences"] == occ[r["gram"]]
+
+
+def test_stratified_proportional_hand_recompute(spark):
+    import hashlib
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in Q["sample_stratified_proportional"]
+        .run(spark, SF_SMALL)
+        .collect()
+    }
+    orders = (
+        load(spark, SF_SMALL)["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    )
+    per: dict[str, list[int]] = {}
+    for o in orders:
+        per.setdefault(o["o_orderpriority"], []).append(o["o_orderkey"])
+    n = len(orders)
+    for pri, keys in per.items():
+        alloc = math.floor(1000.0 * len(keys) / n)
+        picked = sorted(
+            keys,
+            key=lambda k: (
+                int(
+                    hashlib.md5(f"strat:{k}".encode()).hexdigest()[:15], 16
+                ),
+                k,
+            ),
+        )[:alloc]
+        r = rows[pri]
+        assert (r["n_pop"], r["alloc"]) == (len(keys), alloc)
+        assert r["n_sampled"] == len(picked)
+        assert r["key_checksum"] == sum(picked)
+        assert r["min_key"] == min(picked)
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    import numpy as np
+
+    row = Q["graph_degree_assortativity"].run(spark, SF_SMALL).collect()[0]
+    li = (
+        load(spark, SF_SMALL)["lineitem"]
+        .filter(F.col("l_quantity") <= 8)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    ja = np.array([deg[a] for a, b in edges], dtype=float)
+    jb = np.array([deg[b] for a, b in edges], dtype=float)
+    assert row["m2_edges"] == len(edges)
+    want = np.corrcoef(ja, jb)[0, 1]
+    assert abs(row["assortativity"] - want) < 1e-4
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_interrupted_series_matches_numpy_ols(spark):
+    import numpy as np
+
+    row = Q["ts_interrupted_series"].run(spark, SF_SMALL).collect()[0]
+    import datetime
+
+    ev = load(spark, SF_SMALL)["events"].select("ts", "value").collect()
+    daily: dict[datetime.date, int] = {}
+    for e in ev:
+        d = e["ts"].date()
+        daily[d] = daily.get(d, 0) + math.floor(e["value"] * 100)
+    cut = datetime.date(2024, 1, 15)
+    base = datetime.date(2024, 1, 1)
+
+    def fit(days):
+        tt = np.array([(d - base).days for d in days], dtype=float)
+        y = np.array([daily[d] for d in days], dtype=float)
+        A = np.vstack([np.ones_like(tt), tt]).T
+        (b0, b1), *_ = np.linalg.lstsq(A, y, rcond=None)
+        return b0, b1, len(days)
+
+    pre = sorted(d for d in daily if d < cut)
+    post = sorted(d for d in daily if d >= cut)
+    b0a, b1a, na = fit(pre)
+    b0b, b1b, nb = fit(post)
+    assert (row["n_pre"], row["n_post"]) == (na, nb)
+    assert abs(row["slope_pre"] - b1a / 100) < 1e-3
+    assert abs(row["slope_post"] - b1b / 100) < 1e-3
+    assert (
+        abs(row["level_jump"] - ((b0b + b1b * 14) - (b0a + b1a * 14)) / 100)
+        < 1e-2
+    )
+
+
+def test_price_index_sanity_and_fisher_mean(spark):
+    row = Q["agg_price_index_laspeyres"].run(spark, SF_SMALL).collect()[0]
+    assert row["n_parts"] > 0
+    assert 0.1 < row["laspeyres"] < 10
+    assert 0.1 < row["paasche"] < 10
+    want = math.sqrt(row["laspeyres"] * row["paasche"])
+    assert abs(row["fisher"] - want) < 1e-4
