@@ -347,7 +347,7 @@ def agg_percentile(spark, t):
     SELECT r.r_name, n.n_name,
            CAST(GROUPING(r.r_name) AS INTEGER) AS gr_region,
            CAST(GROUPING(n.n_name) AS INTEGER) AS gr_nation,
-           COUNT(*) AS n_ordersomers,
+           COUNT(*) AS n_customers,
            round(SUM(c.c_acctbal), 4) AS sum_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -366,7 +366,7 @@ def agg_rollup(spark, t):
     return joined.rollup("r_name", "n_name").agg(
         F.grouping("r_name").cast("int").alias("gr_region"),
         F.grouping("n_name").cast("int").alias("gr_nation"),
-        F.count(F.lit(1)).alias("n_ordersomers"),
+        F.count(F.lit(1)).alias("n_customers"),
         r4(F.sum("c_acctbal")).alias("sum_bal"),
     )
 
@@ -3183,7 +3183,7 @@ def agg_repeat_purchase(spark, t):
              WHEN r_raw <= 2 AND f_score <= 2 THEN 'at_risk'
              ELSE 'regular'
            END AS segment,
-           COUNT(*) AS n_ordersomers,
+           COUNT(*) AS n_customers,
            round(SUM(monetary), 4) AS segment_revenue,
            round(AVG(recency_days), 4) AS avg_recency_days
     FROM scored GROUP BY 1
@@ -3257,7 +3257,7 @@ def rfm_score_segments(spark, t):
         scored.select(segment.alias("segment"), "monetary", "recency_days")
         .groupBy("segment")
         .agg(
-            F.count(F.lit(1)).alias("n_ordersomers"),
+            F.count(F.lit(1)).alias("n_customers"),
             r4(F.sum("monetary")).alias("segment_revenue"),
             F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
         )
@@ -3513,7 +3513,7 @@ def ts_purchase_cycle(spark, t):
       GROUP BY c.c_mktsegment, o.o_custkey
     )
     SELECT c_mktsegment,
-           COUNT(*) AS n_ordersomers,
+           COUNT(*) AS n_customers,
            round(10000 * SUM(rev * rev) / (SUM(rev) * SUM(rev)), 4) AS hhi
     FROM custrev
     GROUP BY c_mktsegment
@@ -3546,7 +3546,7 @@ def agg_hhi_concentration(spark, t):
     return (
         custrev.groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_ordersomers"),
+            F.count(F.lit(1)).alias("n_customers"),
             F.round(
                 F.lit(10000)
                 * F.sum(F.col("rev") * F.col("rev"))
@@ -3667,7 +3667,7 @@ def agg_pvm_decomposition(spark, t):
                   ELSE 'high' END AS tier_to
       FROM spend
     )
-    SELECT tier_from, tier_to, COUNT(*) AS n_ordersomers,
+    SELECT tier_from, tier_to, COUNT(*) AS n_customers,
            round(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY tier_from), 4)
              AS row_share
     FROM tiered
@@ -3719,15 +3719,15 @@ def agg_customer_migration_matrix(spark, t):
     cells = (
         spend.select(tier("h1").alias("tier_from"), tier("h2").alias("tier_to"))
         .groupBy("tier_from", "tier_to")
-        .agg(F.count(F.lit(1)).alias("n_ordersomers"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
     w = Window.partitionBy("tier_from")
     return cells.select(
         "tier_from",
         "tier_to",
-        "n_ordersomers",
+        "n_customers",
         F.round(
-            F.col("n_ordersomers") * F.lit(1.0) / F.sum("n_ordersomers").over(w), 4
+            F.col("n_customers") * F.lit(1.0) / F.sum("n_customers").over(w), 4
         ).alias("row_share"),
     ).orderBy("tier_from", "tier_to")
 
@@ -3858,7 +3858,7 @@ def attribution_time_decay(spark, t):
       GROUP BY segment
     )
     SELECT s.segment,
-           CAST(s.ng AS BIGINT) AS n_ordersomers,
+           CAST(s.ng AS BIGINT) AS n_customers,
            round(s.mug, 4) AS mean_rev,
            round(s.theil_g, 6) AS theil_within,
            round((s.ng / t.n) * (s.mug / t.mu) * ln(s.mug / t.mu), 6)
@@ -3932,7 +3932,7 @@ def agg_theil_decomposition(spark, t):
         seg.crossJoin(F.broadcast(tot))
         .select(
             "segment",
-            F.col("ng").cast("bigint").alias("n_ordersomers"),
+            F.col("ng").cast("bigint").alias("n_customers"),
             F.round("mug", 4).alias("mean_rev"),
             F.round("theil_g", 6).alias("theil_within"),
             F.round(
