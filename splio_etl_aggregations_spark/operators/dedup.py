@@ -23,11 +23,106 @@ still stays ≤ C(n,2) after the groupBy.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.helpers import r4
 from ..registry import register
 from .windows import two_phase_global_rank
+
+#: Past this vocabulary size the fixed-width bitmask verify (see
+#: ``_mask_aggs``) would need > 64 mask words per document; the sorted
+#: rank arrays become the honest set representation again and the
+#: prefix join falls back to the array_intersect verify.
+_MASK_VOCAB_MAX = 4096
+
+
+def _mask_words(n_vocab: int) -> int:
+    """Bitmask words (64-bit longs) needed for a dense 1..n_vocab rank space."""
+    return max(1, -(-int(n_vocab) // 64))
+
+
+def _mask_aggs(n_words: int) -> list:
+    """W ``bit_or`` aggregates folding 1-based element ranks ``r`` into a
+    W-word bitset (word k holds ranks 64k+1..64k+64). Duplicate
+    (doc, r) rows are absorbed by the OR, so callers may feed either a
+    distinct or a raw element stream. All codegen: the per-pair verify
+    downstream is ``bit_count(lo & hi)`` sums instead of
+    ``array_intersect`` hash-set builds (guide §2.3 narrow-types /
+    §1.2 per-task-work: measured 10-12x on the 8.5M-row raw candidate
+    stream of the bigram prefix join at sf0.1)."""
+    return [
+        F.expr(
+            f"bit_or(CASE WHEN (r - 1) div 64 = {k} THEN "
+            f"shiftleft(CAST(1 AS BIGINT), (r - 1) % 64) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        ).alias(f"m{k}")
+        for k in range(n_words)
+    ]
+
+
+def _mask_inter(n_words: int, lo: str = "lo_m", hi: str = "hi_m"):
+    """|A∩B| as a codegen popcount sum over the two sides' mask words."""
+    return reduce(
+        add,
+        [
+            F.bit_count(F.col(f"{lo}{k}").bitwiseAND(F.col(f"{hi}{k}")))
+            for k in range(n_words)
+        ],
+    )
+
+
+def _mask_sides(masks, n_words: int, lo_key: str, hi_key: str):
+    """The two aliased verify sides of a (doc_id, n, m0..m{W-1}) mask
+    frame, renamed for a candidate-pair join on (lo_key, hi_key)."""
+    lo = masks.select(
+        F.col("doc_id").alias(lo_key),
+        F.col("n").alias("lo_n"),
+        *[F.col(f"m{k}").alias(f"lo_m{k}") for k in range(n_words)],
+    )
+    hi = masks.select(
+        F.col("doc_id").alias(hi_key),
+        F.col("n").alias("hi_n"),
+        *[F.col(f"m{k}").alias(f"hi_m{k}") for k in range(n_words)],
+    )
+    return lo, hi
+
+
+def _mask_verified_pairs(cand, masks, n_words: int, tau: float):
+    """EXACT Jaccard verify of a (possibly duplicated) candidate-pair
+    stream against a per-doc bitmask frame; returns DISTINCT
+    (id_lo, id_hi, jaccard[raw double]) at Jaccard ≥ tau.
+
+    Plan shape (guide §2.4/§3.1): the mask frame is |docs| ×
+    (8W + 12) bytes — broadcast both verify sides, so the raw candidate
+    stream flows filter-first through two BroadcastHashJoins and a
+    codegen popcount predicate WITHOUT ever being exchanged; only the
+    τ-survivors (output-sized, with small prefix/band multiplicity) pay
+    the distinct. The r7 form distinct-ed the full candidate set first
+    (8.5M rows → 4.1M-pair exchange at sf0.1) and then shuffle-joined
+    sorted rank arrays twice for an array_intersect verify — that
+    exchange and both array joins are deleted. At doc counts where the
+    mask frame outgrows a broadcast (~10⁸ docs), drop the hint and pay
+    one shuffle attach — the verify arithmetic is unchanged.
+
+    Exactness: rank-encoding is a bijection, so popcount(A∩B) equals
+    the token-set intersection size; |A∪B| = n_lo + n_hi − inter with
+    both n's exact ints, and the final int/int division is the same
+    IEEE double the array form produced.
+    """
+    lo, hi = _mask_sides(masks, n_words, "id_lo", "id_hi")
+    inter = _mask_inter(n_words)
+    jac = inter / (F.col("lo_n") + F.col("hi_n") - inter)
+    return (
+        cand.join(F.broadcast(lo), "id_lo")
+        .join(F.broadcast(hi), "id_hi")
+        .filter(jac >= tau)
+        .select("id_lo", "id_hi", jac.alias("jaccard"))
+        .distinct()
+    )
 
 
 @register(
@@ -77,9 +172,10 @@ WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.9
 
 def _ranked_token_sets(t):
     """Each document's distinct-token set as a sorted array of dense int
-    ranks in the global (df asc, token asc) total order — the shared
-    foundation of the exact set-similarity joins (``_near_dup_pairs``,
-    ``dedup_containment``).
+    ranks in the global (df asc, token asc) total order, plus its
+    bitmask words — the shared foundation of the exact set-similarity
+    joins (``_near_dup_pairs``, ``dedup_containment``). Returns the
+    ``(frame, n_words)`` pair of ``_ranked_sets``.
 
     Dictionary-encoding tokens as ranks serves pruning and verification
     with one structure: the sorted rank array IS the doc's ordered token
@@ -102,15 +198,41 @@ def _ranked_sets(items):
     """Generic core of ``_ranked_token_sets``: rank-encode any distinct
     (doc_id, token) stream — tokens, shingles, any set element — into
     per-doc sorted int-rank arrays (added r6 so the bigram-shingle join
-    shares the prefix-filter machinery)."""
+    shares the prefix-filter machinery).
+
+    Returns ``(frame, n_words)``: the frame carries each doc's sorted
+    rank array ``ord`` (feeds the prefix slice) and, when the
+    vocabulary is mask-encodable (≤ ``_MASK_VOCAB_MAX``), the n_words
+    bitmask words ``m0..m{W-1}`` folded in the SAME aggregation pass —
+    the verify-side set representation that replaces array_intersect
+    with codegen popcounts (r8 optimization round; guide §1.2 step 1).
+    ``n_words`` is 0 when the vocabulary is too wide to mask, and
+    callers fall back to the array verify. The one-scalar vocabulary
+    count is driver-side by construction (a 1-row aggregate of the
+    vocabulary-sized df table — the same table the rank broadcast
+    already materializes)."""
     dfreq = items.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rank = two_phase_global_rank(dfreq, [F.asc("df"), F.asc("token")]).select(
         "token", F.col("rn").cast("int").alias("r")
     )
+    n_vocab = dfreq.count()
+    n_words = _mask_words(n_vocab) if n_vocab <= _MASK_VOCAB_MAX else 0
+    ranked = items.join(F.broadcast(rank), "token")
+    # Deliberately NOT checkpointed/cached despite 2-3 downstream
+    # consumers (measured in the r8 optimization round): a checkpoint
+    # here erases the frame's statistics, and the prefix self-join that
+    # reads it degrades from the planner's broadcast hash join to a
+    # sort-merge join on the ~vocabulary-cardinality rank key — the
+    # bigram rung measured 6.6 s (recompute, broadcast plan) vs 25.5 s
+    # (checkpoint, SMJ plan). Re-executing the token-scan + rank
+    # subtree per consumer costs ~0.5 s each, fully parallel and
+    # codegen'd — the cheaper side of the trade by 4x.
     return (
-        items.join(F.broadcast(rank), "token")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("r")).alias("ord"))
+        ranked.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("r")).alias("ord"),
+            *_mask_aggs(n_words),
+        ),
+        n_words,
     )
 
 
@@ -143,11 +265,23 @@ def _near_dup_pairs(t, tau: float = 0.9):
     return _prefix_filtered_pairs(_ranked_token_sets(t), tau)
 
 
-def _prefix_filtered_pairs(tokr, tau: float):
+def _prefix_filtered_pairs(ranked, tau: float):
     """PPJoin-family prefix+length-filtered exact similarity join over
-    any ``_ranked_sets`` frame; returns (id_lo, id_hi, jaccard[raw
-    double]) at Jaccard ≥ tau (factored out in r6 so the bigram-shingle
-    variant reuses it at τ=0.6)."""
+    a ``_ranked_sets`` result; returns DISTINCT (id_lo, id_hi,
+    jaccard[raw double]) at Jaccard ≥ tau (factored out in r6 so the
+    bigram-shingle variant reuses it at τ=0.6).
+
+    r8 optimization-round restructure (guide §2.4 — remove shuffles
+    outright): the raw prefix-join output flows STRAIGHT into the
+    bitmask verify with its per-shared-prefix-rank multiplicity — no
+    ``.distinct()`` on the candidate side. The verify is two broadcast
+    joins + popcounts, so duplicated candidates cost a few codegen ops
+    each, while the old plan paid a full exchange to dedupe 8.5M raw
+    rows into 4.1M candidates and then shuffle-joined rank arrays
+    twice (measured at sf0.1: bigram rung 48.8 s → the mask form;
+    token rung 16.4 s likewise). Only τ-survivors reach the distinct.
+    """
+    tokr, n_words = ranked
     n = F.size("ord")
     prefix_len = (n - F.ceil(n * F.lit(tau)).cast("int") + 1).cast("int")
     prefix = tokr.select(
@@ -156,19 +290,23 @@ def _prefix_filtered_pairs(tokr, tau: float):
         F.explode(F.slice("ord", F.lit(1), prefix_len)).alias("r"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.r") == F.col("b.r"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(tau) * F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
+    cand = a.join(
+        b,
+        (F.col("a.r") == F.col("b.r"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(tau) * F.greatest(F.col("a.n"), F.col("b.n"))
+        ),
+    ).select(F.col("a.doc_id").alias("id_lo"), F.col("b.doc_id").alias("id_hi"))
+    if n_words:
+        masks = tokr.select(
+            "doc_id", n.alias("n"), *[f"m{k}" for k in range(n_words)]
         )
-        .select(F.col("a.doc_id").alias("id_lo"), F.col("b.doc_id").alias("id_hi"))
-        .distinct()
-    )
+        return _mask_verified_pairs(cand, masks, n_words, tau)
+    # vocabulary too wide to mask: the r7 array-verify path (candidate
+    # distinct first, then one exact array_intersect per candidate)
+    cand = cand.distinct()
     lo = tokr.select(F.col("doc_id").alias("id_lo"), F.col("ord").alias("ord_lo"))
     hi = tokr.select(F.col("doc_id").alias("id_hi"), F.col("ord").alias("ord_hi"))
     # rank encoding is a bijection on tokens, so rank-set intersection
@@ -261,6 +399,49 @@ def dedup_ngram_jaccard(spark, t):
     return p.select("id_lo", "id_hi", r4(F.col("jaccard")).alias("jaccard"))
 
 
+def _gram_masks(grams_rows):
+    """Per-doc bitmask words over a RAW (doc_id, gram) stream (duplicate
+    grams absorbed by the bit_or): rank the gram vocabulary — ANY
+    bijection works for masks, only the prefix filter needs the df
+    order, so a single-partition ``row_number`` over the (≤ 4096-row by
+    the ``_MASK_VOCAB_MAX`` guard) vocabulary replaces the two-phase
+    global rank's cache + range-exchange + offsets machinery — then
+    fold ranks into ``n`` + ``m0..m{W-1}`` in one wide aggregation
+    pass. Returns ``(frame, n_words)``; ``(None, 0)`` when the
+    vocabulary exceeds ``_MASK_VOCAB_MAX`` and callers must fall back
+    to collect_set gram arrays. The rank table is vocabulary-sized —
+    broadcastable by construction.
+
+    Deliberately NOT checkpointed (measured, interleaved A/B under the
+    nightly contention window): the eager repartition+localCheckpoint
+    cost 4.4 s warm per build at sf0.1 — the materialization runs
+    without whole-stage codegen (the recorded r8 lesson) and adds two
+    driver-blocking jobs — while each broadcast verify side recomputes
+    this subtree with codegen in ~0.3 s (near_minhash medians: 8.9 s
+    checkpointed vs 7.3 s recomputed)."""
+    vocab = grams_rows.select("gram").distinct()
+    n_vocab = vocab.count()
+    if n_vocab > _MASK_VOCAB_MAX:
+        return None, 0
+    n_words = _mask_words(n_vocab)
+    rank = vocab.select(
+        "gram",
+        F.row_number().over(W.orderBy("gram")).cast("int").alias("r"),
+    )
+    masked = (
+        grams_rows.join(F.broadcast(rank), "gram")
+        .groupBy("doc_id")
+        .agg(*_mask_aggs(n_words))
+    )
+    n = reduce(add, [F.bit_count(F.col(f"m{k}")) for k in range(n_words)])
+    return (
+        masked.select(
+            "doc_id", n.alias("n"), *[f"m{k}" for k in range(n_words)]
+        ),
+        n_words,
+    )
+
+
 @register("dedup_near_minhash", oracle=_NGRAM_ORACLE, tier="P2")
 def dedup_near_minhash(spark, t):
     """MinHash + LSH banding near-dedup over bigram shingles — the
@@ -309,18 +490,27 @@ def dedup_near_minhash(spark, t):
         .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
         .select("doc_id", _gram_str(2).alias("gram"))
     )
-    gram_sets = grams_rows.groupBy("doc_id").agg(
-        F.collect_set("gram").alias("grams")
-    )
     g = grams_rows.select(
         "doc_id", F.pmod(F.xxhash64("gram"), F.lit(prime)).alias("th")
     )
-    sig = g.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i])) % F.lit(prime))
-            .alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
+    # |docs|-row wide signature frame; both sides of the band self-join
+    # descend from it, so pin ONE materialization (explicit round-robin
+    # repartition first — a keyed repartition matching the aggregate's
+    # partitioning is elided and AQE then coalesces the exchange; the
+    # dedup_lsh_band_sweep r8 lesson).
+    sig = (
+        g.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
+                    % F.lit(prime)
+                ).alias(f"mh{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     # Bands: hash each contiguous signature slice to one bucket id.
     band_cols = [
@@ -344,34 +534,48 @@ def dedup_near_minhash(spark, t):
     ).select("doc_id", "bb.band_id", "bb.bucket")
     l = bands_long.alias("l")
     r = bands_long.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # Raw band matches — one row per agreeing band per pair, NOT
+    # distinct-ed (r8 optimization round, guide §2.4): the exact verify
+    # below is two broadcast mask joins + popcounts, so a true pair's
+    # ≤32-band multiplicity costs a handful of codegen ops per copy,
+    # while the old plan paid a full exchange to dedupe the candidate
+    # set and then routed it with ~51-string gram arrays through two
+    # sort-merge shuffles (array payload was the shuffle; measured
+    # 17.2 s warm at sf0.1). Only τ-survivors reach the distinct.
+    candidates = l.join(
+        r,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("id_lo"), F.col("r.doc_id").alias("id_hi"))
+    # Exact verification of candidates only (shingle-set intersection,
+    # rank-bitmask encoded — popcount(A∩B) is exactly |A∩B|).
+    masks, n_words = _gram_masks(grams_rows)
+    if n_words:
+        verified = _mask_verified_pairs(candidates, masks, n_words, 0.6)
+    else:
+        # vocabulary too wide to mask: dedupe candidates, then one
+        # exact array verify per candidate (the r7 plan)
+        gram_sets = grams_rows.groupBy("doc_id").agg(
+            F.collect_set("gram").alias("grams")
         )
-        .select(
-            F.col("l.doc_id").alias("id_lo"), F.col("r.doc_id").alias("id_hi")
+        lo = gram_sets.select(
+            F.col("doc_id").alias("id_lo"), F.col("grams").alias("grams_lo")
         )
-        .distinct()
-    )
-    # Exact verification of candidates only (shingle-set intersection).
-    lo = gram_sets.select(
-        F.col("doc_id").alias("id_lo"), F.col("grams").alias("grams_lo")
-    )
-    hi = gram_sets.select(
-        F.col("doc_id").alias("id_hi"), F.col("grams").alias("grams_hi")
-    )
-    jac = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
-        F.array_union("grams_lo", "grams_hi")
-    )
-    return (
-        candidates.join(lo, "id_lo")
-        .join(hi, "id_hi")
-        .filter(jac >= 0.6)
-        .select("id_lo", "id_hi", r4(jac).alias("jaccard"))
-    )
+        hi = gram_sets.select(
+            F.col("doc_id").alias("id_hi"), F.col("grams").alias("grams_hi")
+        )
+        jac = F.size(F.array_intersect("grams_lo", "grams_hi")) / F.size(
+            F.array_union("grams_lo", "grams_hi")
+        )
+        verified = (
+            candidates.distinct()
+            .join(lo, "id_lo")
+            .join(hi, "id_hi")
+            .filter(jac >= 0.6)
+            .select("id_lo", "id_hi", jac.alias("jaccard"))
+        )
+    return verified.select("id_lo", "id_hi", r4(F.col("jaccard")).alias("jaccard"))
 
 
 @register(
@@ -515,9 +719,6 @@ def dedup_lsh_band_sweep(spark, t):
         .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
         .select("doc_id", _gram_str(2).alias("gram"))
     )
-    gram_sets = grams_rows.groupBy("doc_id").agg(
-        F.collect_set("gram").alias("grams")
-    )
     th = grams_rows.select(
         "doc_id", (ph60("gram", "mhs") % prime).alias("th")
     )
@@ -591,6 +792,19 @@ def dedup_lsh_band_sweep(spark, t):
         .bitwiseAND(F.lit(0x11111111))
         != 0
     ).cast("int")
+    # Exact verify on GRAM ARRAYS, not rank-bitmask popcounts — measured
+    # both ways (interleaved A/B under the nightly contention window,
+    # r8 optimization round): this shape's candidate stream is already
+    # one row per pair (the mask fold above is the aggregation), so the
+    # popcount verify saves nothing downstream while its side frames
+    # pay a vocab-distinct + rank-join + 15-wide bit_or fold PER
+    # BROADCAST SIDE — band-sweep medians 9.1 s (arrays) vs 12.0 s
+    # (masks). The mask verify wins only where it lets the raw
+    # multiplicity-bearing candidate stream skip its distinct
+    # (dedup_ngram_jaccard 48.8→7.5 s); here arrays win.
+    gram_sets = grams_rows.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams")
+    )
     lo = gram_sets.select(
         F.col("doc_id").alias("lo"), F.col("grams").alias("grams_lo")
     )
@@ -883,6 +1097,13 @@ def hash_min_components(nodes, pairs, id_col: str):
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
     changed = -1
+    # ONE propagation step per materialization — a 2-step-fused variant
+    # was measured in the r8 optimization round (interleaved A/B at
+    # sf0.1) and REVERTED: fusing doubles the join work inside each
+    # checkpoint while the convergence count still runs per round, and
+    # the ~1M-edge graph's CC medians were 19.8 s fused vs 15.6 s
+    # single-step. The per-round overhead hypothesis lost to the extra
+    # in-plan work; keep the simple loop.
     for _ in range(20):  # diameter bound; fixtures converge in 2-3
         prop = (
             edges.join(labels, edges["d"] == labels[id_col])
@@ -1092,8 +1313,11 @@ def dedup_containment(spark, t):
     # four consumers (probe, index, and both verify sides): cache so the
     # token-scan + rank subtree computes once instead of being
     # re-expanded per consumer (the dedup_near_jaccard 4× lesson; cache
-    # over localCheckpoint to skip its build-time plan compile)
-    tokr = _ranked_token_sets(t).cache()
+    # over localCheckpoint because an InMemoryRelation KEEPS the child's
+    # statistics — a checkpoint erases them and the candidate join
+    # degrades to sort-merge, measured 2.7 s → 19 s on this op)
+    tokr, n_words = _ranked_token_sets(t)
+    tokr = tokr.cache()
     n = F.size("ord")
     sz = tokr.select("doc_id", n.alias("n"), F.col("ord"))
     # one-sided prefix: probe (contained) docs expose only their rarest
@@ -1109,31 +1333,50 @@ def dedup_containment(spark, t):
         F.col("n").alias("n_b"),
         F.explode("ord").alias("r_b"),
     )
-    cand = (
-        probe.join(
-            index,
-            (F.col("r_a") == F.col("r_b"))
-            & (F.col("id_a") != F.col("id_b"))
-            & (
-                (F.col("n_a") < F.col("n_b"))
-                | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
-            ),
+    cand = probe.join(
+        index,
+        (F.col("r_a") == F.col("r_b"))
+        & (F.col("id_a") != F.col("id_b"))
+        & (
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
+        ),
+    ).select("id_a", "id_b")
+    if n_words:
+        # r8 optimization round: raw candidates (multiplicity = shared
+        # probe-prefix ranks, ≤ ⌊0.1·n⌋+1) flow filter-first through two
+        # broadcast mask joins + a popcount containment predicate; the
+        # full-candidate ``.distinct()`` exchange and both array-verify
+        # shuffle joins are deleted — only ≥τ survivors are deduped
+        # before the container count (same pair set either way).
+        masks = tokr.select(
+            "doc_id", n.alias("n"), *[f"m{k}" for k in range(n_words)]
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    av = sz.select(F.col("doc_id").alias("id_a"), F.col("ord").alias("ord_a"))
-    bv = sz.select(F.col("doc_id").alias("id_b"), F.col("ord").alias("ord_b"))
-    containment = F.size(F.array_intersect("ord_a", "ord_b")) / F.size("ord_a")
-    return (
-        cand.join(av, "id_a")
-        .join(bv, "id_b")
-        .filter(containment >= tau)
-        .groupBy(F.col("id_a").alias("contained_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_containers"),
-            F.min("id_b").alias("keeper_id"),
+        lo, hi = _mask_sides(masks, n_words, "id_a", "id_b")
+        containment = _mask_inter(n_words) / F.col("lo_n")
+        verified = (
+            cand.join(F.broadcast(lo), "id_a")
+            .join(F.broadcast(hi), "id_b")
+            .filter(containment >= tau)
+            .select("id_a", "id_b")
+            .distinct()
         )
+    else:
+        cand = cand.distinct()
+        av = sz.select(F.col("doc_id").alias("id_a"), F.col("ord").alias("ord_a"))
+        bv = sz.select(F.col("doc_id").alias("id_b"), F.col("ord").alias("ord_b"))
+        containment = F.size(F.array_intersect("ord_a", "ord_b")) / F.size(
+            "ord_a"
+        )
+        verified = (
+            cand.join(av, "id_a")
+            .join(bv, "id_b")
+            .filter(containment >= tau)
+            .select("id_a", "id_b")
+        )
+    return verified.groupBy(F.col("id_a").alias("contained_id")).agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.min("id_b").alias("keeper_id"),
     )
 
 
@@ -1614,9 +1857,6 @@ def dedup_minhash_error_curve(spark, t):
         .select("doc_id", F.explode(_zip_grams(toks, 2)).alias("t"))
         .select("doc_id", _gram_str(2).alias("gram"))
     )
-    gram_sets = grams_rows.groupBy("doc_id").agg(
-        F.collect_set("gram").alias("grams")
-    )
     th = grams_rows.select(
         "doc_id", (ph60("gram", "mhs") % prime).alias("th")
     )
@@ -1703,6 +1943,14 @@ def dedup_minhash_error_curve(spark, t):
                 lambda acc, v: acc + v,
             ).cast("bigint").alias("k_agree"),
         )
+    )
+    # Exact-Jaccard side on GRAM ARRAYS, not rank-bitmask popcounts —
+    # same measured verdict as the band sweep (see its verify comment):
+    # the candidate stream here is already distinct-ed, so the mask
+    # verify's per-broadcast-side vocab-rank + bit_or fold overhead
+    # outweighs the popcount-vs-array_intersect saving.
+    gram_sets = grams_rows.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams")
     )
     lo = gram_sets.select(
         F.col("doc_id").alias("lo"), F.col("grams").alias("grams_lo")

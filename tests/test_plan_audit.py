@@ -152,6 +152,11 @@ SINGLE_PARTITION_OK = {
     # bigram op through _ranked_sets; the single-partition frame is the
     # shingle-VOCABULARY-sized boundary-offsets table, never doc rows
     "dedup_ngram_jaccard": (4, "rank offsets frame ×4 re-expansions"),
+    # r8 optimization round: the mask-verify vocab rank is a
+    # single-partition row_number over the ≤4096-row (by the
+    # _MASK_VOCAB_MAX guard) gram vocabulary, re-expanded once per
+    # broadcast verify side — bounded by construction, never doc rows
+    "dedup_near_minhash": (2, "≤4096-row vocab rank ×2 verify sides"),
     # intermediate GlobalLimit of the probe cut; budget is capped at
     # an absolute 100k rows (vectors.py) regardless of corpus size
     "sim_ann_lsh_knn": (1, "capped probe-budget limit"),

@@ -32,6 +32,12 @@ def main() -> None:
         SparkSession.builder.master("local[16]")
         .appName("oracle-one")
         .config("spark.ui.enabled", "false")
+        # match get_spark()'s heap: the 1g default OOMs when several
+        # sf0.1 heavy shapes share one session
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     con = duckdb.connect()
