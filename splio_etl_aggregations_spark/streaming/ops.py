@@ -18,8 +18,7 @@ import glob
 import os
 import time
 
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.helpers import r4
 from ..registry import register
@@ -219,21 +218,31 @@ def stream_late_data(spark, t):
     sel = events.select("event_id", "ts", "user_id", "value")
     bounds = sel.agg((F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("cut"))
     tagged = sel.crossJoin(F.broadcast(bounds))
-    on_time = tagged.filter(F.col("ts") >= F.col("cut")).drop("cut")
-    late = tagged.filter(F.col("ts") < F.col("cut")).drop("cut")
-    # batch0/1: on-time rows; batch2: the now-too-late first hour. Each
-    # batch is one file (maxFilesPerTrigger=1 ⇒ one micro-batch per
-    # file); coalesce(1) bounds the single write task by the micro-batch
-    # size, not the table size.
-    batches = [
-        on_time.filter(F.col("event_id") % 2 == 0),
-        on_time.filter(F.col("event_id") % 2 == 1),
-        late,
-    ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(tmp, f"stage_{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    # batch0/1: on-time rows (even/odd event_id); batch2: the
+    # now-too-late first hour. ONE partitioned write replaces the three
+    # per-batch coalesce(1) writes of the r7 form (r8 optimization
+    # round, guide §1.2/§6): the events table is scanned once instead
+    # of three times and the build runs one Spark job instead of three
+    # — same three feed files, same rows in each (the batch id is a
+    # deterministic row property, not an artifact of the write). The
+    # repartition on the 3-value batch key bounds each write task by
+    # its micro-batch size and yields exactly one file per batch
+    # directory; the partition column itself stays out of the parquet
+    # files, so the streamed schema is unchanged.
+    batch = F.when(F.col("ts") < F.col("cut"), F.lit(2)).otherwise(
+        (F.col("event_id") % 2).cast("int")
+    )
+    stage = os.path.join(tmp, "stage")
+    (
+        tagged.withColumn("batch", batch)
+        .drop("cut")
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(stage)
+    )
+    for i in range(3):
+        (src,) = glob.glob(os.path.join(stage, f"batch={i}", "part-*.parquet"))
         os.rename(src, os.path.join(feed_dir, f"batch_{i}.parquet"))
 
     stream = (
@@ -290,32 +299,48 @@ def stream_stateful_counter(spark, t):
     """Arbitrary per-user running state: purchases since the most recent
     error (resets at each error).
 
-    Engine side: grouped ``applyInPandas`` carrying explicit per-user
-    state through an ordered scan — the exact state-machine shape that
-    ``transformWithStateInPandas`` runs incrementally in streaming
-    (tests/test_streaming.py covers the streaming form). The oracle is
-    the gaps-and-islands window SQL.
+    r8 optimization round (guide §4.1 — prefer built-ins over the
+    Python boundary): the original grouped ``applyInPandas`` shipped
+    every event row JVM→Python→JVM and walked them in an interpreted
+    per-row loop — 5.0 s warm at sf0.1, almost entirely
+    FlatMapGroupsInPandas. The running state is expressible as window
+    algebra over ONE partition key (user_id), so the whole op now runs
+    as codegen'd JVM windows with a single exchange:
+
+        p_run  = running purchase count per user
+        e_mark = p_run at the most recent error row (running MAX works
+                 because p_run is non-decreasing, so the latest error's
+                 p_run is also the largest)
+        purchases_since_error = p_run - coalesce(e_mark, 0)
+
+    At an error row the result is p_run − p_run = 0 (reset); purchases
+    after it count from that mark — exactly the state machine. All
+    integer arithmetic; the unchanged gaps-and-islands oracle hash
+    proves the equivalence. The stateful STREAMING surface this op's
+    batch form mirrors is still exercised end-to-end by
+    ``transformWithStateInPandas`` in tests/test_streaming.py (the same
+    registry-carries-the-fast-form precedent as udtf_table_sessionize,
+    bench.py note).
     """
-
-    def run_state(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        count = 0
-        out = []
-        for et in pdf["event_type"]:
-            if et == "error":
-                count = 0
-            elif et == "purchase":
-                count += 1
-            out.append(count)
-        return pd.DataFrame(
-            {"event_id": pdf["event_id"], "purchases_since_error": out}
-        )
-
-    return (
-        t["events"]
-        .select("event_id", "user_id", "ts", "event_type")
-        .groupBy("user_id")
-        .applyInPandas(run_state, "event_id long, purchases_since_error long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p_run = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w)
+    stepped = t["events"].select(
+        "event_id", "user_id", "ts", "event_type", p_run.alias("p_run")
+    )
+    e_mark = F.max(
+        F.when(F.col("event_type") == "error", F.col("p_run"))
+    ).over(w)
+    return stepped.select(
+        "event_id",
+        (F.col("p_run") - F.coalesce(e_mark, F.lit(0)))
+        .cast("long")
+        .alias("purchases_since_error"),
     )
 
 
