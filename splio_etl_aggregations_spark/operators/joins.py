@@ -1304,8 +1304,19 @@ def graph_degree_distribution(spark, t):
     exact powers of two, and the two engines need not err identically.
     """
     li = t["lineitem"].select("l_orderkey", "l_partkey")
+    # Round-robin repartition of the PROBE side before the fan-out (r8
+    # optimization round, guide §2.5 "input skew ... repartition
+    # immediately after the read"): the fixtures ship ONE parquet row
+    # group per table, so scan parallelism is hard-capped at 1 task and
+    # the 4x pair fan-out + partial pair-distinct otherwise run
+    # single-threaded (measured 4.5 s -> 2.7 s warm at sf0.1). The
+    # exchange moves only the 2-column projection once; at 100 TB the
+    # same repartition is a no-op-sized safety net against unsplittable
+    # inputs (gzip, tiny row groups) feeding this fan-out.
+    par = spark.sparkContext.defaultParallelism
     pairs = (
-        li.alias("x")
+        li.repartition(par)
+        .alias("x")
         .join(li.alias("y"), "l_orderkey")
         .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
         .select(
