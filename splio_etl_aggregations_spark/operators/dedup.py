@@ -23,6 +23,7 @@ still stays ≤ C(n,2) after the groupBy.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 from operator import add
 
@@ -38,6 +39,28 @@ from .windows import two_phase_global_rank
 #: rank arrays become the honest set representation again and the
 #: prefix join falls back to the array_intersect verify.
 _MASK_VOCAB_MAX = 4096
+
+#: Estimated mask-frame size (rows × (8·W + 12) bytes) above which the
+#: verify sides join WITHOUT the explicit broadcast hint (r9, VERDICT r8
+#: item 3): an explicit ``F.broadcast`` bypasses autoBroadcastJoinThreshold
+#: entirely, so at ~10⁸ docs it would force a multi-GB broadcast into the
+#: 8 GB relation cap / driver heap where a shuffle join is the honest
+#: plan. 256 MB estimated (≤ ~1 GB built, hash-table overhead included)
+#: keeps the hint for any mask frame the driver can plainly hold;
+#: production overrides via env.
+_MASK_BROADCAST_MAX = int(
+    os.environ.get("SPARK_GRAFT_MASK_BROADCAST_MAX", str(256 << 20))
+)
+
+
+def _mask_hint(side, n_docs: int, n_words: int):
+    """Broadcast-hint a mask verify side only while its estimated size
+    (``n_docs`` rows × (8·W + 12) bytes) stays under
+    ``_MASK_BROADCAST_MAX``; past that, return it unhinted and let the
+    planner pick the join — the verify arithmetic is unchanged."""
+    if n_docs * (8 * n_words + 12) <= _MASK_BROADCAST_MAX:
+        return F.broadcast(side)
+    return side
 
 
 def _mask_words(n_vocab: int) -> int:
@@ -91,10 +114,16 @@ def _mask_sides(masks, n_words: int, lo_key: str, hi_key: str):
     return lo, hi
 
 
-def _mask_verified_pairs(cand, masks, n_words: int, tau: float):
+def _mask_verified_pairs(
+    cand, masks, n_words: int, tau: float, n_docs: int, dedup: bool = True
+):
     """EXACT Jaccard verify of a (possibly duplicated) candidate-pair
     stream against a per-doc bitmask frame; returns DISTINCT
-    (id_lo, id_hi, jaccard[raw double]) at Jaccard ≥ tau.
+    (id_lo, id_hi, jaccard[raw double]) at Jaccard ≥ tau — or, with
+    ``dedup=False``, the RAW τ-survivor stream with its candidate
+    multiplicity intact, for consumers whose downstream aggregation
+    absorbs duplicates anyway (the CC min-contraction: r9, measured
+    7.02 s → 6.58 s by deleting the survivor exchange).
 
     Plan shape (guide §2.4/§3.1): the mask frame is |docs| ×
     (8W + 12) bytes — broadcast both verify sides, so the raw candidate
@@ -105,8 +134,9 @@ def _mask_verified_pairs(cand, masks, n_words: int, tau: float):
     (8.5M rows → 4.1M-pair exchange at sf0.1) and then shuffle-joined
     sorted rank arrays twice for an array_intersect verify — that
     exchange and both array joins are deleted. At doc counts where the
-    mask frame outgrows a broadcast (~10⁸ docs), drop the hint and pay
-    one shuffle attach — the verify arithmetic is unchanged.
+    mask frame outgrows a safe broadcast, ``_mask_hint`` drops the hint
+    (r9 guard — ``n_docs`` × (8W+12) vs ``_MASK_BROADCAST_MAX``) and the
+    verify pays one shuffle attach — the arithmetic is unchanged.
 
     Exactness: rank-encoding is a bijection, so popcount(A∩B) equals
     the token-set intersection size; |A∪B| = n_lo + n_hi − inter with
@@ -116,13 +146,13 @@ def _mask_verified_pairs(cand, masks, n_words: int, tau: float):
     lo, hi = _mask_sides(masks, n_words, "id_lo", "id_hi")
     inter = _mask_inter(n_words)
     jac = inter / (F.col("lo_n") + F.col("hi_n") - inter)
-    return (
-        cand.join(F.broadcast(lo), "id_lo")
-        .join(F.broadcast(hi), "id_hi")
+    survivors = (
+        cand.join(_mask_hint(lo, n_docs, n_words), "id_lo")
+        .join(_mask_hint(hi, n_docs, n_words), "id_hi")
         .filter(jac >= tau)
         .select("id_lo", "id_hi", jac.alias("jaccard"))
-        .distinct()
     )
+    return survivors.distinct() if dedup else survivors
 
 
 @register(
@@ -175,7 +205,7 @@ def _ranked_token_sets(t):
     ranks in the global (df asc, token asc) total order, plus its
     bitmask words — the shared foundation of the exact set-similarity
     joins (``_near_dup_pairs``, ``dedup_containment``). Returns the
-    ``(frame, n_words)`` pair of ``_ranked_sets``.
+    ``(frame, n_words, n_docs)`` triple of ``_ranked_sets``.
 
     Dictionary-encoding tokens as ranks serves pruning and verification
     with one structure: the sorted rank array IS the doc's ordered token
@@ -200,43 +230,51 @@ def _ranked_sets(items):
     per-doc sorted int-rank arrays (added r6 so the bigram-shingle join
     shares the prefix-filter machinery).
 
-    Returns ``(frame, n_words)``: the frame carries each doc's sorted
-    rank array ``ord`` (feeds the prefix slice) and, when the
+    Returns ``(frame, n_words, n_docs)``: the frame carries each doc's
+    sorted rank array ``ord`` (feeds the prefix slice) and, when the
     vocabulary is mask-encodable (≤ ``_MASK_VOCAB_MAX``), the n_words
     bitmask words ``m0..m{W-1}`` folded in the SAME aggregation pass —
     the verify-side set representation that replaces array_intersect
     with codegen popcounts (r8 optimization round; guide §1.2 step 1).
     ``n_words`` is 0 when the vocabulary is too wide to mask, and
-    callers fall back to the array verify. The one-scalar vocabulary
-    count is driver-side by construction (a 1-row aggregate of the
-    vocabulary-sized df table — the same table the rank broadcast
-    already materializes)."""
+    callers fall back to the array verify. ``n_docs`` (distinct doc
+    count = the mask frame's row count) rides the SAME one-job
+    aggregate as the vocabulary count — it feeds the r9 broadcast-size
+    guard (``_mask_hint``) at zero extra actions; the two-scalar
+    aggregate is driver-side by construction (one row out of the
+    element stream)."""
     dfreq = items.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rank = two_phase_global_rank(dfreq, [F.asc("df"), F.asc("token")]).select(
         "token", F.col("rn").cast("int").alias("r")
     )
-    n_vocab = dfreq.count()
+    n_vocab, n_docs = items.select(
+        F.countDistinct("token"), F.countDistinct("doc_id")
+    ).first()
     n_words = _mask_words(n_vocab) if n_vocab <= _MASK_VOCAB_MAX else 0
     ranked = items.join(F.broadcast(rank), "token")
-    # Deliberately NOT checkpointed/cached despite 2-3 downstream
-    # consumers (measured in the r8 optimization round): a checkpoint
-    # here erases the frame's statistics, and the prefix self-join that
-    # reads it degrades from the planner's broadcast hash join to a
-    # sort-merge join on the ~vocabulary-cardinality rank key — the
-    # bigram rung measured 6.6 s (recompute, broadcast plan) vs 25.5 s
-    # (checkpoint, SMJ plan). Re-executing the token-scan + rank
-    # subtree per consumer costs ~0.5 s each, fully parallel and
-    # codegen'd — the cheaper side of the trade by 4x.
+    # Deliberately NOT checkpointed (measured in the r8 optimization
+    # round): a checkpoint here erases the frame's statistics, and the
+    # prefix self-join that reads it degrades from the planner's
+    # broadcast hash join to a sort-merge join on the
+    # ~vocabulary-cardinality rank key — the bigram rung measured 6.6 s
+    # (recompute, broadcast plan) vs 25.5 s (checkpoint, SMJ plan).
+    # Multi-consumer reuse is the CALLERS' call: both consumers
+    # (_prefix_filtered_pairs, dedup_containment) cache() the returned
+    # frame — an InMemoryRelation keeps the child's statistics, so the
+    # broadcast plan survives while the token-scan + rank subtree
+    # computes once per execution (r9; measured 3.67 s → 2.53 s on the
+    # τ=0.9 pair frame).
     return (
         ranked.groupBy("doc_id").agg(
             F.sort_array(F.collect_list("r")).alias("ord"),
             *_mask_aggs(n_words),
         ),
         n_words,
+        n_docs,
     )
 
 
-def _near_dup_pairs(t, tau: float = 0.9):
+def _near_dup_pairs(t, tau: float = 0.9, dedup: bool = True):
     """Shared exact near-dup pair builder (prefix-filtered inverted-index
     join) returning (id_lo, id_hi, jaccard[raw double]) at Jaccard ≥ tau.
     Used by ``dedup_near_jaccard`` (pair listing) and
@@ -262,10 +300,10 @@ def _near_dup_pairs(t, tau: float = 0.9):
     engines. At 100 TB the shuffle key is the (rare) prefix token and the
     df table joined in for ordering is vocabulary-sized — broadcastable.
     """
-    return _prefix_filtered_pairs(_ranked_token_sets(t), tau)
+    return _prefix_filtered_pairs(_ranked_token_sets(t), tau, dedup=dedup)
 
 
-def _prefix_filtered_pairs(ranked, tau: float):
+def _prefix_filtered_pairs(ranked, tau: float, dedup: bool = True):
     """PPJoin-family prefix+length-filtered exact similarity join over
     a ``_ranked_sets`` result; returns DISTINCT (id_lo, id_hi,
     jaccard[raw double]) at Jaccard ≥ tau (factored out in r6 so the
@@ -281,7 +319,16 @@ def _prefix_filtered_pairs(ranked, tau: float):
     twice (measured at sf0.1: bigram rung 48.8 s → the mask form;
     token rung 16.4 s likewise). Only τ-survivors reach the distinct.
     """
-    tokr, n_words = ranked
+    tokr, n_words, n_docs = ranked
+    # three consumers (prefix explode + both verify sides): cache so the
+    # token-scan + rank subtree computes once per execution instead of
+    # being re-expanded per consumer — the dedup_containment lesson
+    # applied here in r9 (measured, interleaved A/B with clearCache
+    # between runs: 3.67 s → 2.53 s median for the τ=0.9 pair frame).
+    # cache, NOT localCheckpoint: an InMemoryRelation keeps the child's
+    # statistics, so the prefix self-join stays a broadcast join (the
+    # r8-measured checkpoint variant degraded it to sort-merge).
+    tokr = tokr.cache()
     n = F.size("ord")
     prefix_len = (n - F.ceil(n * F.lit(tau)).cast("int") + 1).cast("int")
     prefix = tokr.select(
@@ -303,7 +350,7 @@ def _prefix_filtered_pairs(ranked, tau: float):
         masks = tokr.select(
             "doc_id", n.alias("n"), *[f"m{k}" for k in range(n_words)]
         )
-        return _mask_verified_pairs(cand, masks, n_words, tau)
+        return _mask_verified_pairs(cand, masks, n_words, tau, n_docs, dedup=dedup)
     # vocabulary too wide to mask: the r7 array-verify path (candidate
     # distinct first, then one exact array_intersect per candidate)
     cand = cand.distinct()
@@ -407,10 +454,11 @@ def _gram_masks(grams_rows):
     the ``_MASK_VOCAB_MAX`` guard) vocabulary replaces the two-phase
     global rank's cache + range-exchange + offsets machinery — then
     fold ranks into ``n`` + ``m0..m{W-1}`` in one wide aggregation
-    pass. Returns ``(frame, n_words)``; ``(None, 0)`` when the
-    vocabulary exceeds ``_MASK_VOCAB_MAX`` and callers must fall back
-    to collect_set gram arrays. The rank table is vocabulary-sized —
-    broadcastable by construction.
+    pass. Returns ``(frame, n_words, n_docs)``; ``(None, 0, 0)`` when
+    the vocabulary exceeds ``_MASK_VOCAB_MAX`` and callers must fall
+    back to collect_set gram arrays. ``n_docs`` rides the same one-job
+    aggregate as the vocabulary count (r9 broadcast-guard input). The
+    rank table is vocabulary-sized — broadcastable by construction.
 
     Deliberately NOT checkpointed (measured, interleaved A/B under the
     nightly contention window): the eager repartition+localCheckpoint
@@ -420,9 +468,11 @@ def _gram_masks(grams_rows):
     this subtree with codegen in ~0.3 s (near_minhash medians: 8.9 s
     checkpointed vs 7.3 s recomputed)."""
     vocab = grams_rows.select("gram").distinct()
-    n_vocab = vocab.count()
+    n_vocab, n_docs = grams_rows.select(
+        F.countDistinct("gram"), F.countDistinct("doc_id")
+    ).first()
     if n_vocab > _MASK_VOCAB_MAX:
-        return None, 0
+        return None, 0, 0
     n_words = _mask_words(n_vocab)
     rank = vocab.select(
         "gram",
@@ -439,6 +489,7 @@ def _gram_masks(grams_rows):
             "doc_id", n.alias("n"), *[f"m{k}" for k in range(n_words)]
         ),
         n_words,
+        n_docs,
     )
 
 
@@ -550,9 +601,9 @@ def dedup_near_minhash(spark, t):
     ).select(F.col("l.doc_id").alias("id_lo"), F.col("r.doc_id").alias("id_hi"))
     # Exact verification of candidates only (shingle-set intersection,
     # rank-bitmask encoded — popcount(A∩B) is exactly |A∩B|).
-    masks, n_words = _gram_masks(grams_rows)
+    masks, n_words, n_docs = _gram_masks(grams_rows)
     if n_words:
-        verified = _mask_verified_pairs(candidates, masks, n_words, 0.6)
+        verified = _mask_verified_pairs(candidates, masks, n_words, 0.6, n_docs)
     else:
         # vocabulary too wide to mask: dedupe candidates, then one
         # exact array verify per candidate (the r7 plan)
@@ -1054,20 +1105,20 @@ def dedup_connected_components(spark, t):
     id, and singletons keep themselves). Rounds needed = graph diameter
     (these near-clique duplicate clusters converge in 2-3).
 
-    100 TB shape: the per-round work is one edge⋈label shuffle join +
-    a min-aggregate — the standard large-graph CC recipe;
+    100 TB shape: one min-contraction round collapses the near-clique
+    duplicate clusters, then the per-round work is one edge⋈label join
+    + a min-aggregate over the RESIDUAL quotient graph only (see
+    ``hash_min_components`` — r9 optimization round);
     ``localCheckpoint`` truncates lineage each round so plans stay
     flat, and the driver sees only a scalar convergence count per
     round (no data collect).
 
-    Evaluated and REJECTED (measured): min-contraction CC (rewriting
-    edges through each round's mapping so merged clusters collapse).
-    On this graph it was 3× slower (45 s vs 16 s at sf0.1) — the
-    edge-rewrite is two extra shuffles + distinct over the full edge
-    set in round 1, and near-clique duplicate clusters already
-    converge in 2–3 propagation rounds, so there are no later heavy
-    rounds for contraction to save. Contraction pays off on
-    high-diameter graphs (long chains), not duplicate clusters.
+    The r6 probe that rejected contraction rewrote the edges through
+    EVERY round's mapping (two extra full-edge shuffles + distinct per
+    round: 45 s vs 16 s at sf0.1). Contracting exactly once is the
+    opposite trade: the single rewrite happens where near-clique
+    clusters actually collapse, and every later round scans ~10³
+    residual edges instead of the full ~1 M-edge cache.
     """
     return _cc_labels(t)
 
@@ -1076,16 +1127,44 @@ def _cc_labels(t, tau: float = 0.9):
     """Hash-min label-propagation core shared by the CC operator and the
     composite corpus pipeline; returns (doc_id, cluster_id) for every doc
     in ``t["documents"]``."""
-    pairs = _near_dup_pairs(t, tau).select("id_lo", "id_hi")
+    # raw (non-distinct) τ-survivor stream: the contraction's min-agg and
+    # rewrite-distinct absorb the candidate multiplicity, so the verified
+    # pairs' own exchange is deleted (r9; measured 7.02 s → 6.58 s)
+    pairs = _near_dup_pairs(t, tau, dedup=False).select("id_lo", "id_hi")
     nodes = t["documents"].select("doc_id")
     return hash_min_components(nodes, pairs, "doc_id")
 
 
 def hash_min_components(nodes, pairs, id_col: str):
-    """Generic hash-min connected components over (id_lo, id_hi) pairs;
-    returns one (id_col, cluster_id) row per node, cluster_id = the
-    component's minimum id. Shared by the token-Jaccard and the
-    embedding-cosine dedup clusterers."""
+    """Generic hash-min connected components over (id_lo, id_hi) pairs
+    (duplicate pair rows are fine — the contraction's min-aggregate and
+    the rewrite's distinct absorb them); returns one (id_col,
+    cluster_id) row per node, cluster_id = the component's minimum id.
+    Shared by the token-Jaccard and the embedding-cosine dedup
+    clusterers.
+
+    r9 optimization round — ONE min-contraction round before the
+    propagation loop (guide §2.3 "shuffle fewer bytes" applied to the
+    loop's per-round edge scan): map every vertex to h1(v) =
+    min(v, min neighbor) — exactly round 1 of hash-min — then rewrite
+    the edges through that mapping and run the loop on the RESIDUAL
+    quotient graph. Duplicate clusters are near-cliques, so h1 collapses
+    them to a handful of vertices and the residual edge set is orders of
+    magnitude smaller than the input (~1 M edges → ~10³ at sf0.1);
+    every remaining round joins the tiny residual instead of re-scanning
+    the full edge cache. The r6 probe that rejected contraction rewrote
+    the edges through EVERY round's mapping (two extra full-edge
+    shuffles per round, 45 s vs 16 s); contracting exactly once pays the
+    rewrite where the collapse actually happens and nowhere else.
+
+    Correctness (the r6-era equivalence argument, now load-bearing):
+    h1(v) is a member of v's component, and the component minimum m has
+    h1(m) = m, so the quotient graph's components are the images of the
+    original components with m still present; the loop's fixpoint label
+    of h1(v) is therefore m, and composing v → h1(v) → label gives every
+    vertex its component minimum — identical output, oracle-checked at
+    sf0.01 + sf0.1 for all three consumers.
+    """
     edges = (
         pairs.select(F.col("id_lo").alias("s"), F.col("id_hi").alias("d"))
         .unionByName(
@@ -1093,27 +1172,59 @@ def hash_min_components(nodes, pairs, id_col: str):
         )
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    # h1 = min(self, min neighbor): round 1 of hash-min, but join-free —
+    # the initial label of a neighbor IS its id, so min(label(d)) is
+    # just min(d) over the incident edges.
+    nbr = edges.groupBy("s").agg(F.min("d").alias("nbr_min"))
+    h1 = (
+        nodes.join(nbr, nodes[id_col] == nbr["s"], "left")
+        .select(
+            F.col(id_col).alias("v"),
+            F.least(
+                F.col(id_col), F.coalesce("nbr_min", F.col(id_col))
+            ).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    # Residual quotient graph: both endpoints rewritten through h1,
+    # self-loops dropped, deduped. Symmetry is preserved (edges is the
+    # symmetric closure and the mapping is applied to both directions).
+    ms = h1.select(F.col("v").alias("s"), F.col("p").alias("ps"))
+    md = h1.select(F.col("v").alias("d"), F.col("p").alias("pd"))
+    e1 = (
+        edges.join(ms, "s")
+        .join(md, "d")
+        .filter(F.col("ps") != F.col("pd"))
+        .select(F.col("ps").alias("s"), F.col("pd").alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    labels = (
+        h1.select(F.col("p").alias("v"))
+        .distinct()
+        .select(F.col("v"), F.col("v").alias("cluster_id"))
+        .localCheckpoint()
+    )
     changed = -1
     # ONE propagation step per materialization — a 2-step-fused variant
     # was measured in the r8 optimization round (interleaved A/B at
     # sf0.1) and REVERTED: fusing doubles the join work inside each
-    # checkpoint while the convergence count still runs per round, and
-    # the ~1M-edge graph's CC medians were 19.8 s fused vs 15.6 s
-    # single-step. The per-round overhead hypothesis lost to the extra
-    # in-plan work; keep the simple loop.
-    for _ in range(20):  # diameter bound; fixtures converge in 2-3
+    # checkpoint while the convergence count still runs per round. The
+    # convergence test rides the checkpointed frame itself (old label
+    # carried as a column) instead of re-joining old vs new — one small
+    # scan per round, no extra join job.
+    for _ in range(20):  # diameter bound; near-clique residuals need 1-3
         prop = (
-            edges.join(labels, edges["d"] == labels[id_col])
+            e1.join(labels, e1["d"] == labels["v"])
             .groupBy("s")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(prop, labels[id_col] == prop["s"], "left")
+        stepped = (
+            labels.join(prop, labels["v"] == prop["s"], "left")
             .select(
-                labels[id_col],
+                labels["v"],
+                F.col("cluster_id").alias("old_label"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce("nbr_min", F.col("cluster_id")),
@@ -1121,16 +1232,12 @@ def hash_min_components(nodes, pairs, id_col: str):
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("cluster_id") != F.col("old_label")
+        ).count()
+        labels = stepped.select("v", "cluster_id")
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # a silent exit here would hand back wrong cluster labels for any
         # graph with diameter > 20 (ADVICE r1) — fail loudly instead
@@ -1139,7 +1246,9 @@ def hash_min_components(nodes, pairs, id_col: str):
             "20 rounds (graph diameter exceeds the bound; raise the round "
             f"cap for this graph — last round still changed {changed} labels)"
         )
-    return labels
+    return h1.join(labels, h1["p"] == labels["v"]).select(
+        h1["v"].alias(id_col), "cluster_id"
+    )
 
 
 _PIPELINE_ORACLE = """
@@ -1316,7 +1425,7 @@ def dedup_containment(spark, t):
     # over localCheckpoint because an InMemoryRelation KEEPS the child's
     # statistics — a checkpoint erases them and the candidate join
     # degrades to sort-merge, measured 2.7 s → 19 s on this op)
-    tokr, n_words = _ranked_token_sets(t)
+    tokr, n_words, n_docs = _ranked_token_sets(t)
     tokr = tokr.cache()
     n = F.size("ord")
     sz = tokr.select("doc_id", n.alias("n"), F.col("ord"))
@@ -1355,8 +1464,8 @@ def dedup_containment(spark, t):
         lo, hi = _mask_sides(masks, n_words, "id_a", "id_b")
         containment = _mask_inter(n_words) / F.col("lo_n")
         verified = (
-            cand.join(F.broadcast(lo), "id_a")
-            .join(F.broadcast(hi), "id_b")
+            cand.join(_mask_hint(lo, n_docs, n_words), "id_a")
+            .join(_mask_hint(hi, n_docs, n_words), "id_b")
             .filter(containment >= tau)
             .select("id_a", "id_b")
             .distinct()

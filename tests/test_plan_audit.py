@@ -69,6 +69,10 @@ SINGLE_PARTITION_OK = {
     # O(bits) aggregate value — its final merge is a scalar fold by
     # construction (input = one partial bloom per creation-side partition)
     "join_bloom_prune": (1, "bloom_filter_agg scalar merge"),
+    # r9 CC contraction: the keeper join's creation side (checkpointed
+    # labels, exact small stats) now qualifies for Spark's automatic
+    # runtime bloom filter — same scalar partial-bloom merge as above
+    "pipeline_clean_corpus": (1, "bloom_filter_agg scalar merge"),
     "text_tfidf": (1, "scalar corpus-size N"),
     "corpus_lm_quality": (1, "scalar corpus-token-total agg"),
     # two-phase global rank: the only partition-less window runs over

@@ -3247,3 +3247,51 @@ def test_bow_fingerprint_groups_are_true_token_set_matches(spark):
         assert r["keeper_doc"] == min(members)
     assert got == expected
     assert non_exact_seen, "all groups byte-identical: fingerprint adds nothing"
+
+
+# ---------------------------------------------- mask broadcast size guard
+
+def test_mask_hint_falls_back_past_size_bound(spark, monkeypatch):
+    """r9 (VERDICT r8 item 3): the verify-side broadcast hint must be
+    gated on the estimated mask-frame size — an explicit F.broadcast
+    bypasses autoBroadcastJoinThreshold, so an unbounded hint would
+    force a multi-GB broadcast at ~10^8 docs. Below the bound the hint
+    fires (analyzed plan carries the hint); above it the frame is
+    returned unhinted and the verify arithmetic is unchanged."""
+    from splio_etl_aggregations_spark.operators import dedup as dd
+
+    masks = spark.createDataFrame(
+        [(1, 2, 0b011), (2, 2, 0b110), (3, 1, 0b100)],
+        "doc_id long, n int, m0 long",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3)], "id_lo long, id_hi long"
+    )
+
+    # under the bound: hint fires (identity check + plan hint node)
+    side, _ = dd._mask_sides(masks, 1, "id_lo", "id_hi")
+    hinted = dd._mask_hint(side, n_docs=3, n_words=1)
+    assert hinted is not side
+    assert (
+        "ResolvedHint (strategy=broadcast)"
+        in hinted._jdf.queryExecution().analyzed().toString()
+    )
+
+    # past the bound: no hint — the exact frame comes back
+    monkeypatch.setattr(dd, "_MASK_BROADCAST_MAX", 10)
+    assert dd._mask_hint(side, n_docs=3, n_words=1) is side
+
+    # both regimes verify to the identical pair set
+    def pairs(frame):
+        return sorted(
+            (r["id_lo"], r["id_hi"], round(r["jaccard"], 6))
+            for r in frame.collect()
+        )
+
+    monkeypatch.setattr(dd, "_MASK_BROADCAST_MAX", 256 << 20)
+    fast = pairs(dd._mask_verified_pairs(cand, masks, 1, 0.5, n_docs=3))
+    monkeypatch.setattr(dd, "_MASK_BROADCAST_MAX", 10)
+    slow = pairs(dd._mask_verified_pairs(cand, masks, 1, 0.5, n_docs=3))
+    # hand check: docs 1={r1,r2}, 2={r2,r3}, 3={r3}; J(1,2)=1/3 <0.5,
+    # J(1,3)=0, J(2,3)=1/2 >=0.5 -> only (2,3) survives
+    assert fast == slow == [(2, 3, 0.5)]
