@@ -17,6 +17,7 @@ runs don't leak directories (ADVICE r5):
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from typing import Callable
@@ -34,6 +35,30 @@ LAST_PATHS: dict[str, str] = {}
 def tracked_mkdtemp(prefix: str) -> str:
     """``tempfile.mkdtemp`` that is removed at interpreter exit."""
     d = tempfile.mkdtemp(prefix=prefix)
+    _CREATED.append(d)
+    return d
+
+
+def scratch_mkdtemp(prefix: str) -> str:
+    """``tracked_mkdtemp`` on the fastest EPHEMERAL backing available:
+    ``$SPARK_GRAFT_SCRATCH`` if set, else ``/dev/shm`` when present,
+    else the system tmp.
+
+    For the streaming replays only (r9, VERDICT r8 item 2): their feed
+    files and checkpoint/offset/commit logs are scratch by construction
+    — deleted at interpreter exit, never recovered from — but each
+    micro-batch fsyncs several small log files, which is exactly the
+    operation host disk contention inflates (measured: the late-data
+    replay at 2.7–3.3 s quiet jumped to 6.5 s under an fsync load with
+    a disk-backed checkpoint vs 4.3 s RAM-backed — reproducing the
+    driver-vs-committed divergence this round was asked to root-cause).
+    A production stream's checkpoint must be durable remote storage;
+    that is a recovery-semantics decision, not this replay's, so RAM
+    backing here changes no semantics."""
+    base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
     _CREATED.append(d)
     return d
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.helpers import r4
 from ..registry import register
-from ..sources.tmpdirs import tracked_mkdtemp
+from ..sources.tmpdirs import scratch_mkdtemp
 
 
 # ---------------------------------------------------------------- transforms
@@ -211,7 +211,7 @@ def stream_late_data(spark, t):
     old sorted halving.
     """
     events = t["events"]
-    tmp = tracked_mkdtemp(prefix="late_feed_")
+    tmp = scratch_mkdtemp(prefix="late_feed_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
 
@@ -455,7 +455,7 @@ def stream_upsert_materialize(spark, t):
     and therefore invariant to the exact batch boundaries.)
     """
     events = t["events"]
-    tmp = tracked_mkdtemp(prefix="upsert_feed_")
+    tmp = scratch_mkdtemp(prefix="upsert_feed_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
 
@@ -694,7 +694,7 @@ def _ingest_events_to_lake(spark, t) -> str:
     from ..operators.lake import sink_commit
 
     events = t["events"]
-    tmp = tracked_mkdtemp(prefix="lake_sink_")
+    tmp = scratch_mkdtemp(prefix="lake_sink_")
     feed_dir = os.path.join(tmp, "feed")
     os.makedirs(feed_dir)
     root = os.path.join(tmp, "table")
