@@ -484,10 +484,19 @@ def _gram_masks(grams_rows):
         .agg(*_mask_aggs(n_words))
     )
     n = reduce(add, [F.bit_count(F.col(f"m{k}")) for k in range(n_words)])
+    # cache, NOT localCheckpoint (r9, VERDICT r8 item 4 — interleaved
+    # A/B at sf0.1 with clearCache between runs): both broadcast verify
+    # sides project from this |docs|-row frame, and the cache lets the
+    # second side read the first side's materialization instead of
+    # re-running the gram scan + rank join + W-wide bit_or fold —
+    # near_minhash 6.16 s → 3.20 s median. The checkpoint variant of
+    # the same idea measured 6.76 s (materialization without
+    # whole-stage codegen, the recorded r8 lesson), and cache keeps the
+    # child's statistics where a checkpoint erases them.
     return (
         masked.select(
             "doc_id", n.alias("n"), *[f"m{k}" for k in range(n_words)]
-        ),
+        ).cache(),
         n_words,
         n_docs,
     )
@@ -545,23 +554,20 @@ def dedup_near_minhash(spark, t):
         "doc_id", F.pmod(F.xxhash64("gram"), F.lit(prime)).alias("th")
     )
     # |docs|-row wide signature frame; both sides of the band self-join
-    # descend from it, so pin ONE materialization (explicit round-robin
-    # repartition first — a keyed repartition matching the aggregate's
-    # partitioning is elided and AQE then coalesces the exchange; the
-    # dedup_lsh_band_sweep r8 lesson).
-    sig = (
-        g.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
-                    % F.lit(prime)
-                ).alias(f"mh{i}")
-                for i in range(n_hashes)
-            ]
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+    # descend from it and dedupe via ReusedExchange, so no pin is
+    # needed (r9, measured: the r8 repartition+localCheckpoint pin cost
+    # two driver-blocking jobs per build for nothing — 2.92 s pinned vs
+    # 2.72 s unpinned median with the mask cache in place; the r8-era
+    # pin predates the raw-candidate verify that removed the extra
+    # downstream consumers).
+    sig = g.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
+                % F.lit(prime)
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
     )
     # Bands: hash each contiguous signature slice to one bucket id.
     band_cols = [
@@ -723,10 +729,14 @@ def dedup_lsh_band_sweep(spark, t):
     (injective per engine), so no second hash enters the seam.
 
     Plan notes, each measured at sf0.1 (local[32]):
-    - Signatures in LONG format — (doc_id, i, mh) via a 64-entry
-      (i, a, b) literal-family explode, one map-side-combined min —
-      NOT 64 wide min-agg columns: the wide form was compile-bound
-      (~7 s of whole-stage-codegen compilation even at sf0.01).
+    - Signatures in WIDE format since r9 — 64 min-agg columns in one
+      pass, band keys as pure projections (posexplode), matching the
+      error-curve op's r8 restructure. The r6-era "wide form is
+      compile-bound" note no longer holds on Spark 4.1 (the 64-column
+      fold codegen-compiles in well under a second); the long-format
+      fold it replaces pushed 64× the rows through the partial
+      aggregate and paid a second keyed exchange — A/B 4.26 s long vs
+      3.13 s wide, identical output.
     - The band self-join carries a ``shuffle_hash`` hint: the planner
       otherwise BROADCASTS the 1.9 M-row band table (hash-table build
       on one thread; warm 6.5 s → 5.6 s hinted). At 100 TB the band
@@ -773,49 +783,37 @@ def dedup_lsh_band_sweep(spark, t):
     th = grams_rows.select(
         "doc_id", (ph60("gram", "mhs") % prime).alias("th")
     )
-    fam = F.array(
+    # WIDE signature fold + posexplode band keys (r9 — the structure
+    # dedup_minhash_error_curve adopted in r8, now measured for this
+    # shape too: 64 min-aggregates in ONE pass over the token-hash
+    # stream, band keys as pure projections; the long-format fold +
+    # per-(doc, band) groupBy it replaces pushed 64× the rows through
+    # the partial aggregate and paid a second keyed exchange —
+    # interleaved A/B at sf0.1: 4.26 s long vs 3.13 s wide, identical
+    # output rows). Band key = w_2b * 2^31 + w_2b+1 — a BIJECTION of
+    # the i-ordered slot pair (each mh < 2^31−1), so the candidate set
+    # is identical to the oracle's string key's; the oracle keeps the
+    # string form, which proves the bijection.
+    wide = th.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(rng_a[i]).alias("a"),
-                F.lit(rng_b[i]).alias("b"),
-            )
+            F.min(
+                (F.col("th") * F.lit(rng_a[i]) + F.lit(rng_b[i]))
+                % F.lit(prime)
+            ).alias(f"w{i}")
             for i in range(n_hashes)
         ]
     )
-    sigl = (
-        th.select("doc_id", "th", F.explode(fam).alias("x"))
-        .groupBy("doc_id", F.col("x.i").alias("i"))
-        .agg(
-            F.min(
-                (F.col("th") * F.col("x.a") + F.col("x.b")) % F.lit(prime)
-            ).alias("mh")
-        )
-    )
-    # the 32×2 banding — band key = the ordered signature slice
-    # (array_sort fixes collect_list's nondeterministic order)
-    # band key = mh0 * 2^31 + mh1 — a BIJECTION of the i-ordered slot
-    # pair (each mh < 2^31-1), so the candidate set is identical to the
-    # string key's but the self-join seam carries an 8-byte integer
-    # instead of a ~20-char string (r8 perf fix; the oracles keep the
-    # string form, which proves the bijection)
-    bands2 = (
-        sigl.groupBy(
-            "doc_id", (F.col("i") / 2).cast("int").alias("band_id")
-        )
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                lambda s: s["mh"],
-            ).alias("bm")
-        )
-        .select(
-            "doc_id",
-            "band_id",
-            (F.col("bm")[0] * F.lit(1 << 31) + F.col("bm")[1]).alias(
-                "bkey"
-            ),
-        )
+    bands2 = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"w{2 * b}") * F.lit(1 << 31)
+                    + F.col(f"w{2 * b + 1}")
+                    for b in range(n_hashes // 2)
+                ]
+            )
+        ).alias("band_id", "bkey"),
     )
     lft = bands2.alias("l")
     rgt = bands2.hint("shuffle_hash").alias("r")
@@ -848,9 +846,12 @@ def dedup_lsh_band_sweep(spark, t):
     # r8 optimization round): this shape's candidate stream is already
     # one row per pair (the mask fold above is the aggregation), so the
     # popcount verify saves nothing downstream while its side frames
-    # pay a vocab-distinct + rank-join + 15-wide bit_or fold PER
-    # BROADCAST SIDE — band-sweep medians 9.1 s (arrays) vs 12.0 s
-    # (masks). The mask verify wins only where it lets the raw
+    # pay a vocab-distinct + rank-join + 15-wide bit_or fold —
+    # band-sweep medians 9.1 s (arrays) vs 12.0 s (masks). RE-PROBED in
+    # r9 after _gram_masks gained its shared cache (one fold instead of
+    # one per side): arrays still win, 4.45 s vs 5.25 s — the 426 k
+    # one-shot verifications don't amortize even a single mask-frame
+    # build. The mask verify wins only where it lets the raw
     # multiplicity-bearing candidate stream skip its distinct
     # (dedup_ngram_jaccard 48.8→7.5 s); here arrays win.
     gram_sets = grams_rows.groupBy("doc_id").agg(
