@@ -1269,32 +1269,49 @@ def lake_log_checkpoint(spark, t):
 # ------------------------------------------------- per-file bloom index
 
 _BLOOM_BITS = 16384  # 2 KB per file
+# k=3 independent multiplicative hashes (Knuth/splitmix-style odd
+# constants): position_i = top-14 bits of value * M_i mod 2^64. Chosen
+# over the r7 per-value md5 because the bloom is an ENGINE-INTERNAL
+# index (candidate files re-filter exactly, so the hash family is
+# observable only through performance) and the multiplicative form
+# vectorizes: the r7 build looped hashlib.md5 three times per key on
+# the driver (~450k digests per build at sf0.1); this one is three
+# numpy uint64 multiplies over the whole column (r9, guide §1.2
+# per-task work). Same 2 KB / k=3 false-positive math.
 _BLOOM_K = 3
+_BLOOM_MULTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0xD6E8FEB86659FD93,
+)
+_BLOOM_SHIFT = 64 - 14  # 2^14 = _BLOOM_BITS positions
 
 
 def _bloom_positions(value: int) -> list[int]:
-    import hashlib
-
     return [
-        int.from_bytes(
-            hashlib.md5(f"{value}:{i}".encode()).digest()[:8], "big"
-        )
-        % _BLOOM_BITS
-        for i in range(_BLOOM_K)
+        ((value * m) % (1 << 64)) >> _BLOOM_SHIFT for m in _BLOOM_MULTS
     ]
 
 
 def _file_bloom(path: str, key: str) -> str:
     """Build the file's key bloom at write time from the parquet data
     (one column read, driver-side — real formats do this in the writer
-    task and ship the bits home in the commit message)."""
+    task and ship the bits home in the commit message). numpy-vectorized
+    with the same positions as ``_bloom_positions``; bit ``pos`` lives
+    at ``bits[pos // 8] & (1 << (pos % 8))`` (little-endian packbits)."""
+    import numpy as np
     import pyarrow.parquet as pq
 
-    bits = bytearray(_BLOOM_BITS // 8)
-    for v in pq.read_table(path, columns=[key]).column(key).to_pylist():
-        for pos in _bloom_positions(int(v)):
-            bits[pos // 8] |= 1 << (pos % 8)
-    return bytes(bits).hex()
+    vals = (
+        pq.read_table(path, columns=[key])
+        .column(key)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    for m in _BLOOM_MULTS:
+        bits[(vals * np.uint64(m)) >> np.uint64(_BLOOM_SHIFT)] = True
+    return np.packbits(bits, bitorder="little").tobytes().hex()
 
 
 def _bloom_might_contain(bloom_hex: str, value: int) -> bool:
@@ -2126,10 +2143,15 @@ def lake_row_lineage(spark, t):
     _commit(root, 2, adds2, [a["path"] for a in _snapshot(root, 1)])
 
     final = _with_ids(None)
-    # lineage invariant: the id multiset survived BOTH rewrites intact
-    assert (
+    # lineage invariant: the id multiset survived BOTH rewrites intact.
+    # One-sided multiset difference + row-count equality is equivalent
+    # to (and r9-cheaper than) the r8 two-sided exceptAll: a dropped id
+    # changes the count; a duplicated or re-minted id puts the extra
+    # copy in final∖v0 (multiset semantics) even when the count is
+    # preserved. The second anti-join shuffle is replaced by two
+    # column-pruned counts.
+    assert final.count() == v0.count() and (
         final.select("_row_id").exceptAll(v0.select("_row_id")).isEmpty()
-        and v0.select("_row_id").exceptAll(final.select("_row_id")).isEmpty()
     ), "row ids dropped, duplicated, or re-minted by a rewrite"
 
     return final.groupBy("_last_updated_seq").agg(
