@@ -1494,14 +1494,15 @@ def ts_holt_linear_forecast(spark, t):
     Scale shape: the heavy work is the per-(priority, month) cents
     aggregation — one map-side-combinable shuffle over the fact table.
     The recursion itself is inherently sequential PER GROUP, so it
-    runs in ``applyInPandas`` over the ≤ 80-row monthly frames (the
-    canonical Spark split: reduce big data to small per-key state
-    distributively, iterate the state where iteration is cheap). At
-    100 TB the month frames are still 80 rows per key — the pattern
-    holds for any bounded-window recursive filter (EWMA/Kalman/Holt).
+    runs as a JVM ``aggregate()`` fold over each priority's sorted
+    ≤ 80-element monthly array (the canonical Spark split: reduce big
+    data to small per-key state distributively, iterate the state
+    where iteration is cheap — r9 moved the iteration from
+    ``applyInPandas`` into codegen; the fold replays the identical
+    IEEE expression tree per step, checked row-equal). At 100 TB the
+    month arrays are still 80 elements per key — the pattern holds for
+    any bounded-window recursive filter (EWMA/Kalman/Holt).
     """
-    import pandas as pd
-
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     monthly = (
         t["orders"]
@@ -1512,39 +1513,40 @@ def ts_holt_linear_forecast(spark, t):
         .agg(F.sum(cents).alias("cents"))
     )
 
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("mo")
-        ys = pdf["cents"].to_numpy()
-        l = float(ys[0])
-        b = 0.0
-        for y in ys[1:]:
-            l_new = 0.5 * float(y) + 0.5 * (l + b)
-            b = 0.5 * (l_new - l) + 0.5 * b
-            l = l_new
-        # raw doubles out; the 6-dp round happens JVM-side so the
-        # half-away tie rule matches DuckDB (Python round() is
-        # half-EVEN — the repo's cross-engine rounding convention)
-        return pd.DataFrame(
-            {
-                "o_orderpriority": [pdf["pri"].iloc[0]],
-                "n_months": [len(ys)],
-                "l": [l],
-                "b": [b],
-            }
+    # JVM fold over the sorted monthly array: l ← ½y + ½(l+b),
+    # b ← ½(l_new − l) + ½b — the same IEEE double tree per step as
+    # the oracle's recursive CTE (l_new's expression is duplicated
+    # inside the struct; both copies round identically, so b sees the
+    # exact l_new value). A null l marks the first element.
+    seq = F.array_sort(F.collect_list(F.struct("mo", "cents")))
+
+    def holt_step(acc, e):
+        y = e["cents"].cast("double")
+        l_new = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            F.when(acc["l"].isNull(), y).otherwise(l_new).alias("l"),
+            F.when(acc["l"].isNull(), F.lit(0.0))
+            .otherwise(F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"])
+            .alias("b"),
         )
 
-    state = monthly.groupBy("pri").applyInPandas(
-        holt,
-        schema="o_orderpriority string, n_months long, l double, b double",
+    holt_init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
     )
+    state = monthly.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.aggregate(seq, holt_init, holt_step).alias("s"),
+    )
+    l, b = F.col("s.l"), F.col("s.b")
     return state.select(
-        "o_orderpriority",
+        F.col("pri").alias("o_orderpriority"),
         "n_months",
-        F.round(F.col("l") / 100, 6).alias("level"),
-        F.round(F.col("b") / 100, 6).alias("trend"),
-        F.round((F.col("l") + 1 * F.col("b")) / 100, 6).alias("forecast_1"),
-        F.round((F.col("l") + 2 * F.col("b")) / 100, 6).alias("forecast_2"),
-        F.round((F.col("l") + 3 * F.col("b")) / 100, 6).alias("forecast_3"),
+        F.round(l / 100, 6).alias("level"),
+        F.round(b / 100, 6).alias("trend"),
+        F.round((l + 1 * b) / 100, 6).alias("forecast_1"),
+        F.round((l + 2 * b) / 100, 6).alias("forecast_2"),
+        F.round((l + 3 * b) / 100, 6).alias("forecast_3"),
     )
 
 
@@ -1806,12 +1808,13 @@ def ts_croston_intermittent(spark, t):
     demand, p1 = 1; single-demand parts report rate = that demand.
 
     Scale shape: the fact table folds map-side to (part, week) rows;
-    the inherently sequential recursion runs in ``applyInPandas`` over
-    per-part frames of <= |weeks| rows — the canonical reduce-then-
-    iterate split, identical posture to Holt.
+    the inherently sequential recursion then runs as a JVM
+    ``aggregate()`` fold over each part's sorted (week, demand) array —
+    <= |weeks| elements per group, whole-stage codegen, no Python
+    boundary (r9: the previous ``applyInPandas`` form paid ~1.5 s of
+    Arrow+worker overhead for 207 groups; the fold replays the
+    identical IEEE expression tree per step, checked row-equal).
     """
-    import pandas as pd
-
     wk = (
         F.datediff(
             F.date_trunc("week", "l_shipdate").cast("date"),
@@ -1830,33 +1833,42 @@ def ts_croston_intermittent(spark, t):
         )
     )
 
-    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("wk")
-        xs = pdf["x"].to_numpy()
-        wks = pdf["wk"].to_numpy()
-        z, p = float(xs[0]), 1.0
-        for k in range(1, len(xs)):
-            g = float(wks[k] - wks[k - 1])
-            z = 0.5 * float(xs[k]) + 0.5 * z
-            p = 0.5 * g + 0.5 * p
-        return pd.DataFrame(
-            {
-                "p_partkey": [int(pdf["pk"].iloc[0])],
-                "n_weeks": [len(xs)],
-                "z": [z],
-                "p": [p],
-            }
+    # JVM fold: per part, sort the (week, demand) pairs and replay the
+    # recursion with aggregate() — z ← ½x + ½z, p ← ½(wk−prev_wk) + ½p,
+    # literally the same IEEE double tree per step as the oracle's
+    # recursive CTE (dyadic α; a null z marks the first element).
+    seq = F.array_sort(F.collect_list(F.struct("wk", "x")))
+
+    def croston_step(acc, e):
+        first = acc["z"].isNull()
+        return F.struct(
+            F.when(first, e["x"].cast("double"))
+            .otherwise(F.lit(0.5) * e["x"] + F.lit(0.5) * acc["z"])
+            .alias("z"),
+            F.when(first, F.lit(1.0))
+            .otherwise(
+                F.lit(0.5) * (e["wk"] - acc["pw"]).cast("double")
+                + F.lit(0.5) * acc["p"]
+            )
+            .alias("p"),
+            e["wk"].alias("pw"),
         )
 
-    state = d.groupBy("pk").applyInPandas(
-        croston, schema="p_partkey long, n_weeks long, z double, p double"
+    croston_init = F.struct(
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(None).cast("int").alias("pw"),
+    )
+    state = d.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.aggregate(seq, croston_init, croston_step).alias("s"),
     )
     return state.select(
-        "p_partkey",
+        F.col("pk").alias("p_partkey"),
         "n_weeks",
-        F.round("z", 6).alias("size_smooth"),
-        F.round("p", 6).alias("interval_smooth"),
-        F.round(F.col("z") / F.col("p"), 6).alias("croston_rate"),
+        F.round("s.z", 6).alias("size_smooth"),
+        F.round("s.p", 6).alias("interval_smooth"),
+        F.round(F.col("s.z") / F.col("s.p"), 6).alias("croston_rate"),
     ).orderBy("p_partkey")
 
 
