@@ -5358,16 +5358,28 @@ def attribution_markov_removal(spark, t):
         )
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = journey.select(
-        F.col("state").alias("s"),
-        F.coalesce(F.lead("state").over(w), F.lit("null")).alias("t"),
-    ).unionByName(
-        journey.groupBy("user_id")
-        .agg(
-            F.min_by("state", F.struct("ts", "event_id")).alias("t")
-        )
-        .select(F.lit("start").alias("s"), "t")
+    # ONE window pass emits both step kinds: every row's (state, next)
+    # transition, plus — on each user's FIRST row (row_number = 1,
+    # same window spec, so lead and row_number share one sort) — the
+    # ('start', first state) edge the old form derived with a separate
+    # min_by groupBy over the same journey subtree. The explode of a
+    # 1-or-2-element array replaces that second exchange+aggregate
+    # pass (r9; min_by(state) at rn=1 IS the rn=1 row's state, so the
+    # step multiset is identical).
+    j2 = journey.select(
+        "state",
+        F.coalesce(F.lead("state").over(w), F.lit("null")).alias("t_next"),
+        F.row_number().over(w).alias("rn"),
     )
+    pair = F.struct(F.col("state").alias("s"), F.col("t_next").alias("t"))
+    start = F.struct(F.lit("start").alias("s"), F.col("state").alias("t"))
+    steps = j2.select(
+        F.explode(
+            F.when(F.col("rn") == 1, F.array(pair, start)).otherwise(
+                F.array(pair)
+            )
+        ).alias("st")
+    ).select("st.s", "st.t")
     cnt = (
         steps.filter("s <> 'conv'")
         .groupBy("s", "t")
@@ -5410,20 +5422,24 @@ def attribution_markov_removal(spark, t):
             )
             .withColumnRenamed("next_state", "state")
         )
-    # 5-row result of the 8-step chain, consumed TWICE (scenario rows +
-    # the 'none' baseline) — pin it or the whole chain executes twice
-    pconv = (
-        walk.filter("state = 'conv'")
-        .groupBy("r")
-        .agg(F.max("m_q").alias("p_q"))
-        .localCheckpoint()
-    )
-    base = pconv.filter("r = 'none'").select(
-        F.col("p_q").alias("full_q")
+    # 5-row result of the 8-step chain, consumed twice (scenario rows +
+    # the 'none' baseline): the baseline rides a single-partition
+    # window over the SAME 5-row frame instead of a checkpoint + self
+    # cross-join (r9 — the chain then appears once in one lazy plan
+    # with no build-time materialization job; a partition-less window
+    # is fine here because the frame is 5 rows by construction).
+    pconv = walk.filter("state = 'conv'").groupBy("r").agg(
+        F.max("m_q").alias("p_q")
     )
     return (
-        pconv.filter("r <> 'none'")
-        .crossJoin(F.broadcast(base))
+        pconv.select(
+            "r",
+            "p_q",
+            F.max(F.when(F.col("r") == "none", F.col("p_q")))
+            .over(Window.partitionBy())
+            .alias("full_q"),
+        )
+        .filter("r <> 'none'")
         .select(
             F.col("r").alias("removed_channel"),
             F.round(F.col("p_q") / (1 << 40), 4).alias("p_convert"),

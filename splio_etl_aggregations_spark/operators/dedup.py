@@ -952,6 +952,14 @@ def dedup_simhash(spark, t):
     `err: no_oracle`); tokens now hash through the portable md5-based
     ``ph60``, so the full fingerprint → band → Hamming pipeline is
     recomputed by the DuckDB oracle and hash-checked.
+
+    The banded frame is CACHED before the self-join: the join is a
+    broadcast join (no exchange for ReusedExchange to dedupe), so
+    without the cache BOTH sides re-run the token-scan → md5 → 60-way
+    sign-sum fingerprint subtree (~0.9 s each at sf0.1, and 2× the
+    token scan at any scale). One |docs|×4-row materialization feeds
+    both sides instead (r9; interleaved A/B median 1.81 → 1.65 s —
+    the same shared-materialization pattern as the minhash mask cache).
     """
     from ..functions.portable_hash import ph60
 
@@ -997,7 +1005,7 @@ def dedup_simhash(spark, t):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band_id", "bb.bucket")
+    ).select("doc_id", "simhash", "bb.band_id", "bb.bucket").cache()
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(

@@ -65,6 +65,10 @@ SINGLE_PARTITION_OK = {
     "scan_csv_malformed_permissive": (1, "scalar good/corrupt counts"),
     "funnel_time_to_convert": (1, "scalar latency-percentile fold"),
     "lake_time_travel_read": (2, "two scalar per-version folds"),
+    # r9: the 'none'-baseline ride-along — a partition-less window over
+    # the 5-row (one per removal scenario) absorption frame, replacing
+    # the build-time localCheckpoint + self cross-join
+    "attribution_markov_removal": (1, "5-row scenario baseline window"),
     # the injected runtime bloom filter folds the dim's keys into ONE
     # O(bits) aggregate value — its final merge is a scalar fold by
     # construction (input = one partial bloom per creation-side partition)
