@@ -865,11 +865,16 @@ def text_bm25_search(spark, t):
     query's top-10. Complements ``text_tfidf`` (raw weights) and the
     ANN family (semantic search) with the exact term-based ranker.
 
-    Scale shape: the token stream is filtered to query terms by a
-    BROADCAST semi-join before any aggregation (the corpus never
-    shuffles on non-query tokens); df/dl/N fold map-side; scoring is
-    per-row arithmetic; the final top-10 window partitions by query
-    over per-doc sums of the already-tiny matched set.
+    Scale shape: ONE pass over the token stream computes doc length
+    AND the per-term tf columns as conditional sums in the same
+    map-side-combined aggregate (the query terms are a build-time
+    constant, so each is a named column; r9 — the previous form ran a
+    dl aggregate and a semi-join+tf aggregate as two differently-keyed
+    exchanges, i.e. two full token-explode map passes). Non-query
+    tokens never reach the wire either way — here they collapse into
+    the partial aggregate. The exploded (doc, term, tf>0) matched set
+    is tiny; scoring is per-row arithmetic; the final top-10 window
+    partitions by query.
 
     Determinism: tf/dl/df/N are exact integers, avgdl is one division
     of exact sums, idf = ln(1 + (N-df+0.5)/(df+0.5)) and the saturation
@@ -889,20 +894,41 @@ def text_bm25_search(spark, t):
     tok = t["documents"].select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    dl = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
+    terms = sorted({term for _, ts in _BM25_QUERIES for term in ts})
+    wide = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum((F.col("token") == tm).cast("bigint")).alias(f"tf{i}")
+            for i, tm in enumerate(terms)
+        ],
     )
-    stats = dl.agg(
+    stats = wide.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    terms = q.select("term").distinct()
-    tf = (
-        tok.join(F.broadcast(terms), tok["token"] == terms["term"])
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    # unstack the tf columns and keep matches; dl rides along, so no
+    # dl join is needed downstream (three consumers of `wide` share its
+    # single groupBy exchange via ReusedExchange)
+    matched = (
+        wide.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tm).alias("term"),
+                            F.col(f"tf{i}").alias("tf"),
+                        )
+                        for i, tm in enumerate(terms)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "dl", "e.term", "e.tf")
+        .filter(F.col("tf") > 0)
     )
-    df = tf.groupBy("term").agg(
+    df = matched.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     idf = F.log(
@@ -914,8 +940,7 @@ def text_bm25_search(spark, t):
         * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
     part = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
+        matched.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
